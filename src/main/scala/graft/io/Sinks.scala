@@ -1,0 +1,85 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Writers for the reference's text output contracts (SURVEY §2.1 S9–S11, §7.4-1).
+  *
+  * The reference publishes small, single-file, header-first TSV reports atomically
+  * (`pSTARQC_v1.sh:46,99` tmp + mv). These writers reproduce that contract: write a
+  * 1-partition Spark CSV into a temp dir, then move the part file to the final path.
+  * `coalesce(1)` is confined to these FINAL report sinks — never mid-pipeline
+  * (SURVEY §7.4-6); big data (matrices at scale, coverage bins) should instead be
+  * written partitioned parquet via plain `df.write`.
+  */
+object Sinks {
+
+  /** S9 — atomic single-file TSV report: tab sep, header row, nulls rendered as the
+    * reference's `NA` sentinel. */
+  def writeTsvReport(df: DataFrame, outFile: String, nullValue: String = "NA"): Unit = {
+    val tmpDir = outFile + ".tmp"
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true")
+      .option("nullValue", nullValue).option("emptyValue", "")
+      .csv(tmpDir)
+    publishSingleFile(tmpDir, outFile)
+  }
+
+  /** S10 — RSEM matrix text contract (`rsem-generate-data-matrix:76-89`):
+    * header `Symbol<TAB>"<source1>"…` (sources quoted, `Symbol` not), data rows
+    * `"<feature-id>"<TAB>v1…` with raw value passthrough. */
+  def writeMatrix(matrix: DataFrame, outFile: String, idHeader: String = "Symbol"): Unit = {
+    val sources = matrix.columns.filterNot(_ == idHeader)
+    val header = (idHeader +: sources.map(s => "\"" + s + "\"")).mkString("\t")
+    val line = concat_ws("\t",
+      concat(lit("\""), col(idHeader), lit("\"")) +:
+        sources.map(s => col(s"`$s`").cast("string")): _*)
+    val tmpDir = outFile + ".tmp"
+    matrix.select(line.as("line")).coalesce(1)
+      .write.mode("overwrite").option("quote", "").text(tmpDir)
+    publishSingleFile(tmpDir, outFile, Some(header))
+  }
+
+  /** S12 — BED sink: genome-position-sorted single text file (bgzip/tabix indexing is
+    * an external post-step, out of relational scope). */
+  def writeBed(bed: DataFrame, outFile: String): Unit = {
+    val tmpDir = outFile + ".tmp"
+    bed.select(concat_ws("\t", bed.columns.map(c => col(s"`$c`").cast("string")): _*).as("line"))
+      .coalesce(1)
+      .write.mode("overwrite").option("quote", "").text(tmpDir)
+    publishSingleFile(tmpDir, outFile)
+  }
+
+  /** tmp-dir + atomic-move publish (C8): find the single part file, optionally
+    * prepend a header, move into place, drop the temp dir. */
+  private def publishSingleFile(tmpDir: String, outFile: String,
+                                prependHeader: Option[String] = None): Unit = {
+    val dir = Paths.get(tmpDir)
+    val part = Files.list(dir).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmpDir"))
+    val target = Paths.get(outFile)
+    prependHeader match {
+      case Some(h) =>
+        val staged = dir.resolve("staged")
+        val out = Files.newOutputStream(staged)
+        try {
+          out.write((h + "\n").getBytes("UTF-8"))
+          Files.copy(part, out)
+        } finally out.close()
+        Files.move(staged, target, StandardCopyOption.REPLACE_EXISTING)
+      case None =>
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

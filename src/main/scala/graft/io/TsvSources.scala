@@ -1,0 +1,97 @@
+package graft.io
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Readers for the reference's TSV / semi-structured file formats (SURVEY §2.1).
+  *
+  * Shared conventions of the reference, preserved here:
+  *   - header + `#`-comment + blank-line skipping (`sample_counting.sh:36` `NR>1 && !/^#/`),
+  *   - CRLF tolerance (`combine_multStrategy_Directories.bash:112-116` `sed 's/\r//g'`),
+  *   - sample identity derived from file names (`pSTARQC_v1.sh:72`,
+  *     `rsem-generate-data-matrix:72` basename-as-column-header).
+  *
+  * All readers return plain DataFrames with explicit schemas; none infer.
+  */
+object TsvSources {
+
+  /** S1 — AccList scan: 10 fixed cols, one header row, `#`-comments and blank/blank-key
+    * rows dropped (`run_SRA2QC_diskGuard.bash:91-113`, `sample_counting.sh:36-43`).
+    *
+    * `_row_order` preserves in-file line order (valid because a project AccList is a
+    * single CSV split read in order) — needed by keep-*first* dedup (SURVEY O2). */
+  def readAccList(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("comment", "#").option("mode", "PERMISSIVE")
+      .schema(Schemas.accList)
+      .csv(path)
+      .filter(col("Run").isNotNull && length(trim(col("Run"))) > 0 &&
+        col("geo_accession").isNotNull && length(trim(col("geo_accession"))) > 0)
+      .withColumn("_row_order", monotonically_increasing_id())
+
+  /** S2 — project-list scan: whitespace-split 3 cols, `#`-comments, readlen default 150
+    * (`bulk_orchestrator_production_diskGuard.bash:220-231`). */
+  def readProjectList(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(trim(regexp_replace(col("value"), "\r", "")).as("line"))
+      .filter(length(col("line")) > 0 && !col("line").startsWith("#"))
+      .select(split(col("line"), "\\s+").as("f"))
+      .select(
+        col("f").getItem(0).as("acclist"),
+        col("f").getItem(1).as("project"),
+        coalesce(col("f").getItem(2).cast(IntegerType), lit(150)).as("read_length"))
+
+  /** S3 — STAR `Log.final.out` scan: `key |<tab>value` lines → (sample_id, key, value);
+    * values trimmed with commas stripped (`pSTARQC_v1.sh:49-61`). Sample id comes from
+    * the `<sample>_STARLog.final.out` file name (`pSTARQC_v1.sh:72`). */
+  def readStarLogs(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.text(pathGlob)
+      .withColumn("sample_id",
+        regexp_replace(regexp_extract(input_file_name(), "[^/]+$", 0),
+          "_STARLog\\.final\\.out$", ""))
+      .filter(col("value").contains("|"))
+      .select(
+        col("sample_id"),
+        trim(substring_index(col("value"), "|", 1)).as("key"),
+        regexp_replace(trim(substring_index(col("value"), "|", -1)), ",", "").as("value"))
+
+  /** S4 — samtools idxstats scan: 4 cols, no header (`ComputeSex_v5.sh:111-117`);
+    * sample id from the `<sample>_idxstats.txt` file name. */
+  def readIdxStats(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read
+      .option("sep", "\t").schema(Schemas.idxStats).csv(pathGlob)
+      .withColumn("sample_id",
+        regexp_replace(regexp_extract(input_file_name(), "[^/]+$", 0),
+          "_idxstats\\.txt$", ""))
+
+  /** S5 — RSEM results scan: header + 7 cols (`rsem-generate-data-matrix:16,28-43`).
+    * Adds `source_file` (basename — the matrix column-header contract, F5),
+    * `sample` (basename minus `.genes/.isoforms/.transcripts.results`, F6) and
+    * typed casts `TPM_d` / `expected_count_d` for analytics. */
+  def readRsemResults(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .option("sep", "\t").option("header", "true")
+      .schema(Schemas.rsemResults).csv(paths: _*)
+      .withColumn("source_file", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .withColumn("sample",
+        regexp_replace(col("source_file"),
+          "\\.(genes|isoforms|transcripts|alleles)\\.results$", ""))
+      .withColumn("TPM_d", col("TPM").cast(DoubleType))
+      .withColumn("expected_count_d", col("expected_count").cast(DoubleType))
+
+  /** S6 — reference BED scan: sorted, no header, name in col 4
+    * (`GeneTPMbed_v2.sh:49,93-99`). */
+  def readBed(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").schema(Schemas.bed4).csv(path)
+
+  /** S7 — track-JSON glob scan: recursive `RNAseq_*.json`, excluding
+    * `*geneTPMbed*` / `*TXTPMbed*`, path-sorted downstream
+    * (`make_jbrowse_session_for_bioproject.py:62-70`). One JSON doc per file. */
+  def readTrackJsons(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.option("multiLine", "true").json(pathGlob)
+      .withColumn("_path", input_file_name())
+      .filter(!col("_path").contains("geneTPMbed") && !col("_path").contains("TXTPMbed"))
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-project merge (the `utilities/` combine workflow): report unions, matrix
+  * joins, duplicate-sample detection.
+  *
+  * Re-expresses `utilities/…/combine_multStrategy_Directories.bash`:
+  *   - O7 (`:135-191`) — union of two runs' sex/conflict tables; the reference's
+  *     header-once handling is a text-format artifact, `unionByName` is the relational
+  *     equivalent (CRLF/blank cleanup `:112-116` happens in the readers),
+  *   - J2 (`:238-256` + 3 more) — INNER equi-join of two wide matrices on feature id
+  *     (GNU `join -t'\t' -1 1 -2 1` over `sort -k1,1` = sort-merge join); rows
+  *     missing from either side are silently dropped, the reference only *warns*
+  *     when output < input (`:247-256`) — preserved via [[MergeStats]],
+  *   - J8/O9 (`:506-532`) — duplicate sample detection = name intersection.
+  */
+object ProjectCombiner {
+
+  final case class MergeStats(left: Long, right: Long, merged: Long) {
+    /** The reference's `:253-256` warning condition. */
+    def lossy: Boolean = merged < left || merged < right
+  }
+
+  /** O7 — union two report tables by column name. */
+  def unionReports(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** J2 — inner matrix merge on the id column; the id column of the right matrix is
+    * dropped (GNU join emits the key once, `:238-246`). Returns merge stats so the
+    * caller can reproduce the row-loss warning. */
+  def mergeMatrices(a: DataFrame, b: DataFrame,
+                    idCol: String = "Symbol"): (DataFrame, MergeStats) = {
+    val merged = a.join(b, Seq(idCol), "inner")
+    (merged, MergeStats(a.count(), b.count(), merged.count()))
+  }
+
+  /** J8 — samples present in both runs (`comm -12` over sorted name lists). */
+  def duplicateSamples(a: DataFrame, b: DataFrame,
+                       nameCol: String = "geo_accession"): DataFrame =
+    a.select(col(nameCol)).intersect(b.select(col(nameCol)))
+}
