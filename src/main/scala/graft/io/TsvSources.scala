@@ -40,29 +40,32 @@ object TsvSources {
       .filter(length(col("line")) > 0 && !col("line").startsWith("#"))
       .select(split(col("line"), "\\s+").as("f"))
       .select(
-        col("f").getItem(0).as("acclist"),
-        col("f").getItem(1).as("project"),
-        coalesce(col("f").getItem(2).cast(IntegerType), lit(150)).as("read_length"))
+        get(col("f"), lit(0)).as("acclist"),
+        get(col("f"), lit(1)).as("project"),
+        coalesce(get(col("f"), lit(2)).cast(IntegerType), lit(150)).as("read_length"))
 
   /** S3 — STAR `Log.final.out` scan: `key |<tab>value` lines → (sample_id, key, value);
     * values trimmed with commas stripped (`pSTARQC_v1.sh:49-61`). Sample id comes from
     * the `<sample>_STARLog.final.out` file name (`pSTARQC_v1.sh:72`). */
-  def readStarLogs(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.read.text(pathGlob)
+  def readStarLogs(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
       .withColumn("sample_id",
         regexp_replace(regexp_extract(input_file_name(), "[^/]+$", 0),
           "_STARLog\\.final\\.out$", ""))
       .filter(col("value").contains("|"))
       .select(
         col("sample_id"),
-        trim(substring_index(col("value"), "|", 1)).as("key"),
-        regexp_replace(trim(substring_index(col("value"), "|", -1)), ",", "").as("value"))
+        // awk-style strip of [ \t]+ at both ends (Spark's trim removes spaces only)
+        regexp_replace(substring_index(col("value"), "|", 1), "^[ \\t]+|[ \\t]+$", "").as("key"),
+        regexp_replace(
+          regexp_replace(substring_index(col("value"), "|", -1), "^[ \\t]+|[ \\t]+$", ""),
+          ",", "").as("value"))
 
   /** S4 — samtools idxstats scan: 4 cols, no header (`ComputeSex_v5.sh:111-117`);
     * sample id from the `<sample>_idxstats.txt` file name. */
-  def readIdxStats(spark: SparkSession, pathGlob: String): DataFrame =
+  def readIdxStats(spark: SparkSession, paths: String*): DataFrame =
     spark.read
-      .option("sep", "\t").schema(Schemas.idxStats).csv(pathGlob)
+      .option("sep", "\t").schema(Schemas.idxStats).csv(paths: _*)
       .withColumn("sample_id",
         regexp_replace(regexp_extract(input_file_name(), "[^/]+$", 0),
           "_idxstats\\.txt$", ""))

@@ -25,21 +25,22 @@ object StarQc {
   val KeyUnmMm = "Number of reads unmapped: too many mismatches"
   val KeyUnmShort = "Number of reads unmapped: too short"
   val KeyUnmOther = "Number of reads unmapped: other"
-  private val Keys = Seq(KeyInput, KeyUnmMm, KeyUnmShort, KeyUnmOther)
 
-  /** One row per log-bearing sample: (sample_id, input_reads, unaligned_reads, rate). */
+  /** One row per log-bearing sample: (sample_id, input_reads, unaligned_reads, rate).
+    * Groups over ALL kv lines (not just the four counters) so that a log that exists
+    * but lacks `Number of input reads` is distinguishable from a missing log —
+    * the reference emits INVALID_LOG for the former (`pSTARQC_v1.sh:85-88`) and
+    * NO_LOG only for an absent file (`:73-74`). */
   private def perSample(logKv: DataFrame): DataFrame = {
+    def keyVal(k: String) =
+      first(when(col("key") === k, col("value")), ignoreNulls = true)
     val wide = logKv
-      .filter(col("key").isin(Keys: _*))
       .groupBy("sample_id")
-      .pivot("key", Keys)
-      .agg(first("value", ignoreNulls = true))
-      .select(
-        col("sample_id"),
-        col(s"`$KeyInput`").as("input_raw"),
-        col(s"`$KeyUnmMm`").cast(LongType).as("unm_mm"),
-        col(s"`$KeyUnmShort`").cast(LongType).as("unm_short"),
-        col(s"`$KeyUnmOther`").cast(LongType).as("unm_other"))
+      .agg(
+        keyVal(KeyInput).as("input_raw"),
+        keyVal(KeyUnmMm).cast(LongType).as("unm_mm"),
+        keyVal(KeyUnmShort).cast(LongType).as("unm_short"),
+        keyVal(KeyUnmOther).cast(LongType).as("unm_other"))
 
     val input = col("input_raw").cast(LongType)
     val unmapped = coalesce(col("unm_mm"), lit(0L)) +

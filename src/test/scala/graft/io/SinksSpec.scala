@@ -1,0 +1,47 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.ops.MatrixBuilder
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TSV report sink: single file, header, NA for nulls, atomic publish (S9)") {
+    val df = Seq(
+      ("GSM1", Some(24776293L), Some(4.84), "PASS"),
+      ("GSM2", None, None, "NO_LOG"))
+      .toDF("SampleID", "input_reads", "Unmapped_Rate", "Status")
+    val out = tempDir().resolve("report.txt").toString
+    Sinks.writeTsvReport(df.orderBy("SampleID"), out)
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) == "SampleID\tinput_reads\tUnmapped_Rate\tStatus")
+    assert(lines.get(1) == "GSM1\t24776293\t4.84\tPASS")
+    assert(lines.get(2) == "GSM2\tNA\tNA\tNO_LOG")
+    assert(!Files.exists(Paths.get(out + ".tmp"))) // temp dir cleaned up
+  }
+
+  test("matrix sink: quoted ids + quoted source headers, Symbol unquoted (S10)") {
+    val long = Seq(
+      ("Xist", "s1.genes.results", "812.44"), ("Xist", "s2.genes.results", "1.50"),
+      ("Uty", "s1.genes.results", "0.00"), ("Uty", "s2.genes.results", "99.99"))
+      .toDF("gene_id", "source", "value")
+    val m = MatrixBuilder.pivotMatrix(long, "gene_id", "source", "value",
+      Seq("s1.genes.results", "s2.genes.results")).orderBy("Symbol")
+    val out = tempDir().resolve("PRJ.genes.TPM.matrix").toString
+    Sinks.writeMatrix(m, out)
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) == "Symbol\t\"s1.genes.results\"\t\"s2.genes.results\"")
+    assert(lines.get(1) == "\"Uty\"\t0.00\t99.99")
+    assert(lines.get(2) == "\"Xist\"\t812.44\t1.50")
+  }
+
+  test("BED sink: tab-joined rows, no quoting (S12)") {
+    val bed = Seq(("chr1", 100L, 200L, "GeneA", "812.44", ".", 100L, 200L, "0,0,205"))
+      .toDF("chrom", "start", "end", "name", "score", "strand", "ts", "te", "rgb")
+    val out = tempDir().resolve("x.bed").toString
+    Sinks.writeBed(bed, out)
+    assert(Files.readAllLines(Paths.get(out)).get(0)
+      == "chr1\t100\t200\tGeneA\t812.44\t.\t100\t200\t0,0,205")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.SparkSpec
+
+class TsvSourcesSpec extends SparkSpec {
+
+  test("AccList reader: header, #-comments, blank lines, CRLF, in-file order (S1/P13)") {
+    val acc = fixture("AccList.txt",
+      "Run\tgeo_accession\tTissue\tStrain\tSex\tPMID\tGEOpath\tTitle\tSample_characteristics\tStrainInfo\n" +
+        "SRR1\tGSM1\tLiver\tBN/NHsdMcwi\tM\t1\tu\tT1\tage: 12 weeks; treatment: control\tsi\r\n" +
+        "# a comment line\n" +
+        "\n" +
+        "SRR2\tGSM2\tBrain\tSHR\tF\t2\tu\tT2\tchars\tsi\n" +
+        "SRR3\tGSM1\tLiver\tBN/NHsdMcwi\tM\t1\tu\tT1\tchars\tsi\n")
+    val df = TsvSources.readAccList(spark, acc)
+    val rows = df.orderBy("_row_order").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("SRR1", "SRR2", "SRR3"))
+    assert(rows.head.getString(4) == "M")          // CRLF stripped from last col path
+    assert(rows.head.getString(9) == "si")
+    assert(df.columns.take(10).toSeq == graft.model.Schemas.accListColumns)
+  }
+
+  test("project-list reader: whitespace split, default readlen 150 (S2)") {
+    val pl = fixture("projects.txt",
+      "# comment\n/path/a.txt  PRJ1  100\n/path/b.txt PRJ2\n\n")
+    val rows = TsvSources.readProjectList(spark, pl).orderBy("project").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "PRJ1" && rows(0).getInt(2) == 100)
+    assert(rows(1).getString(1) == "PRJ2" && rows(1).getInt(2) == 150)
+  }
+
+  test("RSEM reader: header skip, typed casts, sample/source derivation (S5/F5/F6)") {
+    val r = fixture("GSM7.genes.results",
+      "gene_id\ttranscript_id(s)\tlength\teffective_length\texpected_count\tTPM\tFPKM\n" +
+        "Xist\tNR_1\t17814.00\t17650.12\t2543.00\t812.44\t650.11\n" +
+        "Uty\tNM_1\t5112.00\t4948.12\t0.00\t0.00\t0.00\n")
+    val df = TsvSources.readRsemResults(spark, Seq(r))
+    val rows = df.orderBy("gene_id").collect()
+    assert(rows.length == 2)
+    val xist = rows.find(_.getString(0) == "Xist").get
+    assert(xist.getAs[String]("TPM") == "812.44")        // raw text preserved
+    assert(xist.getAs[Double]("TPM_d") == 812.44)
+    assert(xist.getAs[String]("source_file") == "GSM7.genes.results")
+    assert(xist.getAs[String]("sample") == "GSM7")
+  }
+
+  test("idxstats reader derives sample id from file name (S4)") {
+    val f = fixture("GSM9_idxstats.txt",
+      "chrX\t159970021\t4500000\t12000\nchrY\t18315841\t2500\t40\n")
+    val rows = TsvSources.readIdxStats(spark, f).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("sample_id") == "GSM9"))
+    assert(rows.find(_.getString(0) == "chrY").get.getAs[Long]("mapped") == 2500L)
+  }
+}
