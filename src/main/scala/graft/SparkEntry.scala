@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.RelationalQueries
+import graft.queries.{PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,12 +27,13 @@ object SparkEntry {
       .agg(sum(col("l_quantity")))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the training-data
+    * pipeline suite (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles
 }

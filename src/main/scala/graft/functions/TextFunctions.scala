@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines: tokenization,
+  * language-ID heuristics, quality scoring, fingerprinting, shingling.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs); per-document
+  * computations use higher-order functions so they need NO shuffle — at 100 TB each
+  * document is scored in place during the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Token count (long). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Number of regex hits in the text (long) — e.g. punctuation or stopword counts. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Default English stopword alternation used by the language-ID heuristic. */
+  val EnglishStopwords = "\\b(the|a|an|of|to|and|in|is|was|for|on|with|that)\\b"
+
+  /** Stopword-density language ID: fraction of tokens that are common-English
+    * stopwords; >= `threshold` classifies as `en`. A cheap n-gram-free heuristic
+    * in the spirit of fastText-style frequency features. */
+  def langIdEn(text: Column, threshold: Double = 0.05): Column = {
+    val hits = matchCount(lower(text), EnglishStopwords).cast("double")
+    val toks = tokenCount(text).cast("double")
+    when(toks > 0 && hits / toks >= threshold, "en").otherwise("unknown")
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high punctuation
+    * density, and low alphabetic density. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val punct = matchCount(text, "[.,!?;:]").cast("double")
+    val alpha = matchCount(text, "[a-zA-Z]").cast("double")
+    val lengthOk = when(chars >= 50.0 && chars <= 5000.0, 1.0).otherwise(0.5)
+    val punctOk = when(chars > 0, lit(1.0) - least(punct / chars * 10.0, lit(1.0)))
+      .otherwise(lit(0.0))
+    val alphaDen = when(chars > 0, alpha / chars).otherwise(lit(0.0))
+    (lengthOk * 0.2 + punctOk * 0.3 + alphaDen * 0.5)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lower-cased text.
+    * Stable under leading/trailing/internal whitespace differences. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Order-sensitive rolling token hash: left fold of `xxhash64(acc, token)` —
+    * a per-row chain hash, no shuffle, overflow-free under ANSI mode (a naive
+    * `acc*31 + h` polynomial throws ARITHMETIC_OVERFLOW in Spark 4). */
+  def rollingTokenHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Word n-gram shingles, space-joined (e.g. n=3 → "w1 w2 w3" strings). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)), i => substring(norm, i, lit(n))))
+      .otherwise(array(norm))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-data scale: exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard.
+  *
+  * Scale shapes (the point of each design):
+  *   - signatures (MinHash, SimHash) are PER-ROW higher-order-function folds over
+  *     the document's own shingles/tokens — zero shuffle, computed during the scan;
+  *   - candidate generation shuffles only (id, band/block) pairs — bytes per doc,
+  *     not the documents themselves;
+  *   - candidate verification joins are equi-joins on band/block keys, never a
+  *     cross join; pair output is bounded by bucket collisions (tunable bands);
+  *   - exact dedup is one hash aggregate on a 16-byte digest.
+  */
+object DedupSuite {
+
+  // ── exact ──────────────────────────────────────────────────────────────────
+
+  /** Exact dedup: group by content digest, keep the minimum id as canonical.
+    * Output: (digest, canonical_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  // ── MinHash + LSH ──────────────────────────────────────────────────────────
+
+  /** Seeded shingle hash used by the MinHash signature. `md5` keeps the oracle
+    * SQL-expressible; swap for an xxhash64-based fn in production for speed. */
+  def md5SeededHash(shingle: Column, seed: Int): Column =
+    md5(concat(lit(seed + ":"), shingle))
+
+  /** Per-row MinHash signature: array of `numHashes` minima over the document's
+    * shingles under independent seeded hashes. No shuffle. */
+  def minHashSignature(shingles: Column, numHashes: Int,
+                       hashFn: (Column, Int) => Column = md5SeededHash): Column =
+    array((0 until numHashes).map(i => array_min(transform(shingles, s => hashFn(s, i)))): _*)
+
+  /** LSH banding: split the signature into `bands` equal groups; band key = md5 of
+    * the concatenated group. Docs sharing ANY band key become candidate pairs. */
+  def lshBands(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => element_at(signature, b * rows + r + 1)): _*))
+    }: _*)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH over word shingles.
+    * Output: (id_a, id_b) with id_a < id_b, distinct. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val sig = minHashSignature(TextFunctions.wordShingles(col(textCol), shingleSize), numHashes)
+    val banded = df
+      .select(col(idCol).as("id"), posexplode(lshBands(sig, numHashes, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val r = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────────────
+
+  /** md5-derived bit function: parity of the ASCII code of hex char `b+1` of the
+    * token digest — SQL-expressible in the oracle. Returns 0/1 int. */
+  def md5ParityBit(token: Column, b: Int): Column =
+    ascii(substring(md5(token), b + 1, 1)) % 2
+
+  /** Per-row SimHash fingerprint as a '0'/'1' string of length `bits` (string form
+    * keeps the oracle trivial; production would pack into a long). Per-bit signed
+    * token votes folded per row — no shuffle. */
+  def simHash(text: Column, bits: Int = 16,
+              bitFn: (Column, Int) => Column = md5ParityBit): Column = {
+    val toks = TextFunctions.tokens(text)
+    val contrib = transform(toks, t =>
+      array((0 until bits).map(b => (bitFn(t, b) * 2 - 1).cast("long")): _*))
+    val sums = aggregate(contrib,
+      array(Seq.fill(bits)(lit(0L)): _*),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    concat((0 until bits).map(b =>
+      when(element_at(sums, b + 1) > 0L, "1").otherwise("0")): _*)
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' fingerprint strings. */
+  def hammingStr(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0L).otherwise(1L))
+      .reduce(_ + _)
+
+  /** SimHash near-duplicate pairs: block on `bands` fingerprint segments
+    * (pigeonhole: hamming <= maxHamming pairs share >= 1 of maxHamming+1 segments),
+    * verify exact hamming on candidates. Output (id_a, id_b, hamming), distinct. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val seg = bits / bands
+    val fp = df.select(col(idCol).as("id"), simHash(col(textCol), bits).as("fp"))
+    val banded = fp.select(col("id"), col("fp"), posexplode(
+      array((0 until bands).map(b => substring(col("fp"), b * seg + 1, seg)): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val l = banded.select(col("block_idx"), col("block_key"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("block_idx"), col("block_key"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingStr(col("fp_a"), col("fp_b"), bits).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ── n-gram Jaccard ─────────────────────────────────────────────────────────
+
+  /** Jaccard similarity over distinct word n-grams, blocked by `blockCol` (only
+    * same-block pairs are compared — at scale the block is an LSH bucket or a
+    * cheap partition key; a cross join is never formed).
+    * Output: (id_a, id_b, inter, size_a, size_b, jaccard) filtered to >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                        n: Int = 1, threshold: Double = 0.8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(array_distinct(
+        if (n == 1) TextFunctions.tokens(col(textCol))
+        else TextFunctions.wordShingles(col(textCol), n))).as("gram"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = grams.select(col("block"), col("gram"), col("id").as("id_a"))
+    val r = grams.select(col("block"), col("gram"), col("id").as("id_b"))
+    val inter = l.join(r, Seq("block", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        col("jaccard"))
+  }
+}

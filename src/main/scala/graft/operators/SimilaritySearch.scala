@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding column.
+  *
+  * Tiers:
+  *   - [[bruteForceTopK]] — exact cosine top-k: one scan, per-row HOF scoring
+  *     (no shuffle), TakeOrderedAndProject for the top-k. The correctness baseline.
+  *   - [[partitionedTopK]] — IVF-style: restrict the scan to the query's coarse
+  *     partition (a precomputed cluster/label id). At scale the partition column is
+  *     the parquet partition key, so non-matching files are PRUNED at the scan.
+  *   - [[embeddingNearDupPairs]] — all-pairs near-duplicate detection within
+  *     coarse partitions (the blocked O(Σ n_b²) shape, never a full cross join).
+  */
+object SimilaritySearch {
+
+  /** Literal array<double> column from a query vector (driver-side constant —
+    * broadcast-inlined into codegen, deterministic). */
+  def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
+
+  /** Exact top-k by cosine against a constant query vector.
+    * Output: (idCol, cosine) ordered desc, ties broken by id. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+      VectorFunctions.cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** IVF-lite: same as [[bruteForceTopK]] but scanning only rows whose
+    * `partCol` equals the query's partition — partition pruning is the scale path
+    * (a real IVF would assign partitions by nearest centroid). */
+  def partitionedTopK(df: DataFrame, vecCol: String, idCol: String, partCol: String,
+                      query: Seq[Double], queryPart: Any, k: Int): DataFrame =
+    bruteForceTopK(df.filter(col(partCol) === lit(queryPart)), vecCol, idCol, query, k)
+
+  /** Near-duplicate embedding pairs: cosine >= threshold, compared only within the
+    * same coarse partition (block). Output (id_a, id_b, cosine), id_a < id_b. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            partCol: String, threshold: Double): DataFrame = {
+    val l = df.select(col(partCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val r = df.select(col(partCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Sign-LSH bucket id for an embedding: bit b = sign of dot(vec, plane_b),
+    * planes supplied as constant vectors (deterministic, data-derived or seeded).
+    * Docs sharing a bucket are ANN candidates — the scale path for all-pairs
+    * search when no coarse partition exists. */
+  def signLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map(p =>
+      when(VectorFunctions.dot(vec, vecLit(p)) >= 0.0, "1").otherwise("0")): _*)
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.operators.{DedupSuite, Multimodal, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` / `embeddings` tables:
+  * text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding near-dup), similarity search, multimodal plumbing — each with a
+  * DuckDB oracle.
+  *
+  * Vector-math oracles are generated programmatically as unrolled left-associative
+  * double chains, which are bit-identical to the Spark side's higher-order-function
+  * folds (IEEE: `0.0 + x == x`, fold order == chain order).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Unrolled Σ a[j]*b[j] over 64 dims, left-assoc, double. */
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(j =>
+      s"CAST($a.embedding[$j] AS DOUBLE)*CAST($b.embedding[$j] AS DOUBLE)")
+      .mkString(" + ")
+
+  private val tokensSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Collect the query embedding (vec_id 0) to the driver as doubles. */
+  private def queryVec(s: SparkSession, dir: String): (Seq[Double], Int) = {
+    val row = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding"), col("label")).head()
+    (row.getSeq[Float](0).map(_.toDouble), row.getInt(1))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ─── text analysis ───────────────────────────────────────────────────────
+    "q40_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q41_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars2"),
+          TextFunctions.matchCount(col("text"), "[.,!?;:]").as("punct_cnt"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q42_text_langid" -> ((s, dir) => {
+      val pred = TextFunctions.langIdEn(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+          when(pred === col("lang"), "Agree").otherwise("Conflict").as("agreement"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q43_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ─── dedup ───────────────────────────────────────────────────────────────
+    "q44_dedup_exact" -> ((s, dir) =>
+      DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("digest"))),
+
+    "q45_dedup_jaccard" -> ((s, dir) =>
+      DedupSuite.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "source", n = 1, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q46_dedup_minhash" -> ((s, dir) =>
+      DedupSuite.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 8, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q47_dedup_simhash" -> ((s, dir) =>
+      DedupSuite.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ─── similarity search ───────────────────────────────────────────────────
+    "q48_sim_bruteforce" -> ((s, dir) => {
+      val (q, _) = queryVec(s, dir)
+      SimilaritySearch.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id", q, 20)
+    }),
+
+    "q49_sim_partitioned" -> ((s, dir) => {
+      val (q, label) = queryVec(s, dir)
+      SimilaritySearch.partitionedTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+        "label", q, label, 10)
+    }),
+
+    "q50_embedding_neardup" -> ((s, dir) =>
+      SimilaritySearch.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding",
+        "vec_id", "label", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ─── multimodal plumbing (decode stubbed; Spark shape real) ──────────────
+    "q51_multimodal_bytes" -> ((s, dir) => {
+      val media = Multimodal.asMediaFrame(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "image")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("sha_prefix"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // ─── oracles ───────────────────────────────────────────────────────────────
+
+  private val qualitySql =
+    """(CASE WHEN CAST(length(text) AS DOUBLE) >= 50.0 AND CAST(length(text) AS DOUBLE) <= 5000.0 THEN 1.0 ELSE 0.5 END) * 0.2
+      | + (CASE WHEN CAST(length(text) AS DOUBLE) > 0 THEN 1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)/CAST(length(text) AS DOUBLE)*10.0, 1.0) ELSE 0.0 END) * 0.3
+      | + (CASE WHEN CAST(length(text) AS DOUBLE) > 0 THEN CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)/CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.5""".stripMargin
+
+  private val stopRe = "\\b(the|a|an|of|to|and|in|is|was|for|on|with|that)\\b"
+
+  private val shinglesSql =
+    s"""CASE WHEN len(t) >= 3
+       | THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
+       | ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  private def simhashVoteSql(b: Int): String =
+    s"SUM(CASE WHEN ascii(substr(md5(t), ${b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+
+  private val hammingSql: String =
+    "CAST(" + (1 to 16).map(i =>
+      s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q40_text_tokens" ->
+      s"SELECT doc_id, CAST(array_length($tokensSql) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    "q41_text_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+         | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         | $qualitySql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_text_langid" ->
+      s"""WITH p AS (SELECT doc_id, lang,
+         | CASE WHEN CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |   AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |       / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05
+         | THEN 'en' ELSE 'unknown' END AS pred_lang FROM documents)
+         |SELECT doc_id, lang, pred_lang,
+         | CASE WHEN pred_lang = lang THEN 'Agree' ELSE 'Conflict' END AS agreement
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q43_text_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q44_dedup_exact" ->
+      "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY digest",
+    "q45_dedup_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source, unnest(list_distinct($tokensSql)) AS gram FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS s FROM w GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM w a JOIN w b ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+         |      GROUP BY 1,2)
+         |SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b,
+         | CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q46_dedup_minhash" ->
+      s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
+         |  FROM e GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |  unnest([${(0 until 4).map(b => s"md5(h${2 * b} || '|' || h${2 * b + 1})").mkString(", ")}]) AS band_key,
+         |  unnest([0,1,2,3]) AS band_idx FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q47_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+         |votes AS (SELECT doc_id, ${(0 until 16).map(simhashVoteSql).mkString(", ")}
+         |  FROM tok GROUP BY doc_id),
+         |fp0 AS (SELECT doc_id,
+         |  ${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS fp
+         |  FROM votes),
+         |blocks AS (SELECT doc_id, fp,
+         |  unnest([0,1,2,3]) AS block_idx,
+         |  unnest([substr(fp,1,4), substr(fp,5,4), substr(fp,9,4), substr(fp,13,4)]) AS block_key
+         |  FROM fp0)
+         |SELECT DISTINCT id_a, id_b, hamming FROM
+         | (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $hammingSql AS hamming
+         |  FROM blocks a JOIN blocks b
+         |    ON a.block_idx = b.block_idx AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q48_sim_bruteforce" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    "q49_sim_partitioned" ->
+      s"""WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
+         |FROM embeddings e JOIN q ON e.label = q.label
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q50_embedding_neardup" ->
+      s"""SELECT id_a, id_b, cosine FROM
+         | (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   (${dotSql("a", "b")}) / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q51_multimodal_bytes" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | substr(md5(text), 1, 8) AS sha_prefix
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── text functions ──────────────────────────────────────────────────────────
+
+  test("tokens / shingles / fingerprint semantics") {
+    val df = Seq(("  The  quick brown fox  ", 1L)).toDF("text", "id")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh3"),
+      TextFunctions.charShingles(col("text"), 4).as("c4"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getSeq[String](r.fieldIndex("sh3")).toSeq == Seq("the quick brown", "quick brown fox"))
+    assert(r.getSeq[String](r.fieldIndex("c4")).take(2).toSeq == Seq("the ", "he q"))
+    // whitespace-normalization invariance
+    val fp2 = Seq("the quick  brown   fox").toDF("text")
+      .select(TextFunctions.fingerprintMd5(col("text"))).head().getString(0)
+    assert(r.getAs[String]("fp") == fp2)
+  }
+
+  test("wordShingles shorter than n collapses to one joined shingle") {
+    val r = Seq("one two").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).head().getSeq[String](0)
+    assert(r == Seq("one two"))
+  }
+
+  test("rollingTokenHash is order-sensitive; langId flags stopword-dense text") {
+    val h = Seq("a b c", "c b a").toDF("text")
+      .select(TextFunctions.rollingTokenHash(col("text"))).collect().map(_.getLong(0))
+    assert(h(0) != h(1))
+    val langs = Seq("the cat sat on the mat and it was good",
+      "zzz qqq www rrr ttt yyy uuu iii ooo ppp")
+      .toDF("text").select(TextFunctions.langIdEn(col("text"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "unknown"))
+  }
+
+  // ── dedup ───────────────────────────────────────────────────────────────────
+
+  test("exact dedup groups by digest, keeps min id as canonical") {
+    val docs = Seq((1L, "same text"), (5L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = DedupSuite.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds near-identical docs, not unrelated ones") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " nu"),                                   // near-dup of 1
+      (3L, "totally different words here nothing shared at all in this document"))
+      .toDF("doc_id", "text")
+    val pairs = DedupSuite.minHashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs: identical docs at hamming 0, unrelated docs excluded") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "completely unrelated vocabulary nothing in common whatsoever okay"))
+      .toDF("doc_id", "text")
+    val pairs = DedupSuite.simHashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L) ||
+      pairs.filter(p => p._1._1 == 3L || p._1._2 == 3L).forall(_._2 <= 3L))
+  }
+
+  test("ngram jaccard: exact inter/union arithmetic within blocks") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c e", "s1"),  // inter 3, union 5 → 0.6
+      (3L, "a b c d", "s2"))                          // other block — never compared
+      .toDF("doc_id", "text", "source")
+    val pairs = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 1, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) == (1L, 2L))
+    assert(p.getAs[Long]("inter") == 3L && p.getAs[Double]("jaccard") == 0.6)
+  }
+
+  // ── similarity ──────────────────────────────────────────────────────────────
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(vecs, "embedding", "vec_id",
+      Seq(1.0, 0.0), 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("embeddingNearDupPairs compares only within blocks") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0.01f), 0), (3L, Array(1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = SimilaritySearch.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      "label", 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 is in another block despite identical vector
+  }
+
+  test("signLshBucket is deterministic and separates opposite vectors") {
+    val vecs = Seq((1L, Array(1f, 1f)), (2L, Array(-1f, -1f))).toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val b = vecs.select(col("vec_id"),
+      SimilaritySearch.signLshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) == "11" && b(2L) == "00")
+  }
+
+  test("vector functions: exact doubles on known values") {
+    val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.normSq(col("a")).as("n"),
+      VectorFunctions.l2Sq(col("a"), col("b")).as("l")).head()
+    assert(r.getDouble(0) == 24.0 && r.getDouble(1) == 25.0 && r.getDouble(2) == 2.0)
+  }
+
+  // ── multimodal ──────────────────────────────────────────────────────────────
+
+  test("multimodal plumbing: binary payloads through per-partition extraction") {
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaFrame(
+      docs.withColumn("payload", col("text").cast("binary")), "doc_id", "payload", "image")
+    assert(media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Multimodal.mediaMetaSchema.fieldNames.toSeq)
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).n_bytes == 3L)
+    assert(out(1L).sha_prefix == "90015098") // md5("abc") prefix
+    assert(math.abs(out(1L).mean_byte - (97 + 98 + 99) / 3.0) < 1e-12)
+    assert(out(2L).n_bytes == 0L && out(2L).mean_byte == 0.0)
+    assert(out(1L).feature.length == 8)
+  }
+}
