@@ -79,6 +79,13 @@ object StarQc {
           .as("Status"))
   }
 
+  /** Text-contract view of [[summarize]]: `Unmapped_Rate` rendered `%.2f`
+    * (`pSTARQC_v1.sh:91` printf) for the TSV report sink; numerics stay typed in
+    * the analytic frame. */
+  def reportView(summary: DataFrame): DataFrame =
+    summary.withColumn("Unmapped_Rate",
+      when(col("Unmapped_Rate").isNotNull, format_string("%.2f", col("Unmapped_Rate"))))
+
   /** J1 — PASS semi-join: AccList rows whose sample passed the gate
     * (`run_RNApipeline_pairedG8_diskGuard.bash:429-431`, awk NR==FNR idiom).
     * Left-semi keeps AccList columns untouched and lets Spark broadcast the

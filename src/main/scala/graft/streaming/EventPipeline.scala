@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.8).
+  *
+  * The reference has no true streams — its closest analog is the orchestrator's
+  * 60-second poll loop over job-completion events
+  * (`bulk_orchestrator_production_diskGuard.bash:299-452`). Here that becomes:
+  *   - [[windowedCounts]] — the streaming twin of batch query q33 (event-time
+  *     windows + watermark; same plan runs on `readStream` sources), and
+  *   - [[projectStateMachine]] — the orchestrator's per-project status tracking as
+  *     `flatMapGroupsWithState`: step completions arrive as events, state holds the
+  *     per-project progress, transitions are emitted downstream (what the reference
+  *     does with marker files + associative arrays, `:60-67,266-283`).
+  *
+  * Scale: state is partitioned by project id (thousands of keys, tiny payloads);
+  * watermarked windows bound the state store; both run identically on a real
+  * cluster with checkpointed exactly-once sinks.
+  */
+object EventPipeline {
+
+  /** Event-time windowed counts with late-data bound. Works on batch or
+    * streaming frames with (ts: timestamp, event_type: string, value: double). */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** One step-completion event from a pipeline run. */
+  final case class StepEvent(project: String, step: String, ok: Boolean, ts: Timestamp)
+
+  /** Per-project progress (the orchestrator's associative arrays). */
+  final case class ProjectProgress(project: String, completed: Seq[String],
+                                   failed: Boolean)
+
+  /** Emitted on every state change. `status` follows the orchestrator's lifecycle:
+    * RUNNING → COMPLETE (all of step1, step2) or FAILED (any !ok). */
+  final case class ProjectTransition(project: String, status: String,
+                                     completed: Seq[String], at: Timestamp)
+
+  val RequiredSteps: Seq[String] = Seq("step1", "step2")
+
+  /** The orchestrator state machine. Use with
+    * `events.groupByKey(_.project).flatMapGroupsWithState(...)(projectStateMachine)`. */
+  def projectStateMachine(project: String, events: Iterator[StepEvent],
+                          state: GroupState[ProjectProgress]): Iterator[ProjectTransition] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    if (sorted.isEmpty) return Iterator.empty
+    var cur = state.getOption.getOrElse(ProjectProgress(project, Nil, failed = false))
+    val out = Seq.newBuilder[ProjectTransition]
+    sorted.foreach { e =>
+      if (!cur.failed) {
+        cur =
+          if (!e.ok) cur.copy(failed = true)
+          else cur.copy(completed = (cur.completed :+ e.step).distinct)
+        val status =
+          if (cur.failed) "FAILED"
+          else if (RequiredSteps.forall(cur.completed.contains)) "COMPLETE"
+          else "RUNNING"
+        out += ProjectTransition(project, status, cur.completed, e.ts)
+      }
+    }
+    state.update(cur)
+    out.result().iterator
+  }
+
+  /** Wire the state machine over a (possibly streaming) Dataset of events. */
+  def trackProjects(events: Dataset[StepEvent]): Dataset[ProjectTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.project)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        projectStateMachine)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventPipeline._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedCounts over a MemoryStream emits watermarked event-time windows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventPipeline.windowedCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val h0 = 1700000000000L - (1700000000000L % 3600000L)
+      assert(rows((h0, "click")) == (2L, 3.0))
+      assert(rows((h0 + 3600000L, "view")) == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("project state machine: RUNNING → COMPLETE / FAILED across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StepEvent]
+    val q = EventPipeline.trackProjects(input.toDS())
+      .writeStream.format("memory").queryName("pt").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StepEvent("PRJ1", "step1", ok = true, ts(0)),
+        StepEvent("PRJ2", "step1", ok = false, ts(1)))
+      q.processAllAvailable()
+      // second batch: state for PRJ1 carries over; step2 completes it
+      input.addData(StepEvent("PRJ1", "step2", ok = true, ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("pt").collect()
+        .map(r => (r.getString(0), r.getString(1))).toList
+      assert(rows.contains(("PRJ1", "RUNNING")))
+      assert(rows.contains(("PRJ1", "COMPLETE")))
+      assert(rows.contains(("PRJ2", "FAILED")))
+    } finally q.stop()
+  }
+
+  test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
+    val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
+    val out = EventPipeline.windowedCounts(df).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 2L && out.head.getDouble(3) == 3.0)
+  }
+}
