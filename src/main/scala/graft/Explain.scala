@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: dump `explain("formatted")` for selected queries so scan
+  * pruning (`ReadSchema`/`PushedFilters`), join strategies (BroadcastHashJoin vs
+  * SortMergeJoin), partial aggregation, and WholeStageCodegen spans can be
+  * reviewed. Usage: `sbt "runMain graft.Explain [sfDir] [queryName...]"`. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q03_starqc_gate", "q12_bed_tpm_broadcast", "q20_matrix_pivot",
+        "q22_coverage_bins", "q01_scan_project", "q46_dedup_minhash", "q48_sim_bruteforce")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -58,14 +58,19 @@ object TextFunctions {
   def rollingTokenHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
-  /** Word n-gram shingles, space-joined (e.g. n=3 → "w1 w2 w3" strings). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from an ALREADY-BOUND tokens column (e.g. n=3 →
+    * "w1 w2 w3" strings). Pass an attribute reference, not a raw `tokens(text)`
+    * expression: higher-order lambdas re-evaluate their child tree per element, so
+    * an inlined split() turns O(n) shingling into O(n²) re-tokenization. */
+  def wordShinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
-  }
+
+  /** Word n-gram shingles of raw text — convenience form; stage `tokens` into a
+    * column first (see [[wordShinglesOf]]) when used inside further HOFs. */
+  def wordShingles(text: Column, n: Int): Column = wordShinglesOf(tokens(text), n)
 
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {

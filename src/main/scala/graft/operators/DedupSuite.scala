@@ -50,12 +50,28 @@ object DedupSuite {
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH over word shingles.
-    * Output: (id_a, id_b) with id_a < id_b, distinct. */
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Shape: explode shingles → hash-aggregate `numHashes` minima per doc (map-side
+    * partial agg; shuffles only (id, shingle-hash) bytes) → band keys from the
+    * signature attributes → equi-join on (band_idx, band_key). The per-row-HOF
+    * alternative re-evaluates the tokenizer inside every lambda element
+    * (interpreted, O(shingles × tokens) per seed per row) — measurably pathological
+    * even at 5k docs, hence the explicit staging here. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val sig = minHashSignature(TextFunctions.wordShingles(col(textCol), shingleSize), numHashes)
-    val banded = df
-      .select(col(idCol).as("id"), posexplode(lshBands(sig, numHashes, bands)))
+                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
+                      hashFn: (Column, Int) => Column = md5SeededHash): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
+    val rows = numHashes / bands
+    val sh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(TextFunctions.wordShinglesOf(col("toks"), shingleSize)).as("s"))
+    val aggs = (0 until numHashes).map(i => min(hashFn(col("s"), i)).as(s"h$i"))
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val bandArr = array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    }: _*)
+    val banded = sig.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
     val l = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
@@ -92,14 +108,29 @@ object DedupSuite {
       when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0L).otherwise(1L))
       .reduce(_ + _)
 
+  /** SimHash fingerprints via explode → one md5 per token (bound to a column so
+    * the digest is computed once, not once per bit) → `bits` signed-vote sums.
+    * Same values as the per-row [[simHash]] fold. */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val votes = (0 until bits).map(b =>
+      sum((bitFn(col("t"), b) * 2 - 1).cast("long")).as(s"s$b"))
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), concat((0 until bits).map(b =>
+        when(col(s"s$b") > 0L, "1").otherwise("0")): _*).as("fp"))
+  }
+
   /** SimHash near-duplicate pairs: block on `bands` fingerprint segments
     * (pigeonhole: hamming <= maxHamming pairs share >= 1 of maxHamming+1 segments),
     * verify exact hamming on candidates. Output (id_a, id_b, hamming), distinct. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 32, maxHamming: Int = 3,
+                   bitFn: (Column, Int) => Column = md5ParityBit): DataFrame = {
     val bands = maxHamming + 1
     val seg = bits / bands
-    val fp = df.select(col(idCol).as("id"), simHash(col(textCol), bits).as("fp"))
+    val fp = simHashFingerprints(df, idCol, textCol, bits, bitFn)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until bands).map(b => substring(col("fp"), b * seg + 1, seg)): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")

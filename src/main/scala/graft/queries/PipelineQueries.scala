@@ -80,7 +80,7 @@ object PipelineQueries {
 
     "q47_dedup_simhash" -> ((s, dir) =>
       DedupSuite.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        bits = 16, maxHamming = 3)
+        bits = 32, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ─── similarity search ───────────────────────────────────────────────────
@@ -128,8 +128,10 @@ object PipelineQueries {
   private def simhashVoteSql(b: Int): String =
     s"SUM(CASE WHEN ascii(substr(md5(t), ${b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
 
+  private val SimHashBits = 32
+
   private val hammingSql: String =
-    "CAST(" + (1 to 16).map(i =>
+    "CAST(" + (1 to SimHashBits).map(i =>
       s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
       .mkString(" + ") + " AS BIGINT)"
 
@@ -180,14 +182,14 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin,
     "q47_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
-         |votes AS (SELECT doc_id, ${(0 until 16).map(simhashVoteSql).mkString(", ")}
+         |votes AS (SELECT doc_id, ${(0 until SimHashBits).map(simhashVoteSql).mkString(", ")}
          |  FROM tok GROUP BY doc_id),
          |fp0 AS (SELECT doc_id,
-         |  ${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS fp
+         |  ${(0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS fp
          |  FROM votes),
          |blocks AS (SELECT doc_id, fp,
          |  unnest([0,1,2,3]) AS block_idx,
-         |  unnest([substr(fp,1,4), substr(fp,5,4), substr(fp,9,4), substr(fp,13,4)]) AS block_key
+         |  unnest([${(0 until 4).map(b => s"substr(fp,${b * 8 + 1},8)").mkString(", ")}]) AS block_key
          |  FROM fp0)
          |SELECT DISTINCT id_a, id_b, hamming FROM
          | (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $hammingSql AS hamming
