@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Skew + bucketing shapes: correctness of the salted rewrites and plan-level
+  * assertions that bucketing actually removes exchanges. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregation (count + sum)") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"), buckets = 8,
+      saltCols = Seq(col("v")),
+      partial = Seq(count(lit(1)).as("n_p"), sum("v").as("s_p")),
+      finalAgg = Seq(sum("n_p").as("n"), sum("s_p").as("s")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val probe = (1 to 500).map(i => (if (i % 5 == 0) "hot" else s"k${i % 50}", i))
+      .toDF("k", "pv")
+    val build = Seq(("hot", 1), ("k1", 2), ("k2", 3)).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val salted = Skew.saltedJoin(probe, build, "k", buckets = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("capBuckets drops non-discriminative buckets only") {
+    val df = (1 to 100).map(i => (if (i <= 90) "big" else s"b$i", i)).toDF("bucket", "id")
+    val kept = Skew.capBuckets(df, Seq("bucket"), maxBucket = 10)
+    assert(kept.count() == 10 && kept.filter(col("bucket") === "big").count() == 0)
+  }
+
+  test("bucketed join plans without exchanges; values match plain join") {
+    Seq("bt_left", "bt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val l = (1 to 200).map(i => (i.toLong % 40, s"l$i")).toDF("k", "lv")
+    val r = (1 to 100).map(i => (i.toLong % 40, s"r$i")).toDF("k", "rv")
+    Bucketing.writeBucketed(l, "bt_left", "k", 8)
+    Bucketing.writeBucketed(r, "bt_right", "k", 8)
+    // disable broadcast so the join would otherwise need a shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.bucketedJoin(spark, "bt_left", "bt_right", "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join should be exchange-free:\n$plan")
+      assert(j.count() == l.join(r, Seq("k")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
