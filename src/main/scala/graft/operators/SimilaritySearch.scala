@@ -1,14 +1,15 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
+import graft.expressions.NativeVec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding column.
   *
   * Tiers:
-  *   - [[bruteForceTopK]] — exact cosine top-k: one scan, per-row HOF scoring
-  *     (no shuffle), TakeOrderedAndProject for the top-k. The correctness baseline.
+  *   - [[bruteForceTopK]] — exact cosine top-k: one scan, per-row codegen-native
+  *     scoring ([[graft.expressions.VecDot]], no shuffle), TakeOrderedAndProject
+  *     for the top-k. The correctness baseline.
   *   - [[partitionedTopK]] — IVF-style: restrict the scan to the query's coarse
   *     partition (a precomputed cluster/label id). At scale the partition column is
   *     the parquet partition key, so non-matching files are PRUNED at the scan.
@@ -26,7 +27,7 @@ object SimilaritySearch {
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol),
-      VectorFunctions.cosine(col(vecCol), vecLit(query)).as("cosine"))
+      NativeVec.cosine(col(vecCol), vecLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
@@ -48,7 +49,7 @@ object SimilaritySearch {
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -58,5 +59,5 @@ object SimilaritySearch {
     * search when no coarse partition exists. */
   def signLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map(p =>
-      when(VectorFunctions.dot(vec, vecLit(p)) >= 0.0, "1").otherwise("0")): _*)
+      when(NativeVec.dot(vec, vecLit(p)) >= 0.0, "1").otherwise("0")): _*)
 }
