@@ -108,31 +108,57 @@ object DedupSuite {
       when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0L).otherwise(1L))
       .reduce(_ + _)
 
-  /** SimHash fingerprints via explode → one md5 per token (bound to a column so
-    * the digest is computed once, not once per bit) → `bits` signed-vote sums.
-    * Same values as the per-row [[simHash]] fold. */
-  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
+  /** Per-doc signed vote sums s0…s(bits-1): explode tokens → `bits` sum
+    * aggregates (map-side partial agg; shuffles one row of longs per doc). */
+  private def simHashVotes(df: DataFrame, idCol: String, textCol: String,
+                           bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
     val tok = df
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
     val votes = (0 until bits).map(b =>
       sum((bitFn(col("t"), b) * 2 - 1).cast("long")).as(s"s$b"))
     tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+  }
+
+  /** SimHash fingerprints as '0'/'1' strings (human-readable form).
+    * Same values as the per-row [[simHash]] fold. */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int, bitFn: (Column, Int) => Column): DataFrame =
+    simHashVotes(df, idCol, textCol, bits, bitFn)
       .select(col("id"), concat((0 until bits).map(b =>
         when(col(s"s$b") > 0L, "1").otherwise("0")): _*).as("fp"))
+
+  /** SimHash fingerprints packed into a long, MSB-first so bit (bits-1-b) set ⇔
+    * string form has '1' at position b — hamming distances are identical to
+    * [[hammingStr]] over the string form but cost one xor+popcount instead of
+    * 2×bits substring compares per pair. Requires bits <= 63. */
+  def simHashFingerprintsPacked(df: DataFrame, idCol: String, textCol: String,
+                                bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
+    require(bits <= 63, s"packed fingerprint needs bits <= 63, got $bits")
+    simHashVotes(df, idCol, textCol, bits, bitFn)
+      .select(col("id"), (0 until bits).map(b =>
+        when(col(s"s$b") > 0L, lit(1L << (bits - 1 - b))).otherwise(lit(0L)))
+        .reduce(_ + _).as("fp"))
   }
 
   /** SimHash near-duplicate pairs: block on `bands` fingerprint segments
     * (pigeonhole: hamming <= maxHamming pairs share >= 1 of maxHamming+1 segments),
-    * verify exact hamming on candidates. Output (id_a, id_b, hamming), distinct. */
+    * verify exact hamming on candidates. Output (id_a, id_b, hamming), distinct.
+    *
+    * Verification runs on packed-long fingerprints — one xor+popcount per
+    * candidate pair (the candidate set is O(collisions), orders of magnitude
+    * larger than the output, so per-pair cost dominates). Block keys are the
+    * numeric segment values (bijective with the string form's substrings). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, maxHamming: Int = 3,
                    bitFn: (Column, Int) => Column = md5ParityBit): DataFrame = {
     val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
     val seg = bits / bands
-    val fp = simHashFingerprints(df, idCol, textCol, bits, bitFn)
+    val segMask = (1L << seg) - 1
+    val fp = simHashFingerprintsPacked(df, idCol, textCol, bits, bitFn)
     val banded = fp.select(col("id"), col("fp"), posexplode(
-      array((0 until bands).map(b => substring(col("fp"), b * seg + 1, seg)): _*)))
+      array((0 until bands).map(b =>
+        shiftrightunsigned(col("fp"), (bands - 1 - b) * seg).bitwiseAND(lit(segMask))): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
     val l = banded.select(col("block_idx"), col("block_key"),
       col("id").as("id_a"), col("fp").as("fp_a"))
@@ -141,7 +167,7 @@ object DedupSuite {
     l.join(r, Seq("block_idx", "block_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingStr(col("fp_a"), col("fp_b"), bits).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
