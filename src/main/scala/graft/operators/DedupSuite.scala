@@ -68,8 +68,12 @@ object DedupSuite {
       .select(col("id"), explode(TextFunctions.wordShinglesOf(col("toks"), shingleSize)).as("s"))
     val aggs = (0 until numHashes).map(i => min(hashFn(col("s"), i)).as(s"h$i"))
     val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // Band key: 8-byte xxhash64 of the band's signature slice. Only band-key
+    // EQUALITY matters (keys never reach the output), so this produces the same
+    // pair set as the oracle's md5-hex band keys while shuffling 8 bytes/band
+    // instead of 32-char strings and skipping an md5+concat per band.
     val bandArr = array((0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+      xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
     }: _*)
     val banded = sig.select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
@@ -85,16 +89,23 @@ object DedupSuite {
   /** md5-derived bit function: parity of the ASCII code of hex char `b+1` of the
     * token digest — SQL-expressible in the oracle. Returns 0/1 int. */
   def md5ParityBit(token: Column, b: Int): Column =
-    ascii(substring(md5(token), b + 1, 1)) % 2
+    digestParityBit(md5(token), b)
+
+  /** Bit `b` of an ALREADY-COMPUTED md5 hex digest. Staging the digest once and
+    * deriving all `bits` votes from it beats calling [[md5ParityBit]] per bit,
+    * which would evaluate the md5 up to `bits` times per token (whole-stage-codegen
+    * subexpression elimination does not reach across aggregate buffers). */
+  def digestParityBit(digest: Column, b: Int): Column =
+    ascii(substring(digest, b + 1, 1)) % 2
 
   /** Per-row SimHash fingerprint as a '0'/'1' string of length `bits` (string form
     * keeps the oracle trivial; production would pack into a long). Per-bit signed
-    * token votes folded per row — no shuffle. */
-  def simHash(text: Column, bits: Int = 16,
-              bitFn: (Column, Int) => Column = md5ParityBit): Column = {
-    val toks = TextFunctions.tokens(text)
-    val contrib = transform(toks, t =>
-      array((0 until bits).map(b => (bitFn(t, b) * 2 - 1).cast("long")): _*))
+    * token votes folded per row — no shuffle. Tokens are md5-hashed ONCE (inner
+    * transform), then all `bits` contributions read the staged digest. */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val digests = transform(TextFunctions.tokens(text), t => md5(t))
+    val contrib = transform(digests, d =>
+      array((0 until bits).map(b => (digestParityBit(d, b) * 2 - 1).cast("long")): _*))
     val sums = aggregate(contrib,
       array(Seq.fill(bits)(lit(0L)): _*),
       (acc, v) => zip_with(acc, v, (a, x) => a + x))
@@ -108,22 +119,26 @@ object DedupSuite {
       when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0L).otherwise(1L))
       .reduce(_ + _)
 
-  /** Per-doc signed vote sums s0…s(bits-1): explode tokens → `bits` sum
-    * aggregates (map-side partial agg; shuffles one row of longs per doc). */
+  /** Per-doc signed vote sums s0…s(bits-1): explode tokens, md5 each token ONCE,
+    * then `bits` sum aggregates read hex chars of the staged digest (map-side
+    * partial agg; shuffles one row of longs per doc). Staging matters: putting
+    * `md5(t)` inside each aggregate would evaluate it `bits` times per token —
+    * codegen subexpression elimination does not span aggregate functions. */
   private def simHashVotes(df: DataFrame, idCol: String, textCol: String,
-                           bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
+                           bits: Int): DataFrame = {
     val tok = df
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), md5(col("t")).as("d"))
     val votes = (0 until bits).map(b =>
-      sum((bitFn(col("t"), b) * 2 - 1).cast("long")).as(s"s$b"))
+      sum((digestParityBit(col("d"), b) * 2 - 1).cast("long")).as(s"s$b"))
     tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
   }
 
   /** SimHash fingerprints as '0'/'1' strings (human-readable form).
     * Same values as the per-row [[simHash]] fold. */
   def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int, bitFn: (Column, Int) => Column): DataFrame =
-    simHashVotes(df, idCol, textCol, bits, bitFn)
+                          bits: Int): DataFrame =
+    simHashVotes(df, idCol, textCol, bits)
       .select(col("id"), concat((0 until bits).map(b =>
         when(col(s"s$b") > 0L, "1").otherwise("0")): _*).as("fp"))
 
@@ -132,9 +147,9 @@ object DedupSuite {
     * [[hammingStr]] over the string form but cost one xor+popcount instead of
     * 2×bits substring compares per pair. Requires bits <= 63. */
   def simHashFingerprintsPacked(df: DataFrame, idCol: String, textCol: String,
-                                bits: Int, bitFn: (Column, Int) => Column): DataFrame = {
+                                bits: Int): DataFrame = {
     require(bits <= 63, s"packed fingerprint needs bits <= 63, got $bits")
-    simHashVotes(df, idCol, textCol, bits, bitFn)
+    simHashVotes(df, idCol, textCol, bits)
       .select(col("id"), (0 until bits).map(b =>
         when(col(s"s$b") > 0L, lit(1L << (bits - 1 - b))).otherwise(lit(0L)))
         .reduce(_ + _).as("fp"))
@@ -149,13 +164,12 @@ object DedupSuite {
     * larger than the output, so per-pair cost dominates). Block keys are the
     * numeric segment values (bijective with the string form's substrings). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32, maxHamming: Int = 3,
-                   bitFn: (Column, Int) => Column = md5ParityBit): DataFrame = {
+                   bits: Int = 32, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
     val seg = bits / bands
     val segMask = (1L << seg) - 1
-    val fp = simHashFingerprintsPacked(df, idCol, textCol, bits, bitFn)
+    val fp = simHashFingerprintsPacked(df, idCol, textCol, bits)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until bands).map(b =>
         shiftrightunsigned(col("fp"), (bands - 1 - b) * seg).bitwiseAND(lit(segMask))): _*)))
@@ -180,14 +194,23 @@ object DedupSuite {
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard) filtered to >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                         n: Int = 1, threshold: Double = 0.8): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(array_distinct(
+    val gramArr = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      array_distinct(
         if (n == 1) TextFunctions.tokens(col(textCol))
-        else TextFunctions.wordShingles(col(textCol), n))).as("gram"))
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val l = grams.select(col("block"), col("gram"), col("id").as("id_a"))
-    val r = grams.select(col("block"), col("gram"), col("id").as("id_b"))
-    val inter = l.join(r, Seq("block", "gram"))
+        else TextFunctions.wordShingles(col(textCol), n)).as("garr"))
+    // |distinct grams| is a per-row scalar — computing it from `garr` avoids the
+    // explode + groupBy(id).count() shuffle an aggregate formulation would cost.
+    val sizes = gramArr.select(col("id"), size(col("garr")).cast("long").as("sz"))
+    // Join candidates on the 8-byte xxhash64 of the gram, not the gram string:
+    // shuffle width per row drops to (block, long, id) and the equi-join compares
+    // longs. A cross-doc hash collision would need two DIFFERENT grams in the
+    // same block to collide in 64 bits (~n²/2⁶⁵) — negligible against the
+    // corpus sizes this targets, and it only perturbs one `inter` count by 1.
+    val grams = gramArr.select(col("id"), col("block"),
+      explode(transform(col("garr"), g => xxhash64(g))).as("gh"))
+    val l = grams.select(col("block"), col("gh"), col("id").as("id_a"))
+    val r = grams.select(col("block"), col("gh"), col("id").as("id_b"))
+    val inter = l.join(r, Seq("block", "gh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
