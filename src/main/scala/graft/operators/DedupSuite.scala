@@ -33,11 +33,24 @@ object DedupSuite {
   def md5SeededHash(shingle: Column, seed: Int): Column =
     md5(concat(lit(seed + ":"), shingle))
 
+  /** Seeded 32-bit shingle hash family from ONE md5 (Broder's 2-universal
+    * construction): h_i = (a + i·b) mod 2³², where a/b are the digest's first
+    * two big-endian 32-bit hex words ([[md5Word]]). One md5 per shingle instead
+    * of `numHashes` — the independence across i is the standard pairwise
+    * guarantee, which is what MinHash sketches assume. DuckDB-expressible. */
+  def md5AffineHash(shingle: Column, seed: Int): Column = {
+    val d = md5(shingle)
+    (md5Word(d, 0) + lit(seed.toLong) * md5Word(d, 1)) % lit(4294967296L)
+  }
+
   /** Per-row MinHash signature: array of `numHashes` minima over the document's
-    * shingles under independent seeded hashes. No shuffle. */
-  def minHashSignature(shingles: Column, numHashes: Int,
-                       hashFn: (Column, Int) => Column = md5SeededHash): Column =
-    array((0 until numHashes).map(i => array_min(transform(shingles, s => hashFn(s, i)))): _*)
+    * shingles under the [[md5AffineHash]] family. Shingles are md5'd ONCE (inner
+    * transform); the per-seed passes reread the staged digests. No shuffle. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val digests = transform(shingles, s => md5(s))
+    array((0 until numHashes).map(i => array_min(transform(digests, d =>
+      (md5Word(d, 0) + lit(i.toLong) * md5Word(d, 1)) % lit(4294967296L)))): _*)
+  }
 
   /** LSH banding: split the signature into `bands` equal groups; band key = md5 of
     * the concatenated group. Docs sharing ANY band key become candidate pairs. */
@@ -59,14 +72,20 @@ object DedupSuite {
     * (interpreted, O(shingles × tokens) per seed per row) — measurably pathological
     * even at 5k docs, hence the explicit staging here. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
-                      hashFn: (Column, Int) => Column = md5SeededHash): DataFrame = {
+                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
     val rows = numHashes / bands
+    // One md5 per shingle, staged into its two 32-bit words BEFORE the aggregate
+    // (an md5 inside each min() would be re-evaluated once per seed — common
+    // subexpression elimination does not span aggregate buffers); the seeded
+    // minima are then integer affine maps of the staged words.
     val sh = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(TextFunctions.wordShinglesOf(col("toks"), shingleSize)).as("s"))
-    val aggs = (0 until numHashes).map(i => min(hashFn(col("s"), i)).as(s"h$i"))
+      .select(col("id"), md5(col("s")).as("d"))
+      .select(col("id"), md5Word(col("d"), 0).as("a"), md5Word(col("d"), 1).as("b"))
+    val aggs = (0 until numHashes).map(i =>
+      min((col("a") + lit(i.toLong) * col("b")) % lit(4294967296L)).as(s"h$i"))
     val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     // Band key: 8-byte xxhash64 of the band's signature slice. Only band-key
     // EQUALITY matters (keys never reach the output), so this produces the same
@@ -75,37 +94,54 @@ object DedupSuite {
     val bandArr = array((0 until bands).map { b =>
       xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
     }: _*)
-    val banded = sig.select(col("id"), posexplode(bandArr))
+    // Carry the whole band-key array through the join (bands×8 bytes/row) so a
+    // pair colliding in k bands can be emitted from its FIRST matching band only:
+    // `band_idx = b` survives iff bands 0..b-1 differ. Each pair then appears
+    // exactly once and the output needs NO distinct() — at scale that removes a
+    // full shuffle of the candidate set (candidates >> output).
+    val banded = sig.select(col("id"), bandArr.as("bnd"), posexplode(bandArr))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-    val r = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
+    val l = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("bnd").as("bnd_a"))
+    val r = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("bnd").as("bnd_b"))
+    val firstBandOnly = (0 until bands).map { b =>
+      (col("band_idx") === b) && (0 until b)
+        .map(p => element_at(col("bnd_a"), p + 1) =!= element_at(col("bnd_b"), p + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     l.join(r, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .filter(col("id_a") < col("id_b") && firstBandOnly)
+      .select(col("id_a"), col("id_b"))
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────────
 
-  /** md5-derived bit function: parity of the ASCII code of hex char `b+1` of the
-    * token digest — SQL-expressible in the oracle. Returns 0/1 int. */
-  def md5ParityBit(token: Column, b: Int): Column =
-    digestParityBit(md5(token), b)
+  /** SimHash bit source: bit `b` (MSB-first, b < 64) of the token's md5, read as
+    * two big-endian 32-bit words parsed from hex chars 1-8 and 9-16. One md5 and
+    * two hex→long parses per token yield all 64 bits as integer shift/mask ops —
+    * the earlier per-bit `ascii(substring(digest,…))` form cost 64 string ops per
+    * token INSIDE the aggregate, which pushed the vote aggregation out of
+    * efficient evaluation entirely. DuckDB-expressible:
+    * `('0x' || substr(md5(t), 1+8j, 8))::BIGINT`. */
+  def md5Word(digest: Column, j: Int): Column =
+    conv(substring(digest, 8 * j + 1, 8), 16, 10).cast("long")
 
-  /** Bit `b` of an ALREADY-COMPUTED md5 hex digest. Staging the digest once and
-    * deriving all `bits` votes from it beats calling [[md5ParityBit]] per bit,
-    * which would evaluate the md5 up to `bits` times per token (whole-stage-codegen
-    * subexpression elimination does not reach across aggregate buffers). */
-  def digestParityBit(digest: Column, b: Int): Column =
-    ascii(substring(digest, b + 1, 1)) % 2
+  /** 0/1 bit `b` of the (up to 2) staged md5 words `w0`,`w1`. */
+  private def wordBit(words: Seq[Column], b: Int): Column =
+    shiftrightunsigned(words(b / 32), 31 - b % 32).bitwiseAND(lit(1L))
 
-  /** Per-row SimHash fingerprint as a '0'/'1' string of length `bits` (string form
-    * keeps the oracle trivial; production would pack into a long). Per-bit signed
-    * token votes folded per row — no shuffle. Tokens are md5-hashed ONCE (inner
-    * transform), then all `bits` contributions read the staged digest. */
+  /** Per-row SimHash fingerprint as a '0'/'1' string of length `bits` (string
+    * form keeps the oracle trivial). Per-bit signed token votes folded per row —
+    * no shuffle. Same bit definition as the aggregate path ([[md5Word]]). */
   def simHash(text: Column, bits: Int = 16): Column = {
-    val digests = transform(TextFunctions.tokens(text), t => md5(t))
-    val contrib = transform(digests, d =>
-      array((0 until bits).map(b => (digestParityBit(d, b) * 2 - 1).cast("long")): _*))
+    require(bits <= 64, s"simHash needs bits <= 64, got $bits")
+    val nWords = (bits + 31) / 32
+    val words = transform(TextFunctions.tokens(text), t =>
+      array((0 until nWords).map(j => md5Word(md5(t), j)): _*))
+    val contrib = transform(words, w =>
+      array((0 until bits).map(b =>
+        wordBit((0 until nWords).map(j => element_at(w, j + 1)), b) * 2 - 1): _*))
     val sums = aggregate(contrib,
       array(Seq.fill(bits)(lit(0L)): _*),
       (acc, v) => zip_with(acc, v, (a, x) => a + x))
@@ -119,40 +155,64 @@ object DedupSuite {
       when(substring(a, i + 1, 1) === substring(b, i + 1, 1), 0L).otherwise(1L))
       .reduce(_ + _)
 
-  /** Per-doc signed vote sums s0…s(bits-1): explode tokens, md5 each token ONCE,
-    * then `bits` sum aggregates read hex chars of the staged digest (map-side
-    * partial agg; shuffles one row of longs per doc). Staging matters: putting
-    * `md5(t)` inside each aggregate would evaluate it `bits` times per token —
-    * codegen subexpression elimination does not span aggregate functions. */
-  private def simHashVotes(df: DataFrame, idCol: String, textCol: String,
-                           bits: Int): DataFrame = {
+  /** Lane width: each 64-bit sum buffer carries four 16-bit set-bit counters, so
+    * `bits` votes need bits/4 aggregates instead of `bits` — with the token count
+    * that is 17 integer-typed aggregate buffers for a 64-bit fingerprint. Lanes
+    * hold counts of SET bits; vote_b = 2·count_b − n. A document must have at
+    * most 65535 tokens or lanes would carry into each other — enforced with an
+    * explicit post-aggregation guard rather than silent corruption. */
+  private val LaneBits = 16
+  private val LanesPerWord = 64 / LaneBits
+  private val MaxTokens = (1 << LaneBits) - 1
+
+  /** Per-doc packed vote-lane sums: explode tokens, md5+parse each token ONCE,
+    * then bits/4 packed-counter sums + a token count (map-side partial agg;
+    * shuffles one short row of longs per doc). */
+  private def simHashLaneSums(df: DataFrame, idCol: String, textCol: String,
+                              bits: Int): DataFrame = {
+    require(bits % LanesPerWord == 0 && bits <= 64, s"bits must be <=64, multiple of 4: $bits")
+    val nWords = (bits + 31) / 32
+    val nLanes = bits / LanesPerWord
     val tok = df
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
       .select(col("id"), md5(col("t")).as("d"))
-    val votes = (0 until bits).map(b =>
-      sum((digestParityBit(col("d"), b) * 2 - 1).cast("long")).as(s"s$b"))
-    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id") +: (0 until nWords).map(j => md5Word(col("d"), j).as(s"w$j")): _*)
+    val words = (0 until nWords).map(j => col(s"w$j"))
+    val lanes = (0 until nLanes).map { g =>
+      sum((0 until LanesPerWord).map(i =>
+        shiftleft(wordBit(words, g * LanesPerWord + i), LaneBits * i))
+        .reduce(_ + _)).as(s"lane$g")
+    }
+    val agg = tok.groupBy(col("id")).agg(lanes.head, (lanes.tail :+ count(lit(1)).as("n")): _*)
+    agg.filter(when(col("n") > MaxTokens,
+      raise_error(lit(s"simHash: document exceeds $MaxTokens tokens"))).otherwise(lit(true)))
   }
 
+  /** Set-bit count for bit `b` extracted from the packed lane sums. */
+  private def laneCount(b: Int): Column =
+    shiftrightunsigned(col(s"lane${b / LanesPerWord}"), LaneBits * (b % LanesPerWord))
+      .bitwiseAND(lit((1L << LaneBits) - 1))
+
   /** SimHash fingerprints as '0'/'1' strings (human-readable form).
-    * Same values as the per-row [[simHash]] fold. */
+    * Same values as the per-row [[simHash]] fold: bit set ⇔ 2·count_b > n. */
   def simHashFingerprints(df: DataFrame, idCol: String, textCol: String,
                           bits: Int): DataFrame =
-    simHashVotes(df, idCol, textCol, bits)
+    simHashLaneSums(df, idCol, textCol, bits)
       .select(col("id"), concat((0 until bits).map(b =>
-        when(col(s"s$b") > 0L, "1").otherwise("0")): _*).as("fp"))
+        when(laneCount(b) * 2 > col("n"), "1").otherwise("0")): _*).as("fp"))
 
   /** SimHash fingerprints packed into a long, MSB-first so bit (bits-1-b) set ⇔
     * string form has '1' at position b — hamming distances are identical to
     * [[hammingStr]] over the string form but cost one xor+popcount instead of
-    * 2×bits substring compares per pair. Requires bits <= 63. */
+    * 2×bits substring compares per pair. Requires bits <= 64 (bit 0 of a
+    * 64-bit fingerprint lands on the sign bit; OR-combining keeps that safe). */
   def simHashFingerprintsPacked(df: DataFrame, idCol: String, textCol: String,
                                 bits: Int): DataFrame = {
-    require(bits <= 63, s"packed fingerprint needs bits <= 63, got $bits")
-    simHashVotes(df, idCol, textCol, bits)
+    require(bits <= 64, s"packed fingerprint needs bits <= 64, got $bits")
+    simHashLaneSums(df, idCol, textCol, bits)
       .select(col("id"), (0 until bits).map(b =>
-        when(col(s"s$b") > 0L, lit(1L << (bits - 1 - b))).otherwise(lit(0L)))
-        .reduce(_ + _).as("fp"))
+        when(laneCount(b) * 2 > col("n"), lit(1L << (bits - 1 - b))).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
   /** SimHash near-duplicate pairs: block on `bands` fingerprint segments
@@ -164,26 +224,34 @@ object DedupSuite {
     * larger than the output, so per-pair cost dominates). Block keys are the
     * numeric segment values (bijective with the string form's substrings). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 64, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
     val seg = bits / bands
-    val segMask = (1L << seg) - 1
+    val segMask = if (seg == 64) -1L else (1L << seg) - 1
+    def segOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
     val fp = simHashFingerprintsPacked(df, idCol, textCol, bits)
     val banded = fp.select(col("id"), col("fp"), posexplode(
-      array((0 until bands).map(b =>
-        shiftrightunsigned(col("fp"), (bands - 1 - b) * seg).bitwiseAND(lit(segMask))): _*)))
+      array((0 until bands).map(segOf(col("fp"), _)): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
     val l = banded.select(col("block_idx"), col("block_key"),
       col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("block_idx"), col("block_key"),
       col("id").as("id_b"), col("fp").as("fp_b"))
+    // First-matching-band emission (segments recomputed from the carried fp):
+    // block b survives iff blocks 0..b-1 differ, so each qualifying pair is
+    // emitted exactly once and no distinct() shuffle is needed.
+    val firstBlockOnly = (0 until bands).map { b =>
+      (col("block_idx") === b) && (0 until b)
+        .map(p => segOf(col("fp_a"), p) =!= segOf(col("fp_b"), p))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     l.join(r, Seq("block_idx", "block_key"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && firstBlockOnly)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ── n-gram Jaccard ─────────────────────────────────────────────────────────
@@ -194,28 +262,40 @@ object DedupSuite {
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard) filtered to >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                         n: Int = 1, threshold: Double = 0.8): DataFrame = {
+    // Grams are carried as sorted arrays of 8-byte xxhash64 values, never as
+    // strings: shuffle rows stay narrow and set intersection compares longs.
+    // A cross-doc hash collision would need two DIFFERENT grams of the same
+    // block to collide in 64 bits (~n²/2⁶⁵) — negligible at any corpus size
+    // this targets, and it only perturbs one `inter` count by 1.
     val gramArr = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      array_distinct(
+      array_sort(array_distinct(transform(
         if (n == 1) TextFunctions.tokens(col(textCol))
-        else TextFunctions.wordShingles(col(textCol), n)).as("garr"))
-    // |distinct grams| is a per-row scalar — computing it from `garr` avoids the
-    // explode + groupBy(id).count() shuffle an aggregate formulation would cost.
-    val sizes = gramArr.select(col("id"), size(col("garr")).cast("long").as("sz"))
-    // Join candidates on the 8-byte xxhash64 of the gram, not the gram string:
-    // shuffle width per row drops to (block, long, id) and the equi-join compares
-    // longs. A cross-doc hash collision would need two DIFFERENT grams in the
-    // same block to collide in 64 bits (~n²/2⁶⁵) — negligible against the
-    // corpus sizes this targets, and it only perturbs one `inter` count by 1.
-    val grams = gramArr.select(col("id"), col("block"),
-      explode(transform(col("garr"), g => xxhash64(g))).as("gh"))
-    val l = grams.select(col("block"), col("gh"), col("id").as("id_a"))
-    val r = grams.select(col("block"), col("gh"), col("id").as("id_b"))
-    val inter = l.join(r, Seq("block", "gh"))
+        else TextFunctions.wordShingles(col(textCol), n), g => xxhash64(g)))).as("harr"))
+      .withColumn("sz", size(col("harr")).cast("long"))
+    // PPJoin-style prefix filter (exact, no false negatives): under ANY global
+    // gram order — here the hash order itself, so no frequency pass is needed —
+    // two sets with Jaccard >= t must share a gram inside their first
+    // (|A| - ceil(t·|A|) + 1) grams. Only prefixes are exploded and joined, so
+    // high-frequency grams stop generating O(block²) candidate rows unless they
+    // land in a prefix; the full co-occurrence groupBy disappears entirely.
+    val pref = gramArr.select(col("id"), col("block"),
+      explode(slice(col("harr"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))
+    val l = pref.select(col("block"), col("gh"), col("id").as("id_a"))
+    val r = pref.select(col("block"), col("gh"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("block", "gh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // Verify candidates per-row: |A∩B| via array_intersect on the two sorted
+    // hash arrays — candidates are few (near-dups + prefix collisions), so the
+    // per-pair set intersection replaces a shuffle of every co-occurrence row.
+    cand
+      .join(gramArr.select(col("id").as("id_a"), col("harr").as("harr_a"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("harr_a"), col("harr_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))

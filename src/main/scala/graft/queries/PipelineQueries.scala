@@ -80,7 +80,7 @@ object PipelineQueries {
 
     "q47_dedup_simhash" -> ((s, dir) =>
       DedupSuite.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        bits = 32, maxHamming = 3)
+        bits = 64, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ─── similarity search ───────────────────────────────────────────────────
@@ -125,10 +125,22 @@ object PipelineQueries {
        | THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)]
        | ELSE [array_to_string(t, ' ')] END""".stripMargin
 
-  private def simhashVoteSql(b: Int): String =
-    s"SUM(CASE WHEN ascii(substr(md5(t), ${b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+  private val SimHashBits = 64
 
-  private val SimHashBits = 32
+  /** Packed 16-bit-lane vote sums, mirroring DedupSuite.simHashLaneSums: token
+    * bit b = bit (31 - b%32) of big-endian 32-bit word (b/32) of md5(t) (words
+    * parsed from hex chars 1-8 / 9-16); lane group g sums Σ_i bit_{4g+i}·2^(16i). */
+  private def simhashLaneSql(g: Int): String = {
+    val terms = (0 until 4).map { i =>
+      val b = 4 * g + i
+      s"(((w${b / 32} >> ${31 - b % 32}) & 1) << ${16 * i})"
+    }
+    s"SUM(${terms.mkString(" + ")}) AS lane$g"
+  }
+
+  /** '1'/'0' char of fingerprint bit b from the packed lanes: set ⇔ 2·count > n. */
+  private def simhashBitSql(b: Int): String =
+    s"(CASE WHEN 2 * ((lane${b / 4} >> ${16 * (b % 4)}) & 65535) > n THEN '1' ELSE '0' END)"
 
   private val hammingSql: String =
     "CAST(" + (1 to SimHashBits).map(i =>
@@ -170,26 +182,31 @@ object PipelineQueries {
     "q46_dedup_minhash" ->
       s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
-         |e AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
-         |sig AS (SELECT doc_id, ${(0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(", ")}
-         |  FROM e GROUP BY doc_id),
+         |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
+         |w AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
+         |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM e),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(i =>
+             s"min((wa + $i * wb) % 4294967296) AS h$i").mkString(", ")}
+         |  FROM w GROUP BY doc_id),
          |bands AS (SELECT doc_id,
-         |  unnest([${(0 until 4).map(b => s"md5(h${2 * b} || '|' || h${2 * b + 1})").mkString(", ")}]) AS band_key,
+         |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
          |  unnest([0,1,2,3]) AS band_idx FROM sig)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
     "q47_dedup_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS t FROM documents),
-         |votes AS (SELECT doc_id, ${(0 until SimHashBits).map(simhashVoteSql).mkString(", ")}
-         |  FROM tok GROUP BY doc_id),
+      s"""WITH tok AS (SELECT doc_id, md5(unnest($tokensSql)) AS d FROM documents),
+         |wrd AS (SELECT doc_id, ${(0 until SimHashBits / 32).map(j =>
+             s"('0x' || substr(d, ${8 * j + 1}, 8))::BIGINT AS w$j").mkString(", ")} FROM tok),
+         |votes AS (SELECT doc_id, ${(0 until SimHashBits / 4).map(simhashLaneSql).mkString(", ")},
+         |  count(*) AS n FROM wrd GROUP BY doc_id),
          |fp0 AS (SELECT doc_id,
-         |  ${(0 until SimHashBits).map(b => s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS fp
+         |  ${(0 until SimHashBits).map(simhashBitSql).mkString(" || ")} AS fp
          |  FROM votes),
          |blocks AS (SELECT doc_id, fp,
          |  unnest([0,1,2,3]) AS block_idx,
-         |  unnest([${(0 until 4).map(b => s"substr(fp,${b * 8 + 1},8)").mkString(", ")}]) AS block_key
+         |  unnest([${(0 until 4).map(b => s"substr(fp,${b * (SimHashBits / 4) + 1},${SimHashBits / 4})").mkString(", ")}]) AS block_key
          |  FROM fp0)
          |SELECT DISTINCT id_a, id_b, hamming FROM
          | (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $hammingSql AS hamming

@@ -75,6 +75,17 @@ class PipelineOpsSpec extends SparkSpec {
       pairs.filter(p => p._1._1 == 3L || p._1._2 == 3L).forall(_._2 <= 3L))
   }
 
+  test("first-band emission: identical docs collide in every band yet yield one row per pair") {
+    // Identical texts share ALL bands/blocks, so without first-match suppression
+    // (or a distinct()) each pair would surface once per band.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, txt), (2L, txt), (3L, txt)).toDF("doc_id", "text")
+    val mh = DedupSuite.minHashLshPairs(docs, "doc_id", "text").collect()
+    assert(mh.length == 3) // (1,2) (1,3) (2,3), exactly once each
+    val sh = DedupSuite.simHashPairs(docs, "doc_id", "text").collect()
+    assert(sh.length == 3 && sh.forall(_.getLong(2) == 0L))
+  }
+
   test("ngram jaccard: exact inter/union arithmetic within blocks") {
     val docs = Seq(
       (1L, "a b c d", "s1"), (2L, "a b c e", "s1"),  // inter 3, union 5 → 0.6
