@@ -65,17 +65,66 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // decoder init would happen HERE, once per partition
+        // per-partition init: real codecs (and this digest) are set up ONCE here
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
           val feat = decodeStub(bytes)
           val mean =
             if (bytes.isEmpty) 0.0
             else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+          md.reset()
           MediaFeatures(id, bytes.length.toLong,
-            java.security.MessageDigest.getInstance("MD5").digest(bytes)
-              .take(4).map("%02x".format(_)).mkString,
+            md.digest(bytes).take(4).map("%02x".format(_)).mkString,
             mean, feat)
+        }
+      }
+  }
+
+  /** ??? — STUB resize: a real deployment decodes, scales to `w`×`h`, re-encodes.
+    * The fake keeps the byte-length contract (w·h bytes) deterministically so
+    * downstream batching/schema logic is exercised for real. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    }
+    out
+  }
+
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                                payload: Array[Byte])
+
+  /** Resize stage: same per-partition batch shape as [[extractFeatures]]. */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would happen HERE
+        it.map { case (id, payload) =>
+          ResizedMedia(id, w, h,
+            resizeStub(if (payload == null) Array.emptyByteArray else payload, w, h))
+        }
+      }
+  }
+
+  final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: emit every `every`-th fixed-size chunk of the payload as a
+    * "frame" (??? — STUB for a real demuxer; one row in → many rows out is the
+    * genuine plumbing being exercised: a flatMap generator, so a 100 GB video
+    * partition streams frames without buffering them all). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by every).iterator.map { f =>
+          MediaFrame(id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+            (f + 1) * frameBytes))
         }
       }
   }

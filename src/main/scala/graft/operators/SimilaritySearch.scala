@@ -60,4 +60,35 @@ object SimilaritySearch {
   def signLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map(p =>
       when(NativeVec.dot(vec, vecLit(p)) >= 0.0, "1").otherwise("0")): _*)
+
+  /** Deterministic Gaussian hyperplanes (fixed seed → identical constants on
+    * every run and inside oracle SQL literals). */
+  def deterministicPlanes(nPlanes: Int, dims: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Near-duplicate embedding pairs via sign-LSH blocking: candidates are pairs
+    * sharing the FULL `planes.size`-bit bucket; each candidate is scored with
+    * exact cosine and kept at >= threshold. Output (id_a, id_b, cosine),
+    * id_a < id_b — each pair appears at most once (one bucket per vector).
+    *
+    * This is the scale path of [[embeddingNearDupPairs]] when no coarse
+    * partition column exists: bucket count 2^planes bounds every block, so the
+    * blocked O(Σ n_b²) never degenerates into a table-wide cross join. Sign-LSH
+    * is recall-approximate by construction (a qualifying pair split by some
+    * hyperplane is not compared) — add rotated plane sets and union for higher
+    * recall; the per-set semantics stay deterministic. */
+  def embeddingNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
+                               planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val bucketed = df.select(signLshBucket(col(vecCol), planes).as("bucket"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

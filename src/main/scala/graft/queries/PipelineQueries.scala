@@ -27,6 +27,22 @@ object PipelineQueries {
 
   private val tokensSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** Fixed sign-LSH hyperplanes shared by the q52 query and its oracle: the SQL
+    * side embeds the exact same doubles as literals (Double.toString round-trips
+    * bit-exactly through DuckDB's decimal parser), and both sides evaluate the
+    * plane dots as left-associative double chains — bucket bits agree bit-for-bit. */
+  private val LshPlanes: Seq[Seq[Double]] = SimilaritySearch.deterministicPlanes(6, 64)
+
+  /** Unrolled Σ e.embedding[j]·plane[j], left-assoc double, plane inlined. */
+  private def planeDotSql(e: String, plane: Seq[Double]): String =
+    plane.zipWithIndex.map { case (v, j) =>
+      s"CAST($e.embedding[${j + 1}] AS DOUBLE)*($v)" }.mkString(" + ")
+
+  private def bucketSql(e: String): String =
+    LshPlanes.map(p =>
+      s"(CASE WHEN (${planeDotSql(e, p)}) >= 0.0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
   /** Collect the query embedding (vec_id 0) to the driver as doubles. */
   private def queryVec(s: SparkSession, dir: String): (Seq[Double], Int) = {
     val row = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
@@ -98,6 +114,11 @@ object PipelineQueries {
     "q50_embedding_neardup" -> ((s, dir) =>
       SimilaritySearch.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding",
         "vec_id", "label", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q52_embedding_neardup_lsh" -> ((s, dir) =>
+      SimilaritySearch.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "embedding",
+        "vec_id", LshPlanes, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ─── multimodal plumbing (decode stubbed; Spark shape real) ──────────────
@@ -234,6 +255,14 @@ object PipelineQueries {
     "q51_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | substr(md5(text), 1, 8) AS sha_prefix
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q52_embedding_neardup_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
+         |  FROM embeddings)
+         |SELECT id_a, id_b, cosine FROM
+         | (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |   (${dotSql("a", "b")}) / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -81,4 +81,19 @@ object EventPipeline {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         projectStateMachine)
   }
+
+  /** Streaming exact dedup for a document ingest stream: keep the first arrival
+    * of each content digest (md5 of `textCol`), dropping re-deliveries that
+    * arrive within the watermark. State is one digest per distinct document
+    * BOUNDED by the watermark horizon (`dropDuplicatesWithinWatermark`), so the
+    * store does not grow with total corpus size — the unbounded-state
+    * alternative (`dropDuplicates` sans watermark) is exactly what a 100 TB
+    * ingest cannot afford. The batch twin of this semantics is
+    * [[graft.operators.DedupSuite.exact]]. */
+  def streamingExactDedup(docs: DataFrame, textCol: String,
+                          tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
 }

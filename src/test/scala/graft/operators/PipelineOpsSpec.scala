@@ -129,6 +129,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b(1L) == "11" && b(2L) == "00")
   }
 
+  test("embeddingNearDupPairsLsh: same-bucket pairs scored, cross-bucket pairs never compared") {
+    val vecs = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(1f, 0.11f)),   // same direction → same bucket
+      (3L, Array(-1f, -0.1f)))                         // opposite → other bucket
+      .toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val pairs = SimilaritySearch.embeddingNearDupPairsLsh(vecs, "embedding", "vec_id",
+      planes, threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,3) has cosine ≈ -1 (excluded by threshold AND bucket); (1,2) survives.
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("deterministicPlanes: same seed → identical planes") {
+    assert(SimilaritySearch.deterministicPlanes(3, 8) ==
+      SimilaritySearch.deterministicPlanes(3, 8))
+  }
+
   test("vector functions: exact doubles on known values") {
     val df = Seq((Array(3f, 4f), Array(4f, 3f))).toDF("a", "b")
     val r = df.select(
@@ -152,5 +169,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out(1L).mean_byte - (97 + 98 + 99) / 3.0) < 1e-12)
     assert(out(2L).n_bytes == 0L && out(2L).mean_byte == 0.0)
     assert(out(1L).feature.length == 8)
+  }
+
+  test("multimodal resize keeps the w*h byte contract; empty payload stays zeroed") {
+    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaFrame(
+      docs.withColumn("payload", col("text").cast("binary")), "doc_id", "payload", "image")
+    val out = Multimodal.resize(media, 3, 2).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).payload.length == 6 && out(1L).width == 3 && out(1L).height == 2)
+    assert(out(1L).payload.toSeq == "abcdab".getBytes.toSeq) // cyclic stub fill
+    assert(out(2L).payload.toSeq == Seq.fill(6)(0.toByte))
+  }
+
+  test("multimodal frame sampling emits every k-th fixed-size chunk") {
+    val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaFrame(
+      docs.withColumn("payload", col("text").cast("binary")), "doc_id", "payload", "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 2, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.map(f => new String(f.frame)).toSeq == Seq("01", "45", "89"))
   }
 }

@@ -50,6 +50,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per digest across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.streamingExactDedup(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "same text", ts(0)), (2L, "same text", ts(1)), (3L, "other", ts(2)))
+      q.processAllAvailable()
+      // re-delivery in a later micro-batch, still within the watermark
+      input.addData((4L, "same text", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("sd").collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(Set(2L, 4L)).isEmpty) // duplicates dropped
+      assert(ids.contains(3L))
+      assert(ids.intersect(Set(1L, 2L, 4L)).size == 1) // exactly one of the dups survived
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
