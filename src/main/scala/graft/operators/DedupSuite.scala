@@ -278,6 +278,10 @@ object DedupSuite {
     // (|A| - ceil(t·|A|) + 1) grams. Only prefixes are exploded and joined, so
     // high-frequency grams stop generating O(block²) candidate rows unless they
     // land in a prefix; the full co-occurrence groupBy disappears entirely.
+    // (Measured alternative: carrying prefix arrays through the join and keeping
+    // only the min-shared-prefix-gram row — "emit once, no distinct" — is 2×
+    // SLOWER here: array_intersect allocates a per-row hash set on every
+    // collision row, while distinct() pays one narrow shuffle of id pairs.)
     val pref = gramArr.select(col("id"), col("block"),
       explode(slice(col("harr"), lit(1),
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))

@@ -346,7 +346,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .select(unix_millis(col("window.start")).as("window_start_ms"), col("event_type"),
           col("n"), col("total_value"))
-        .orderBy(col("window_start_ms"), col("event_type")))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    // ─── Interval-overlap (range) join, binned — SURVEY §2.3's "natural
+    //     genomic extension": same-type events whose [ts, ts+6·value sec]
+    //     windows intersect, joined via fixed 300 s bins, one row per pair. ───
+    "q53_interval_overlap" -> ((s, dir) => {
+      val iv = events(s, dir).select(
+        col("event_type"), col("event_id"),
+        expr("unix_millis(ts) div 1000L").as("start"),
+        (expr("unix_millis(ts) div 1000L") + floor(col("value") * 6).cast("long")).as("end"))
+      graft.ops.IntervalJoin.overlapPairs(iv, iv, Seq("event_type"), "event_id",
+        "start", "end", binSize = 300L, selfJoin = true)
+        .orderBy(col("event_type"), col("id_a"), col("id_b"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,6 +535,14 @@ object RelationalQueries {
     "q33_event_windows" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1,2 ORDER BY window_start_ms, event_type""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q53_interval_overlap" ->
+      """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts)//1000 AS start_,
+        |  epoch_ms(ts)//1000 + CAST(floor(value*6) AS BIGINT) AS end_ FROM events)
+        |SELECT a.event_type, a.event_id AS id_a, a.start_ AS start_a, a.end_ AS end_a,
+        |  b.event_id AS id_b, b.start_ AS start_b, b.end_ AS end_b
+        |FROM iv a JOIN iv b ON a.event_type = b.event_type
+        |  AND a.event_id < b.event_id AND a.start_ <= b.end_ AND b.start_ <= a.end_
+        |ORDER BY a.event_type, id_a, id_b""".stripMargin
   )
 }

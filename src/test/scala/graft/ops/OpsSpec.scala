@@ -96,4 +96,31 @@ class OpsSpec extends SparkSpec {
     assert(AccListOps.classifyProject(acc) == (21L, "large"))
     assert(AccListOps.classifyProject(acc.limit(20)) == (20L, "small"))
   }
+
+  test("interval overlap join: binned candidates, exactly one row per overlapping pair") {
+    // chr1: 1-2 overlap (touching endpoints, closed), 3 disjoint; the 1×2 pair
+    // shares MANY bins (both span several) yet must emit exactly once.
+    val iv = Seq(
+      ("chr1", 1L, 100L, 2500L),   // spans bins 0..8 (binSize 300)
+      ("chr1", 2L, 2500L, 5000L),  // touches interval 1 at 2500 exactly
+      ("chr1", 3L, 9000L, 9100L),
+      ("chr2", 4L, 100L, 2500L))   // other key — never compared with chr1
+      .toDF("chrom", "iid", "start", "end")
+    val out = IntervalJoin.overlapPairs(iv, iv, Seq("chrom"), "iid",
+      "start", "end", binSize = 300L, selfJoin = true).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[String]("chrom") == "chr1")
+    assert((row.getAs[Long]("id_a"), row.getAs[Long]("id_b")) == (1L, 2L))
+  }
+
+  test("interval overlap join two-sided: negative spans dropped, all pairs kept") {
+    val a = Seq(("k", 1L, 0L, 10L), ("k", 2L, 50L, 40L)).toDF("key", "iid", "start", "end")
+    val b = Seq(("k", 7L, 5L, 6L), ("k", 8L, 11L, 12L)).toDF("key", "iid", "start", "end")
+    val out = IntervalJoin.overlapPairs(a, b, Seq("key"), "iid",
+      "start", "end", binSize = 4L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // interval 2 has end < start → dropped; (1,7) overlaps; (1,8) does not (closed [0,10] vs [11,12])
+    assert(out == Set((1L, 7L)))
+  }
 }
