@@ -11,7 +11,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q03_starqc_gate", "q12_bed_tpm_broadcast", "q20_matrix_pivot",
-        "q22_coverage_bins", "q01_scan_project", "q46_dedup_minhash", "q48_sim_bruteforce")
+        "q22_coverage_bins", "q01_scan_project", "q45_dedup_jaccard",
+        "q46_dedup_minhash", "q47_dedup_simhash", "q48_sim_bruteforce",
+        "q52_embedding_neardup_lsh", "q53_interval_overlap", "q54_asof_join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

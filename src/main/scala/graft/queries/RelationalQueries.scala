@@ -359,6 +359,21 @@ object RelationalQueries {
       graft.ops.IntervalJoin.overlapPairs(iv, iv, Seq("event_type"), "event_id",
         "start", "end", binSize = 300L, selfJoin = true)
         .orderBy(col("event_type"), col("id_a"), col("id_b"))
+    }),
+
+    // ─── As-of join (union + running-last window, no physical join): each
+    //     click annotated with the user's latest view at-or-before it. ───────
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ms"), col("event_id"))
+      graft.ops.AsOfJoin.asOf(clicks, views, Seq("user_id"),
+        leftTime = "ts_ms", rightTime = "ts_ms",
+        payloadCols = Seq("event_id", "ts_ms"), payloadPrefix = "view_")
+        .filter(col("view_event_id").isNotNull)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -543,6 +558,12 @@ object RelationalQueries {
         |  b.event_id AS id_b, b.start_ AS start_b, b.end_ AS end_b
         |FROM iv a JOIN iv b ON a.event_type = b.event_type
         |  AND a.event_id < b.event_id AND a.start_ <= b.end_ AND b.start_ <= a.end_
-        |ORDER BY a.event_type, id_a, id_b""".stripMargin
+        |ORDER BY a.event_type, id_a, id_b""".stripMargin,
+    "q54_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type='click'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE event_type='view')
+        |SELECT c.event_id, c.user_id, c.ts_ms, v.event_id AS view_event_id, v.ts_ms AS view_ts_ms
+        |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts_ms <= c.ts_ms
+        |ORDER BY c.event_id""".stripMargin
   )
 }

@@ -114,6 +114,20 @@ class OpsSpec extends SparkSpec {
     assert((row.getAs[Long]("id_a"), row.getAs[Long]("id_b")) == (1L, 2L))
   }
 
+  test("as-of join: latest right row at-or-before each left row, null when none") {
+    val trades = Seq(("A", 10L, 100L), ("A", 11L, 105L), ("B", 12L, 50L))
+      .toDF("sym", "tid", "t")
+    val quotes = Seq(("A", 1L, 99L), ("A", 2L, 105L), ("A", 3L, 110L), ("B", 4L, 60L))
+      .toDF("sym", "qid", "t")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t",
+      payloadCols = Seq("qid", "t"), payloadPrefix = "q_")
+      .collect().map(r => r.getAs[Long]("tid") ->
+        (Option(r.getAs[java.lang.Long]("q_qid")), Option(r.getAs[java.lang.Long]("q_t")))).toMap
+    assert(out(10L) == (Some(1L), Some(99L)))   // 105/110 are in the future
+    assert(out(11L) == (Some(2L), Some(105L)))  // inclusive <= at equal time
+    assert(out(12L) == (None, None))            // B's only quote is later → null
+  }
+
   test("interval overlap join two-sided: negative spans dropped, all pairs kept") {
     val a = Seq(("k", 1L, 0L, 10L), ("k", 2L, 50L, 40L)).toDF("key", "iid", "start", "end")
     val b = Seq(("k", 7L, 5L, 6L), ("k", 8L, 11L, 12L)).toDF("key", "iid", "start", "end")
