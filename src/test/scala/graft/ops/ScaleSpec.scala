@@ -38,6 +38,30 @@ class ScaleSpec extends SparkSpec {
     assert(kept.count() == 10 && kept.filter(col("bucket") === "big").count() == 0)
   }
 
+  test("interval overlap join plans as an equi-join, never a nested loop") {
+    val iv = (1 to 500).map(i => ("k" + i % 3, i.toLong, i.toLong * 10, i.toLong * 10 + 25))
+      .toDF("key", "iid", "start", "end")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = IntervalJoin.overlapPairs(iv, iv, Seq("key"), "iid",
+        "start", "end", binSize = 100L, selfJoin = true)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"range join must stay an equi-join on (keys, bin):\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("as-of join plans with NO join operator at all (union + window)") {
+    val l = Seq(("A", 1L, 5L)).toDF("k", "lid", "t")
+    val r = Seq(("A", 2L, 3L)).toDF("k", "rid", "t")
+    val j = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", payloadCols = Seq("rid"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not contain a physical join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("bucketed join plans without exchanges; values match plain join") {
     Seq("bt_left", "bt_right").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
