@@ -267,10 +267,13 @@ object DedupSuite {
     // A cross-doc hash collision would need two DIFFERENT grams of the same
     // block to collide in 64 bits (~n²/2⁶⁵) — negligible at any corpus size
     // this targets, and it only perturbs one `inter` count by 1.
-    val gramArr = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      array_sort(array_distinct(transform(
-        if (n == 1) TextFunctions.tokens(col(textCol))
-        else TextFunctions.wordShingles(col(textCol), n), g => xxhash64(g)))).as("harr"))
+    val gramArr = df
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("block"),
+        array_sort(array_distinct(transform(
+          if (n == 1) col("toks")
+          else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
     // PPJoin-style prefix filter (exact, no false negatives): under ANY global
     // gram order — here the hash order itself, so no frequency pass is needed —

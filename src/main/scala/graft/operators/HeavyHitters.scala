@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.expressions.MisraGries.misraGries
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy-hitter n-grams via a Misra-Gries candidate sketch + recount.
+  *
+  * Two passes, both linear:
+  *   1. sketch pass — one [[graft.expressions.MisraGries]] aggregate over the
+  *      exploded grams: <= k counters per partition get merged to <= k
+  *      candidates on the driver (plus the exact total gram count, piggybacked
+  *      in the same job);
+  *   2. recount pass — exact `groupBy.count` RESTRICTED to the candidate set
+  *      (an isin filter pushed into the scan side), then `count >= ceil(phi·N)`.
+  *
+  * Provided `phi > 1/k`, the sketch provably retains every item with frequency
+  * >= phi·N, so the final output is EXACTLY the phi-heavy-hitters — identical
+  * to a full `groupBy(gram).having(...)` — while the shuffle never carries the
+  * full distinct-gram set. That is the whole point at 100 TB: web-scale token
+  * vocabularies are unbounded; k counters and a candidate recount are not.
+  */
+object HeavyHitters {
+
+  /** Exact phi-heavy word n-grams of `textCol`. Output: (gram, cnt), only grams
+    * with cnt >= ceil(phi * total-gram-count). Requires phi > 1/k. */
+  def heavyGrams(df: DataFrame, textCol: String, n: Int,
+                 phi: Double, k: Int = 1024): DataFrame = {
+    require(phi > 1.0 / k,
+      s"phi=$phi must exceed 1/k=${1.0 / k} for the sketch superset guarantee")
+    // Stage tokens into a column BEFORE shingling: an inlined tokens(text)
+    // inside the shingle lambda is re-evaluated per element (O(tokens²)).
+    val grams = df
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(explode(
+        if (n == 1) col("toks")
+        else TextFunctions.wordShinglesOf(col("toks"), n)).as("gram"))
+    val sketchRow = grams
+      .agg(misraGries(col("gram"), k).as("cand"), count(lit(1)).as("total"))
+      .head()
+    val candidates = sketchRow.getMap[String, Long](0).keys.toSeq
+    val total = sketchRow.getLong(1)
+    val minCount = math.ceil(phi * total).toLong
+    grams.filter(col("gram").isin(candidates: _*))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+}

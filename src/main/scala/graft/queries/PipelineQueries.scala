@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.{DedupSuite, Multimodal, SimilaritySearch}
+import graft.operators.{DedupSuite, HeavyHitters, Multimodal, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,11 @@ object PipelineQueries {
       SimilaritySearch.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "embedding",
         "vec_id", LshPlanes, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    "q55_heavy_bigrams" -> ((s, dir) =>
+      HeavyHitters.heavyGrams(t(s, dir, "documents"), "text", n = 2,
+        phi = 0.0013, k = 1024)
+        .orderBy(col("gram"))),
 
     // ─── multimodal plumbing (decode stubbed; Spark shape real) ──────────────
     "q51_multimodal_bytes" -> ((s, dir) => {
@@ -263,6 +268,16 @@ object PipelineQueries {
          | (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |   (${dotSql("a", "b")}) / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // The sketch is a candidate filter + exact recount, so the oracle is the
+    // plain exact heavy-hitter query (phi=0.0013 > 1/k guarantees equality).
+    "q55_heavy_bigrams" ->
+      s"""WITH t0 AS (SELECT $tokensSql AS t FROM documents),
+         |big AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |  THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS gram FROM t0)
+         |SELECT gram, count(*) AS cnt FROM big GROUP BY gram
+         |HAVING count(*) >= ceil(0.0013 * (SELECT count(*) FROM big))
+         |ORDER BY gram""".stripMargin
   )
 }
