@@ -36,7 +36,7 @@ object Sinks {
     val header = (idHeader +: sources.map(s => "\"" + s + "\"")).mkString("\t")
     val line = concat_ws("\t",
       concat(lit("\""), col(idHeader), lit("\"")) +:
-        sources.map(s => col(s"`$s`").cast("string")): _*)
+        sources.map(s => col(s"`$s`").cast("string")).toIndexedSeq: _*)
     val tmpDir = outFile + ".tmp"
     matrix.select(line.as("line")).coalesce(1)
       .write.mode("overwrite").option("quote", "").text(tmpDir)
@@ -47,7 +47,7 @@ object Sinks {
     * an external post-step, out of relational scope). */
   def writeBed(bed: DataFrame, outFile: String): Unit = {
     val tmpDir = outFile + ".tmp"
-    bed.select(concat_ws("\t", bed.columns.map(c => col(s"`$c`").cast("string")): _*).as("line"))
+    bed.select(concat_ws("\t", bed.columns.toIndexedSeq.map(c => col(s"`$c`").cast("string")): _*).as("line"))
       .coalesce(1)
       .write.mode("overwrite").option("quote", "").text(tmpDir)
     publishSingleFile(tmpDir, outFile)

@@ -31,7 +31,7 @@ object DedupSuite {
   /** Seeded shingle hash used by the MinHash signature. `md5` keeps the oracle
     * SQL-expressible; swap for an xxhash64-based fn in production for speed. */
   def md5SeededHash(shingle: Column, seed: Int): Column =
-    md5(concat(lit(seed + ":"), shingle))
+    md5(concat(lit(s"$seed:"), shingle))
 
   /** Seeded 32-bit shingle hash family from ONE md5 (Broder's 2-universal
     * construction): h_i = (a + i·b) mod 2³², where a/b are the digest's first

@@ -48,6 +48,6 @@ object AsOfJoin {
       .filter(col("_side") === 1)
     val payloadOut = payloadCols.map(c =>
       col(s"_asof.$c").as(s"$payloadPrefix$c"))
-    carried.select(left.columns.map(col) ++ payloadOut: _*)
+    carried.select(left.columns.toIndexedSeq.map(col) ++ payloadOut: _*)
   }
 }

@@ -56,7 +56,7 @@ object MatrixBuilder {
     matrix.select(
       col(idHeader),
       explode(map_from_arrays(
-        array(sampleCols.map(lit): _*),
-        array(sampleCols.map(c => col(s"`$c`").cast("string")): _*))).as(Seq("sample", "value")))
+        array(sampleCols.toIndexedSeq.map(lit): _*),
+        array(sampleCols.toIndexedSeq.map(c => col(s"`$c`").cast("string")): _*))).as(Seq("sample", "value")))
   }
 }
