@@ -12,6 +12,20 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Strip a ROOT-level global Sort from the frame's logical plan, if present.
+    * Used by the bench harness: the trailing orderBy on every declared query
+    * exists only so the correctness comparator gets deterministic files (it
+    * re-sorts rows itself), and a global output sort is precisely the op one
+    * would never run at scale. Top-k sorts live UNDER Limit nodes, so they are
+    * not at the root and are preserved. */
+  def dropRootSort(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], s.child)
+      case _ => df
+    }
+
   /** Runtime function registration on an EXISTING session (the
     * `spark.sql.extensions` config path only applies at session creation). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession,
