@@ -1,0 +1,112 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.operators.DedupSuite
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence properties (seeded → deterministic): each distributed
+  * operator is compared against a naive driver-side reference over many random
+  * instances, sweeping the tuning knob (bin size, threshold) that must NOT
+  * change results. This is SURVEY §5's property-test layer — the reference repo
+  * ships no tests, so randomized cross-checking is the substitute for golden
+  * files on the operators the reference never had. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rounds = 12
+
+  test("interval overlap join ≡ naive O(n²) filter, for every bin size") {
+    val rnd = new Random(1234)
+    (1 to rounds).foreach { round =>
+      val n = 40 + rnd.nextInt(40)
+      val ivs = (1 to n).map { i =>
+        val s = rnd.nextInt(500).toLong
+        (if (rnd.nextBoolean()) "k1" else "k2", i.toLong, s, s + rnd.nextInt(80))
+      }
+      val df = ivs.toDF("key", "iid", "start", "end")
+      val naive = (for {
+        a <- ivs; b <- ivs
+        if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._2, b._2)).toSet
+      Seq(7L, 64L, 300L).foreach { bin =>
+        val got = IntervalJoin.overlapPairs(df, df, Seq("key"), "iid",
+          "start", "end", bin, selfJoin = true)
+          .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        assert(got.length == got.toSet.size, s"duplicate pairs at bin=$bin round=$round")
+        assert(got.toSet == naive, s"mismatch at bin=$bin round=$round")
+      }
+    }
+  }
+
+  test("as-of join ≡ naive latest-predecessor, including missing predecessors") {
+    val rnd = new Random(99)
+    (1 to rounds).foreach { round =>
+      val quotes = (1 to 30).map(i =>
+        (s"s${rnd.nextInt(3)}", i.toLong, rnd.nextInt(1000).toLong))
+      val trades = (101 to 130).map(i =>
+        (s"s${rnd.nextInt(3)}", i.toLong, rnd.nextInt(1000).toLong))
+      // unique (sym, t) on the quote side keeps the naive argmax unambiguous
+      val uq = quotes.groupBy(q => (q._1, q._3)).map(_._2.head).toSeq
+      val out = AsOfJoin.asOf(trades.toDF("sym", "tid", "t"),
+        uq.toDF("sym", "qid", "t"), Seq("sym"), "t", "t", payloadCols = Seq("qid"))
+        .collect().map(r => r.getAs[Long]("tid") ->
+          Option(r.getAs[java.lang.Long]("asof_qid")).map(_.longValue)).toMap
+      trades.foreach { case (sym, tid, t) =>
+        val naive = uq.filter(q => q._1 == sym && q._3 <= t)
+          .sortBy(q => (q._3, q._2)).lastOption.map(_._2)
+        assert(out(tid) == naive, s"trade $tid round=$round")
+      }
+    }
+  }
+
+  test("jaccard pairs ≡ naive set arithmetic within blocks") {
+    val rnd = new Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to rounds).foreach { round =>
+      val docs = (1 to 25).map { i =>
+        val words = Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), s"b${rnd.nextInt(2)}")
+      }
+      val naive = (for {
+        a <- docs; b <- docs
+        if a._3 == b._3 && a._1 < b._1
+        sa = a._2.split("\\s+").toSet; sb = b._2.split("\\s+").toSet
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= 0.6
+      } yield (a._1, b._1)).toSet
+      val got = DedupSuite.ngramJaccardPairs(
+        docs.toDF("doc_id", "text", "source"), "doc_id", "text", "source",
+        n = 1, threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"round=$round")
+    }
+  }
+
+  test("matrix pivot/unpivot round-trips the long table") {
+    val rnd = new Random(42)
+    val samples = Seq("s1", "s2", "s3")
+    val long = (for { g <- 1 to 20; s <- samples }
+      yield (s"gene$g", s, rnd.nextInt(100).toString)).toDF("Symbol", "sample", "value")
+    val m = MatrixBuilder.pivotMatrix(long, "Symbol", "sample", "value", samples)
+    val back = MatrixBuilder.unpivot(m)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val orig = long.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == orig)
+  }
+
+  test("dedup keep-first is idempotent and never grows") {
+    val rnd = new Random(5)
+    val acc = (1 to 80).map(i => (s"SRR$i", s"GSM${rnd.nextInt(20)}", i.toLong))
+      .toDF("Run", "geo_accession", "_row_order")
+    val once = AccListOps.dedupKeepFirst(acc)
+    val twice = AccListOps.dedupKeepFirst(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.count() == acc.select("geo_accession").distinct().count())
+    // keep-FIRST semantics: the surviving row per key is the min _row_order one
+    val naive = acc.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).map(_._2.minBy(_._3)._1).toSet
+    assert(once.collect().map(_.getString(0)).toSet == naive)
+  }
+}
