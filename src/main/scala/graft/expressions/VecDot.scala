@@ -28,6 +28,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable even for non-nullable inputs: a null ELEMENT nulls the result.
+    * Without this override, non-nullable children make codegen bind `ev.isNull`
+    * to the literal `false`, the generated `isNull = true` assignment fails to
+    * compile, and the whole predicate silently falls back to interpreted
+    * evaluation — the exact regression this expression exists to avoid. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -102,12 +109,26 @@ object NativeVec {
       exprs => VecDot(exprs.head, exprs(1)))
 }
 
-/** `spark.sql.extensions=graft.expressions.GraftExtensions` registers `vec_dot`
-  * for SQL users; the Column API works without registration. */
+/** `spark.sql.extensions=graft.expressions.GraftExtensions` registers the
+  * custom expressions (`vec_dot`, `misra_gries`) for SQL users; the Column API
+  * works without registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
+            v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"misra_gries(col, k): k must be an integer literal, got $other")
+        }
+        MisraGries(exprs.head, k).toAggregateExpression()
+      }))
+  }
 }
