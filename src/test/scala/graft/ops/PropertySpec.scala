@@ -84,6 +84,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters ≡ exact groupBy/having, across random corpora and sketch sizes") {
+    val rnd = new Random(2024)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    (1 to 6).foreach { round =>
+      val docs = (1 to 30).map { i =>
+        // zipf-ish: low-index words are much more frequent
+        val words = Seq.fill(5 + rnd.nextInt(15))(
+          vocab(math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size))))
+        (i.toLong, words.mkString(" "))
+      }
+      val allTokens = docs.flatMap(_._2.split("\\s+"))
+      Seq(11, 32, 101).foreach { k => // phi=0.1 > 1/k for all
+        val minCount = math.ceil(0.1 * allTokens.size).toLong
+        val naive = allTokens.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter(_._2 >= minCount).toMap
+        val got = graft.operators.HeavyHitters
+          .heavyGrams(docs.toDF("doc_id", "text").repartition(5), "text",
+            n = 1, phi = 0.1, k = k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == naive, s"k=$k round=$round")
+      }
+    }
+  }
+
+  test("LSH pairs always contain identical-content docs, for random content") {
+    val rnd = new Random(77)
+    (1 to 6).foreach { round =>
+      val text = Seq.fill(12 + rnd.nextInt(20))(s"t${rnd.nextInt(50)}").mkString(" ")
+      val other = Seq.fill(15)(s"z${rnd.nextInt(50)}x").mkString(" ")
+      val docs = Seq((1L, text), (2L, text), (3L, other)).toDF("doc_id", "text")
+      val mh = DedupSuite.minHashLshPairs(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mh.contains((1L, 2L)), s"minhash round=$round")
+      val sh = DedupSuite.simHashPairs(docs, "doc_id", "text")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(sh.get((1L, 2L)).contains(0L), s"simhash round=$round")
+    }
+  }
+
   test("matrix pivot/unpivot round-trips the long table") {
     val rnd = new Random(42)
     val samples = Seq("s1", "s2", "s3")
