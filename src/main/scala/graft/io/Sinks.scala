@@ -55,10 +55,17 @@ object Sinks {
 
   /** tmp-dir + atomic-move publish (C8): find the single part file, optionally
     * prepend a header, move into place, drop the temp dir. */
+  /** Children of `dir`, with the directory stream closed (Files.list leaks an fd
+    * per call otherwise — these sinks run in per-sample/per-project loops). */
+  private def listChildren(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   private def publishSingleFile(tmpDir: String, outFile: String,
                                 prependHeader: Option[String] = None): Unit = {
     val dir = Paths.get(tmpDir)
-    val part = Files.list(dir).iterator().asScala
+    val part = listChildren(dir)
       .find(p => p.getFileName.toString.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmpDir"))
     val target = Paths.get(outFile)
@@ -78,8 +85,7 @@ object Sinks {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

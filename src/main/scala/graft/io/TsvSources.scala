@@ -20,8 +20,11 @@ object TsvSources {
   /** S1 — AccList scan: 10 fixed cols, one header row, `#`-comments and blank/blank-key
     * rows dropped (`run_SRA2QC_diskGuard.bash:91-113`, `sample_counting.sh:36-43`).
     *
-    * `_row_order` preserves in-file line order (valid because a project AccList is a
-    * single CSV split read in order) — needed by keep-*first* dedup (SURVEY O2). */
+    * `_row_order` is a composite (source file path, in-file id) sort key — needed by
+    * keep-*first* dedup (SURVEY O2). Ordering across files follows sorted path (the
+    * reference concatenates glob-sorted files); within a file the id follows read
+    * order, exact for any file up to one scan split (`files.maxPartitionBytes`,
+    * 128 MB — an AccList is KBs by design). */
   def readAccList(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("sep", "\t").option("header", "true")
@@ -30,7 +33,8 @@ object TsvSources {
       .csv(path)
       .filter(col("Run").isNotNull && length(trim(col("Run"))) > 0 &&
         col("geo_accession").isNotNull && length(trim(col("geo_accession"))) > 0)
-      .withColumn("_row_order", monotonically_increasing_id())
+      .withColumn("_row_order",
+        struct(input_file_name().as("src"), monotonically_increasing_id().as("line")))
 
   /** S2 — project-list scan: whitespace-split 3 cols, `#`-comments, readlen default 150
     * (`bulk_orchestrator_production_diskGuard.bash:220-231`). */
@@ -52,6 +56,9 @@ object TsvSources {
       .withColumn("sample_id",
         regexp_replace(regexp_extract(input_file_name(), "[^/]+$", 0),
           "_STARLog\\.final\\.out$", ""))
+      // in-file line order for awk's first-match-wins (`pSTARQC_v1.sh:50-61`
+      // `exit` after match); a STAR log is ~30 lines = always one scan split.
+      .withColumn("_line_order", monotonically_increasing_id())
       .filter(col("value").contains("|"))
       .select(
         col("sample_id"),
@@ -59,7 +66,8 @@ object TsvSources {
         regexp_replace(substring_index(col("value"), "|", 1), "^[ \\t]+|[ \\t]+$", "").as("key"),
         regexp_replace(
           regexp_replace(substring_index(col("value"), "|", -1), "^[ \\t]+|[ \\t]+$", ""),
-          ",", "").as("value"))
+          ",", "").as("value"),
+        col("_line_order"))
 
   /** S4 — samtools idxstats scan: 4 cols, no header (`ComputeSex_v5.sh:111-117`);
     * sample id from the `<sample>_idxstats.txt` file name. */

@@ -24,11 +24,20 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Exact phi-heavy word n-grams of `textCol`. Output: (gram, cnt), only grams
-    * with cnt >= ceil(phi * total-gram-count). Requires phi > 1/k. */
+    * with cnt >= ceil(phi * total-gram-count). Requires phi > 1/k.
+    *
+    * The sketch pass merges two-level: partitions pre-merge into `fanin` groups
+    * (grouped by `spark_partition_id % fanin`, so each map task emits ONE <=k
+    * buffer), and the driver unions the fanin groups' survivor sets. At 100k
+    * partitions that is fanin reducer tasks merging ~P/fanin sketches each, never
+    * one task swallowing P·k entries. The union stays a superset of the phi-heavy
+    * hitters: if an item fell out of EVERY group's sketch then its count in group
+    * g is <= N_g/k, so its total is <= N/k < phi·N. */
   def heavyGrams(df: DataFrame, textCol: String, n: Int,
-                 phi: Double, k: Int = 1024): DataFrame = {
+                 phi: Double, k: Int = 1024, fanin: Int = 32): DataFrame = {
     require(phi > 1.0 / k,
       s"phi=$phi must exceed 1/k=${1.0 / k} for the sketch superset guarantee")
+    require(fanin > 0, s"fanin must be positive: $fanin")
     // Stage tokens into a column BEFORE shingling: an inlined tokens(text)
     // inside the shingle lambda is re-evaluated per element (O(tokens²)).
     val grams = df
@@ -36,11 +45,13 @@ object HeavyHitters {
       .select(explode(
         if (n == 1) col("toks")
         else TextFunctions.wordShinglesOf(col("toks"), n)).as("gram"))
-    val sketchRow = grams
+    val sketchRows = grams
+      .groupBy(pmod(spark_partition_id().cast("long"), lit(fanin.toLong)).as("_g"))
       .agg(misraGries(col("gram"), k).as("cand"), count(lit(1)).as("total"))
-      .head()
-    val candidates = sketchRow.getMap[String, Long](0).keys.toSeq
-    val total = sketchRow.getLong(1)
+      .collect()
+    val candidates = sketchRows.iterator
+      .flatMap(_.getMap[String, Long](1).keys).toSet.toSeq
+    val total = sketchRows.iterator.map(_.getLong(2)).sum
     val minCount = math.ceil(phi * total).toLong
     grams.filter(col("gram").isin(candidates: _*))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))

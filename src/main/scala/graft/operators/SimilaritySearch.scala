@@ -39,12 +39,22 @@ object SimilaritySearch {
     bruteForceTopK(df.filter(col(partCol) === lit(queryPart)), vecCol, idCol, query, k)
 
   /** Near-duplicate embedding pairs: cosine >= threshold, compared only within the
-    * same coarse partition (block). Output (id_a, id_b, cosine), id_a < id_b. */
+    * same coarse partition (block). Output (id_a, id_b, cosine), id_a < id_b.
+    *
+    * Blocks larger than `maxBlock` are EXCLUDED (via [[graft.ops.Skew.capBuckets]]):
+    * the per-block all-pairs is O(n_b²), and one low-cardinality label covering a
+    * corpus fraction would otherwise turn this into a table-wide quadratic shuffle.
+    * An oversized block means the partition column is not discriminative there —
+    * route those rows through [[embeddingNearDupPairsLsh]] instead. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            partCol: String, threshold: Double): DataFrame = {
-    val l = df.select(col(partCol).as("block"), col(idCol).as("id_a"),
+                            partCol: String, threshold: Double,
+                            maxBlock: Long = 100000L): DataFrame = {
+    val capped = graft.ops.Skew.capBuckets(
+      df.select(col(partCol).as("block"), col(idCol), col(vecCol)),
+      Seq("block"), maxBlock)
+    val l = capped.select(col("block"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
-    val r = df.select(col(partCol).as("block"), col(idCol).as("id_b"),
+    val r = capped.select(col("block"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))

@@ -28,11 +28,23 @@ object ProjectCombiner {
 
   /** J2 — inner matrix merge on the id column; the id column of the right matrix is
     * dropped (GNU join emits the key once, `:238-246`). Returns merge stats so the
-    * caller can reproduce the row-loss warning. */
+    * caller can reproduce the row-loss warning.
+    *
+    * Stats cost ONE job: a full-outer join of the two id columns tallies
+    * left/right/matched counts in a single pass (matrix ids are unique per file by
+    * the reference's own contract, `rsem-generate-data-matrix:46-54`, so the outer
+    * row count per side equals the input row count) — instead of three uncached
+    * actions recomputing both inputs and the join. The returned `merged` frame is
+    * lazy and untouched. */
   def mergeMatrices(a: DataFrame, b: DataFrame,
                     idCol: String = "Symbol"): (DataFrame, MergeStats) = {
     val merged = a.join(b, Seq(idCol), "inner")
-    (merged, MergeStats(a.count(), b.count(), merged.count()))
+    val ids = a.select(col(idCol)).withColumn("_in_a", lit(1))
+      .join(b.select(col(idCol)).withColumn("_in_b", lit(1)), Seq(idCol), "full_outer")
+    val r = ids.agg(
+      count(col("_in_a")).as("l"), count(col("_in_b")).as("r"),
+      count(when(col("_in_a").isNotNull && col("_in_b").isNotNull, 1)).as("m")).head()
+    (merged, MergeStats(r.getLong(0), r.getLong(1), r.getLong(2)))
   }
 
   /** J8 — samples present in both runs (`comm -12` over sorted name lists). */

@@ -32,8 +32,15 @@ object StarQc {
     * the reference emits INVALID_LOG for the former (`pSTARQC_v1.sh:85-88`) and
     * NO_LOG only for an absent file (`:73-74`). */
   private def perSample(logKv: DataFrame): DataFrame = {
+    // awk's first-match-wins is FILE-ORDER-first: anchor on the reader's
+    // `_line_order` (min_by), not Spark's partition-order-dependent first() —
+    // duplicate key lines (overlapping globs, repeated entries) stay deterministic.
+    val hasOrder = logKv.columns.contains("_line_order")
     def keyVal(k: String) =
-      first(when(col("key") === k, col("value")), ignoreNulls = true)
+      if (hasOrder)
+        min_by(when(col("key") === k, col("value")),
+          when(col("key") === k, col("_line_order")))
+      else first(when(col("key") === k, col("value")), ignoreNulls = true)
     val wide = logKv
       .groupBy("sample_id")
       .agg(

@@ -552,8 +552,9 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY window_start_ms, event_type""".stripMargin,
     "q53_interval_overlap" ->
-      """WITH iv AS (SELECT event_type, event_id, epoch_ms(ts)//1000 AS start_,
-        |  epoch_ms(ts)//1000 + CAST(floor(value*6) AS BIGINT) AS end_ FROM events)
+      """WITH iv0 AS (SELECT event_type, event_id, epoch_ms(ts)//1000 AS start_,
+        |  epoch_ms(ts)//1000 + CAST(floor(value*6) AS BIGINT) AS end_ FROM events),
+        |iv AS (SELECT * FROM iv0 WHERE end_ >= start_)
         |SELECT a.event_type, a.event_id AS id_a, a.start_ AS start_a, a.end_ AS end_a,
         |  b.event_id AS id_b, b.start_ AS start_b, b.end_ AS end_b
         |FROM iv a JOIN iv b ON a.event_type = b.event_type

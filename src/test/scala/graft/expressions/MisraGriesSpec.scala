@@ -32,6 +32,22 @@ class MisraGriesSpec extends SparkSpec {
     assert(out == Map("spark spark" -> 30L))
   }
 
+  test("heavyGrams two-level merge: any fanin gives the single-merge answer") {
+    val docs = (
+      Seq.fill(30)("spark spark") ++
+      Seq.fill(10)("scala scala") ++
+      (1 to 60).map(i => s"a$i b$i")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(16) // more partitions than fanin=4, fewer than fanin=64
+    def run(fanin: Int) =
+      HeavyHitters.heavyGrams(docs, "text", n = 2, phi = 0.2, k = 16, fanin = fanin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = run(1)
+    assert(single == Map("spark spark" -> 30L))
+    assert(run(4) == single)   // partitions pre-merge into 4 groups
+    assert(run(64) == single)  // fanin beyond partition count degenerates safely
+  }
+
   test("heavyGrams rejects phi <= 1/k (guarantee would not hold)") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -21,6 +21,22 @@ class TsvSourcesSpec extends SparkSpec {
     assert(df.columns.take(10).toSeq == graft.model.Schemas.accListColumns)
   }
 
+  test("multi-file AccList glob: keep-first dedup is deterministic in sorted-path order (O2)") {
+    val dir = tempDir()
+    val header = "Run\tgeo_accession\tTissue\tStrain\tSex\tPMID\tGEOpath\tTitle\tSample_characteristics\tStrainInfo\n"
+    java.nio.file.Files.writeString(dir.resolve("a_AccList.txt"),
+      header + "SRR10\tGSM1\tLiver\tBN\tM\t1\tu\tT\tc\ts\n")
+    java.nio.file.Files.writeString(dir.resolve("b_AccList.txt"),
+      header + "SRR20\tGSM1\tBrain\tSHR\tF\t2\tu\tT\tc\ts\n" +
+        "SRR21\tGSM2\tBrain\tSHR\tF\t2\tu\tT\tc\ts\n")
+    val df = TsvSources.readAccList(spark, dir.toString + "/*_AccList.txt")
+    // _row_order = (source path, in-file id): file a precedes file b regardless of
+    // which Spark partition read it first
+    val kept = graft.ops.AccListOps.dedupKeepFirst(df).collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(kept == Map("GSM1" -> "SRR10", "GSM2" -> "SRR21"))
+  }
+
   test("project-list reader: whitespace split, default readlen 150 (S2)") {
     val pl = fixture("projects.txt",
       "# comment\n/path/a.txt  PRJ1  100\n/path/b.txt PRJ2\n\n")

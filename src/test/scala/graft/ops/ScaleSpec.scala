@@ -38,6 +38,19 @@ class ScaleSpec extends SparkSpec {
     assert(kept.count() == 10 && kept.filter(col("bucket") === "big").count() == 0)
   }
 
+  test("embeddingNearDupPairs excludes oversized blocks — the quadratic guard (q50)") {
+    import graft.operators.SimilaritySearch
+    // "big" block (50 identical vectors) exceeds maxBlock → contributes NO pairs;
+    // the discriminative "small" block still yields its near-dup pair.
+    val rows = (1 to 50).map(i => (i.toLong, Array(1f, 0f), "big")) ++
+      Seq((100L, Array(1f, 0f), "small"), (101L, Array(1f, 0.01f), "small"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val pairs = SimilaritySearch.embeddingNearDupPairs(df, "embedding", "vec_id",
+      "label", threshold = 0.9, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
   test("interval overlap join plans as an equi-join, never a nested loop") {
     val iv = (1 to 500).map(i => ("k" + i % 3, i.toLong, i.toLong * 10, i.toLong * 10 + 25))
       .toDF("key", "iid", "start", "end")

@@ -54,6 +54,19 @@ class StarQcSpec extends SparkSpec {
     assert(out("GSMm") == "INVALID_LOG")
   }
 
+  test("duplicate key lines: first in-file occurrence wins (awk exit, pSTARQC_v1.sh:50-61)") {
+    val log = fixture("GSMd_STARLog.final.out",
+      "   Number of input reads |\t1000\n" +
+        "   Number of input reads |\t9999\n" +
+        "   Number of reads unmapped: too short |\t100\n" +
+        "   Number of reads unmapped: too short |\t500\n")
+    val kv = TsvSources.readStarLogs(spark, log)
+    val out = StarQc.summarize(kv, Seq("GSMd").toDF("SampleID")).collect().head
+    assert(out.getLong(1) == 1000L)   // not 9999: min_by(_line_order), not first()
+    assert(out.getLong(2) == 100L)
+    assert(out.getDouble(3) == 10.0)
+  }
+
   test("passFilter keeps only PASS samples, preserving AccList columns (J1)") {
     val acc = Seq(("SRR1", "GSM1"), ("SRR2", "GSM2"), ("SRR3", "GSM1"))
       .toDF("Run", "geo_accession")
