@@ -1,15 +1,17 @@
 package graft
 
-import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.queries.{FormatQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` carries one entry per implemented SURVEY §2 operator, each expressed
-  * over the shared test corpus with a DuckDB oracle in `oracleSql`; the genomics
-  * file-format surface itself (TSV/STAR-log/idxstats readers, matrix/BED writers)
-  * is exercised by the ScalaTest specs against fixture files.
+  * over the shared test corpus with a DuckDB oracle in `oracleSql`. The genomics
+  * file-format/driver surface (TSV/RSEM/BED/JSON writers+readers, external-stage
+  * protocol) is oracle-checked too, via corpus-derived fixture ROUND-TRIPS
+  * ([[graft.queries.FormatQueries]] q34–q39/q56–q58) on top of the ScalaTest
+  * fixture specs.
   */
 object SparkEntry {
 
@@ -30,10 +32,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + the training-data
     * pipeline suite (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ FormatQueries.oracles
 }
