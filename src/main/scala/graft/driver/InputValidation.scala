@@ -26,7 +26,12 @@ object InputValidation {
       Left("ERROR: Invalid characters in BioProject ID. Only alphanumeric, underscore, and hyphen allowed.")
     else if (!readLength.matches(ReadLenRe))
       Left("ERROR: Read length must be a positive integer")
-    else Right((bioProjectId, readLength.toInt))
+    else
+      // digits-only strings longer than Int.MaxValue still overflow toInt
+      scala.util.Try(readLength.toInt).toOption match {
+        case Some(n) if n > 0 => Right((bioProjectId, n))
+        case _ => Left("ERROR: Read length must be a positive integer")
+      }
 
   /** Column predicate: is this a legal BioProject ID? */
   def validProjectId(c: Column): Column = c.isNotNull && c.rlike(ProjectIdRe)

@@ -25,7 +25,16 @@ object Orchestrator {
   final case class Project(name: String, accListPath: String, readLength: Int,
                            sampleCount: Long, sizeClass: String)
 
-  final case class Outcome(project: String, status: String) // COMPLETE | FAILED | SKIPPED
+  // COMPLETE | FAILED | SKIPPED | COMPLETE_SE | FAILED_SE
+  final case class Outcome(project: String, status: String)
+
+  /** Per-project step result for the routed runner — the three-way exit-code
+    * protocol of `SRA2QC_production.sh:227-247` (0 = ok, 1 = failure,
+    * 2 = wrong layout → single-end pipeline). */
+  sealed trait StepResult
+  case object StepOk extends StepResult
+  case object StepFailed extends StepResult
+  case object StepWrongLayout extends StepResult
 
   /** Classify every project in a project-list frame (S2 + A1). */
   def classifyProjects(spark: SparkSession, projectList: DataFrame,
@@ -79,5 +88,31 @@ object Orchestrator {
       }
     }
     done ++ ran
+  }
+
+  /** [[runAll]] with the wrong-layout routing protocol: a project whose paired-end
+    * run reports [[StepWrongLayout]] (kernel exit 2) is NOT a failure — it is
+    * re-queued through `runProjectSE` (the single-end pipeline), exactly the
+    * caller-side contract `SRA2QC_production.sh:227-247` documents ("resubmit
+    * through the single-end pipeline"). SE re-runs happen after the main waves,
+    * scheduled under the same admission rules. */
+  def runAllRouted(projects: Seq[Project], completed: Set[String],
+                   runProject: Project => StepResult,
+                   runProjectSE: Project => Boolean,
+                   maxSmallConcurrent: Int = 4): Seq[Outcome] = {
+    val rerouted = new java.util.concurrent.ConcurrentLinkedQueue[Project]()
+    val first = runAll(projects, completed,
+      runProject = p => runProject(p) match {
+        case StepOk          => true
+        case StepFailed      => false
+        case StepWrongLayout => rerouted.add(p); false
+      }, maxSmallConcurrent)
+    import scala.jdk.CollectionConverters._
+    val seProjects = rerouted.iterator().asScala.toSeq.sortBy(_.name)
+    val seByName = seProjects.map(_.name).toSet
+    val seOutcomes = runAll(seProjects, Set.empty,
+      runProject = runProjectSE, maxSmallConcurrent)
+      .map(o => o.copy(status = if (o.status == "COMPLETE") "COMPLETE_SE" else "FAILED_SE"))
+    first.filterNot(o => seByName.contains(o.project)) ++ seOutcomes
   }
 }

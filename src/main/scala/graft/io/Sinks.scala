@@ -53,8 +53,6 @@ object Sinks {
     publishSingleFile(tmpDir, outFile)
   }
 
-  /** tmp-dir + atomic-move publish (C8): find the single part file, optionally
-    * prepend a header, move into place, drop the temp dir. */
   /** Children of `dir`, with the directory stream closed (Files.list leaks an fd
     * per call otherwise — these sinks run in per-sample/per-project loops). */
   private def listChildren(dir: Path): Seq[Path] = {
@@ -62,6 +60,8 @@ object Sinks {
     try s.iterator().asScala.toVector finally s.close()
   }
 
+  /** tmp-dir + atomic-move publish (C8): find the single part file, optionally
+    * prepend a header, move into place, drop the temp dir. */
   private def publishSingleFile(tmpDir: String, outFile: String,
                                 prependHeader: Option[String] = None): Unit = {
     val dir = Paths.get(tmpDir)

@@ -22,14 +22,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * from the corpus — so a writer bug, a reader bug, or a protocol-semantics bug
   * each breaks the hash match. Nothing compares a file against itself.
   *
-  * Fixtures live under a fixed path because the oracle SQL is a static string;
-  * they derive ONLY from `nation`/`region`, which are byte-identical at every
-  * scale factor, so re-running at a different SF rewrites identical bytes and
-  * the check stays order-independent.
+  * Fixtures live under a per-JVM temp root (the oracle SQL never references the
+  * fixture path — it recomputes expected values from the corpus tables), so two
+  * concurrent verify/bench processes can never race on each other's files.
   */
 object FormatQueries {
 
-  private val FixRoot = "/tmp/graft_fixtures"
+  // one fresh root per JVM: concurrent driver runs are isolated, and a
+  // predictable /tmp path would be a symlink-tampering surface
+  private lazy val FixRoot: String =
+    Files.createTempDirectory("graft_fixtures_").toString
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -113,7 +115,9 @@ object FormatQueries {
     //     `rsem-generate-data-matrix:16,72`). ───────────────────────────────────
     "q36_rsem_scan" -> ((s, dir) => {
       val d = fixDir("q36")
-      def fmt(x: Double) = "%.2f".format(x)
+      // Locale.ROOT: a comma-decimal default locale would emit "3,50" and break
+      // both the reader parse and the oracle hash
+      def fmt(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
       val header = "gene_id\ttranscript_id(s)\tlength\teffective_length\texpected_count\tTPM\tFPKM"
       val byFile = nationRows(s, dir).groupBy { case (k, _, _) => k % 2 == 0 }
       val files = byFile.toSeq.sortBy(!_._1).map { case (even, rows) =>
@@ -218,7 +222,8 @@ object FormatQueries {
       val result = rows.map { case (k, name, _) =>
         val out = outs.resolve(s"$name.out")
         if (k % 5 == 0) Files.writeString(out, "done") // memoized: outputs pre-exist
-        val spurious = k % 5 != 0 && k % 7 == 3
+        val wrongLayout = k % 5 != 0 && k % 11 == 1 // SE data in the PE pipeline
+        val spurious = !wrongLayout && k % 5 != 0 && k % 7 == 3
         val failuresBeforeSuccess = (k % 3).toInt
         var calls = 0
         var waited = 0L
@@ -227,7 +232,8 @@ object FormatQueries {
             maxAttempts = 3),
           exec = _ => {
             calls += 1
-            if (spurious) 0 // exit 0 but never writes the output
+            if (wrongLayout) 2 // exit-2 protocol: single-end layout detected
+            else if (spurious) 0 // exit 0 but never writes the output
             else if (calls <= failuresBeforeSuccess) 1
             else { Files.writeString(out, "ok"); 0 }
           },
@@ -235,6 +241,7 @@ object FormatQueries {
         val (status, attempts) = res match {
           case ExternalStage.Skipped              => ("SKIPPED", 0)
           case ExternalStage.Succeeded(a)         => ("COMPLETE", a)
+          case ExternalStage.WrongLayout(a)       => ("WRONG_LAYOUT", a)
           case ExternalStage.Failed(a, 0, _)      => ("FAILED_SPURIOUS_EXIT0", a)
           case ExternalStage.Failed(a, _, _)      => ("FAILED", a)
         }
@@ -375,12 +382,15 @@ object FormatQueries {
       """SELECT n_name AS project,
         | CAST(CASE WHEN n_nationkey % 3 = 0 THEN 150 ELSE 50 + n_nationkey END AS INT) AS read_length,
         | CASE WHEN n_nationkey % 5 = 0 THEN 'SKIPPED'
+        |      WHEN n_nationkey % 11 = 1 THEN 'WRONG_LAYOUT'
         |      WHEN n_nationkey % 7 = 3 THEN 'FAILED_SPURIOUS_EXIT0'
         |      ELSE 'COMPLETE' END AS status,
         | CAST(CASE WHEN n_nationkey % 5 = 0 THEN 0
+        |      WHEN n_nationkey % 11 = 1 THEN 1
         |      WHEN n_nationkey % 7 = 3 THEN 3
         |      ELSE n_nationkey % 3 + 1 END AS INT) AS attempts,
         | CAST(CASE WHEN n_nationkey % 5 = 0 THEN 0
+        |      WHEN n_nationkey % 11 = 1 THEN 0
         |      WHEN n_nationkey % 7 = 3 THEN 720
         |      WHEN n_nationkey % 3 = 0 THEN 0
         |      WHEN n_nationkey % 3 = 1 THEN 240

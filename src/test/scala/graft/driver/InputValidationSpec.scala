@@ -17,6 +17,10 @@ class InputValidationSpec extends SparkSpec {
     assert(InputValidation.validateArgs("PRJ1", "abc").isLeft)
     assert(InputValidation.validateArgs("PRJ1", "-5").isLeft)
     assert(InputValidation.validateArgs("PRJ1", "1e3").isLeft)
+    // digits-only but overflows Int — must reject, not throw
+    assert(InputValidation.validateArgs("PRJ1", "99999999999") ==
+      Left("ERROR: Read length must be a positive integer"))
+    assert(InputValidation.validateArgs("PRJ1", "0").isLeft) // positive means > 0
     assert(InputValidation.validateArgs("PRJ1", "150", accListExists = false) ==
       Left("ERROR: Accession list file not found"))
   }
