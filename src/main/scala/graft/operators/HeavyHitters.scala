@@ -53,7 +53,18 @@ object HeavyHitters {
       .flatMap(_.getMap[String, Long](1).keys).toSet.toSeq
     val total = sketchRows.iterator.map(_.getLong(2)).sum
     val minCount = math.ceil(phi * total).toLong
-    grams.filter(col("gram").isin(candidates: _*))
+    // Candidate restriction: small sets inline as an isin predicate (pushed into
+    // the scan); large ones (the union can reach fanin*k entries) would bloat the
+    // plan linearly, so they go through a broadcast semi-join instead — same
+    // shuffle shape, bounded plan size.
+    val restricted =
+      if (candidates.size <= 1024)
+        grams.filter(col("gram").isin(candidates: _*))
+      else {
+        import df.sparkSession.implicits._
+        grams.join(broadcast(candidates.toDF("gram")), Seq("gram"), "left_semi")
+      }
+    restricted
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

@@ -41,26 +41,44 @@ object SimilaritySearch {
   /** Near-duplicate embedding pairs: cosine >= threshold, compared only within the
     * same coarse partition (block). Output (id_a, id_b, cosine), id_a < id_b.
     *
-    * Blocks larger than `maxBlock` are EXCLUDED (via [[graft.ops.Skew.capBuckets]]):
-    * the per-block all-pairs is O(n_b²), and one low-cardinality label covering a
-    * corpus fraction would otherwise turn this into a table-wide quadratic shuffle.
-    * An oversized block means the partition column is not discriminative there —
-    * route those rows through [[embeddingNearDupPairsLsh]] instead. */
+    * Blocks larger than `maxBlock` never run the exact per-block all-pairs — that
+    * is O(n_b²), and one low-cardinality label covering a corpus fraction would
+    * turn it into a table-wide quadratic shuffle. Their rows are instead routed
+    * through the sign-LSH path (`overCapPlanes`, same semantics as
+    * [[embeddingNearDupPairsLsh]] but still confined to the block): candidate
+    * buckets become (block, lsh-bits), so every bucket is bounded by
+    * n_b / 2^planes in expectation and the block-locality contract is preserved.
+    * Results are exact below the cap and LSH-recall above it — never silently
+    * empty. Passing `overCapPlanes = Nil` restores the drop-oversized-blocks
+    * behavior for callers that prefer exclusion over approximation. The default
+    * planes assume 64-dim embeddings (the corpus convention) — pass planes of
+    * your own dimensionality otherwise. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             partCol: String, threshold: Double,
-                            maxBlock: Long = 100000L): DataFrame = {
-    val capped = graft.ops.Skew.capBuckets(
-      df.select(col(partCol).as("block"), col(idCol), col(vecCol)),
-      Seq("block"), maxBlock)
-    val l = capped.select(col("block"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val r = capped.select(col("block"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+                            maxBlock: Long = 100000L,
+                            overCapPlanes: Seq[Seq[Double]] = deterministicPlanes(12, 64)): DataFrame = {
+    val tagged = df.select(col(partCol).as("block"), col(idCol), col(vecCol))
+    val counts = tagged.groupBy(col("block")).agg(count(lit(1)).as("_block_n"))
+    val withN = tagged.join(counts, Seq("block"))
+    val under = withN.filter(col("_block_n") <= maxBlock)
+
+    def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = src.select((keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("vec_a")): _*)
+      val r = src.select((keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("vec_b")): _*)
+      l.join(r, keys)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+
+    val exact = pairsWithin(under, Seq("block"))
+    if (overCapPlanes.isEmpty) exact
+    else {
+      val over = withN.filter(col("_block_n") > maxBlock)
+        .withColumn("_lsh", signLshBucket(col(vecCol), overCapPlanes))
+      exact.unionByName(pairsWithin(over, Seq("block", "_lsh")))
+    }
   }
 
   /** Sign-LSH bucket id for an embedding: bit b = sign of dot(vec, plane_b),

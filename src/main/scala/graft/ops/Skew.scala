@@ -59,7 +59,11 @@ object Skew {
     * holding 10% of the corpus means the band is not discriminative — and their
     * pair-count is quadratic). Returns the frame filtered to surviving buckets.
     * `bucketCols` identify the bucket. The reference corpus's word-salad documents
-    * make this concrete: 8-bit SimHash blocks put thousands of docs in one bucket. */
+    * make this concrete: 8-bit SimHash blocks put thousands of docs in one bucket.
+    * Callers who cannot afford to lose the dropped rows should re-block them under
+    * a finer key instead — see
+    * [[graft.operators.SimilaritySearch.embeddingNearDupPairs]], which routes
+    * over-cap blocks through a (block, sign-LSH) sub-bucketing. */
   def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Long): DataFrame = {
     val counts = df.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("_bucket_n"))

@@ -38,17 +38,41 @@ class ScaleSpec extends SparkSpec {
     assert(kept.count() == 10 && kept.filter(col("bucket") === "big").count() == 0)
   }
 
-  test("embeddingNearDupPairs excludes oversized blocks — the quadratic guard (q50)") {
+  test("embeddingNearDupPairs routes oversized blocks through sign-LSH — the quadratic guard (q50)") {
     import graft.operators.SimilaritySearch
-    // "big" block (50 identical vectors) exceeds maxBlock → contributes NO pairs;
-    // the discriminative "small" block still yields its near-dup pair.
+    // "big" block (50 identical vectors) exceeds maxBlock → never enters the exact
+    // all-pairs, but its near-dups are still FOUND via the (block, lsh) sub-bucket
+    // route; the discriminative "small" block stays on the exact path.
     val rows = (1 to 50).map(i => (i.toLong, Array(1f, 0f), "big")) ++
       Seq((100L, Array(1f, 0f), "small"), (101L, Array(1f, 0.01f), "small"))
     val df = rows.toDF("vec_id", "embedding", "label")
-    val pairs = SimilaritySearch.embeddingNearDupPairs(df, "embedding", "vec_id",
+    val routed = SimilaritySearch.embeddingNearDupPairs(df, "embedding", "vec_id",
       "label", threshold = 0.9, maxBlock = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((100L, 101L)))
+    assert(routed.contains((100L, 101L)))         // exact path untouched
+    assert(routed.contains((1L, 2L)))             // over-cap pair recovered via LSH
+    // identical vectors always share the full LSH bucket → all 50·49/2 big pairs
+    assert(routed.size == 50 * 49 / 2 + 1)
+
+    // overCapPlanes = Nil restores the documented drop-oversized-blocks behavior
+    val excluded = SimilaritySearch.embeddingNearDupPairs(df, "embedding", "vec_id",
+      "label", threshold = 0.9, maxBlock = 10, overCapPlanes = Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(excluded == Set((100L, 101L)))
+  }
+
+  test("over-cap LSH route stays block-local: same lsh bucket, different block → no pair") {
+    import graft.operators.SimilaritySearch
+    // two over-cap blocks of identical vectors: every vector shares the same LSH
+    // bits, but pairs must never cross the coarse-partition boundary
+    val rows = (1 to 20).map(i => (i.toLong, Array(1f, 0f), "blkA")) ++
+      (21 to 40).map(i => (i.toLong, Array(1f, 0f), "blkB"))
+    val pairs = SimilaritySearch.embeddingNearDupPairs(rows.toDF("vec_id", "embedding", "label"),
+      "embedding", "vec_id", "label", threshold = 0.9, maxBlock = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => (a <= 20) == (b <= 20) },
+      s"found a cross-block pair in: $pairs")
   }
 
   test("interval overlap join plans as an equi-join, never a nested loop") {
