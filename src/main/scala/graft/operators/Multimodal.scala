@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,11 +13,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing: opaque `binary` payloads with
   * typed metadata, processed by per-partition batch transforms.
   *
-  * The decode kernels themselves (JPEG/PNG/audio codecs) are NOT in this
-  * container, so [[decodeStub]] is a clearly-marked deterministic fake — the
-  * Spark-side shape is real: binary column + metadata struct, `mapPartitions`
-  * batch processing with one decoder init per partition (the Scala analog of
-  * `mapInPandas` batching), partition sizing by byte budget.
+  * The image and audio kernels are REAL in-JDK codecs: PNG decode/encode/resize
+  * via `javax.imageio` ([[decodePng]], [[encodePng]], [[resizePng]]) and WAV
+  * PCM decode/encode via `javax.sound.sampled` ([[decodeWav]], [[encodeWav]]).
+  * Only the video demux ([[sampleFrames]]) remains a declared stub — the JDK
+  * ships no container demuxer. The Spark-side shape is the same everywhere:
+  * binary column + metadata struct, `mapPartitions` batch processing with one
+  * decoder init per partition (the Scala analog of `mapInPandas` batching),
+  * partition sizing by byte budget.
   */
 object Multimodal {
 
@@ -45,11 +54,11 @@ object Multimodal {
         lit(null).cast(IntegerType).as("sample_rate"),
         lit(null).cast(IntegerType).as("n_frames")).as("meta"))
 
-  /** ??? — STUB: a real deployment links an image/audio codec here (initialized
-    * once per partition, fed byte batches). This deterministic fake derives a
-    * 8-dim "feature" from the payload bytes so the plumbing (batching, schema,
-    * partition shape) is testable end-to-end without the codec. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
+  /** Byte-level feature fallback for payloads with no in-JDK codec (video
+    * containers): an 8-dim byte histogram fold. Deterministic; used only by the
+    * generic [[extractFeatures]] plumbing path, never by the image/audio
+    * kernels below. */
+  def byteFoldFeature(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
@@ -59,17 +68,162 @@ object Multimodal {
     f
   }
 
-  /** Decode / feature-extract over payload batches: one decoder per partition,
-    * rows streamed through it (never materializing the whole partition). */
+  // ─── REAL image kernel (javax.imageio, in-JDK, lossless PNG round-trip) ─────
+
+  /** Encode a two-tone RGB image as real PNG bytes: rows above `h/2` filled with
+    * `topRgb`, the rest with `botRgb` (each 0xRRGGBB). Used by fixture
+    * generators and specs to build a corpus whose decoded statistics have a
+    * closed form an oracle can recompute. */
+  def encodePng(w: Int, h: Int, topRgb: Int, botRgb: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val rgb = if (y < h / 2) topRgb else botRgb
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decoded per-image statistics: dimensions + per-channel pixel means. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode one PNG/GIF/BMP payload with the real `javax.imageio` codec and
+    * reduce it to [[ImageFeatures]]. Returns null-means for empty payloads the
+    * caller filtered in. */
+  def decodePng(id: Long, payload: Array[Byte]): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"media_id=$id: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Image decode / feature-extract stage: the real codec runs inside
+    * `mapPartitions` — `ImageIO` caching is configured ONCE per partition (the
+    * per-partition-init contract), then payloads stream through without
+    * materializing the partition. */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init: in-memory decode, no temp-file cache churn
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) => decodePng(id, payload) }
+      }
+  }
+
+  /** Real image resize: decode with `javax.imageio`, repaint onto a `w`×`h`
+    * canvas via `Graphics2D` bilinear scaling, re-encode as PNG. */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(payload))
+    require(src != null, "payload is not a decodable image")
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Distributed image resize with the real codec (same per-partition batch
+    * shape as [[decodeImages]]). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // per-partition init
+        it.map { case (id, payload) => ResizedMedia(id, w, h, resizePng(payload, w, h)) }
+      }
+  }
+
+  // ─── REAL audio kernel (javax.sound.sampled, in-JDK WAV PCM round-trip) ─────
+
+  /** Encode 16-bit signed PCM mono samples as a real WAV container. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian 16-bit PCM
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded per-clip statistics from the real WAV parser: container-reported
+    * sample rate and frame count, plus the mean sample amplitude. */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int, n_frames: Long,
+                                 mean_amp: Double)
+
+  /** Decode one WAV payload via `javax.sound.sampled` (real container parse —
+    * a fake could not recover the sample rate from the RIFF header). */
+  def decodeWav(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sum = 0L
+      var i = 0
+      val bigEndian = fmt.isBigEndian
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff; val hi = bytes(2 * i + 1) & 0xff
+        val s = if (bigEndian) ((lo << 8) | hi).toShort else ((hi << 8) | lo).toShort
+        sum += s
+        i += 1
+      }
+      AudioFeatures(id, fmt.getSampleRate.toInt, n.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n)
+    } finally ais.close()
+  }
+
+  /** Audio decode stage: real WAV parsing inside the per-partition batch shape. */
+  def decodeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
+  }
+
+  /** Codec-agnostic feature-extract over payload batches (byte stats + digest +
+    * [[byteFoldFeature]]): one digest per partition, rows streamed through it
+    * (never materializing the whole partition). For typed media use the real
+    * kernels — [[decodeImages]] / [[decodeAudio]]. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init: real codecs (and this digest) are set up ONCE here
+        // per-partition init: the digest (and any codec) is set up ONCE here
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val feat = decodeStub(bytes)
+          val feat = byteFoldFeature(bytes)
           val mean =
             if (bytes.isEmpty) 0.0
             else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
@@ -81,33 +235,8 @@ object Multimodal {
       }
   }
 
-  /** ??? — STUB resize: a real deployment decodes, scales to `w`×`h`, re-encodes.
-    * The fake keeps the byte-length contract (w·h bytes) deterministically so
-    * downstream batching/schema logic is exercised for real. */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
-    if (payload.nonEmpty) {
-      var i = 0
-      while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
-    }
-    out
-  }
-
   final case class ResizedMedia(media_id: Long, width: Int, height: Int,
                                 payload: Array[Byte])
-
-  /** Resize stage: same per-partition batch shape as [[extractFeatures]]. */
-  def resize(media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
-    import media.sparkSession.implicits._
-    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition codec init would happen HERE
-        it.map { case (id, payload) =>
-          ResizedMedia(id, w, h,
-            resizeStub(if (payload == null) Array.emptyByteArray else payload, w, h))
-        }
-      }
-  }
 
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -310,6 +310,45 @@ object FormatQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // ─── q60: REAL image kernel — deterministic two-tone PNGs encoded with
+    //     javax.imageio, decoded distributed (Multimodal.decodeImages); the
+    //     oracle recomputes dims + exact channel means from the construction
+    //     arithmetic (PNG is lossless, so decode must recover them exactly). ───
+    "q60_image_decode" -> ((s, dir) => {
+      val rows = nationRows(s, dir).map { case (k, _, _) =>
+        val ki = k.toInt
+        val w = 16 + ki % 9
+        val h = 2 * (4 + ki % 5) // even → equal halves, closed-form means
+        def rgb(r: Int, g: Int, b: Int) = (r << 16) | (g << 8) | b
+        val top = rgb(ki * 3 % 256, ki * 5 % 256, ki * 7 % 256)
+        val bot = rgb(ki * 11 % 256, ki * 13 % 256, ki * 17 % 256)
+        (k, graft.operators.Multimodal.encodePng(w, h, top, bot))
+      }
+      import s.implicits._
+      val media = graft.operators.Multimodal.asMediaFrame(
+        rows.toDF("media_id", "payload"), "media_id", "payload", "image")
+      graft.operators.Multimodal.decodeImages(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // ─── q61: REAL audio kernel — 16-bit PCM WAVs encoded with
+    //     javax.sound.sampled, decoded distributed (Multimodal.decodeAudio);
+    //     sample rate comes from the RIFF header parse, mean amplitude from the
+    //     PCM payload — both recomputed by the oracle from the generator. ──────
+    "q61_audio_decode" -> ((s, dir) => {
+      val rows = nationRows(s, dir).map { case (k, _, _) =>
+        val ki = k.toInt
+        val n = 256 * (2 + ki % 4) // whole sawtooth periods → closed-form mean
+        val samples = Array.tabulate(n)(i => (((i % 256) - 128) * (ki + 1)).toShort)
+        (k, graft.operators.Multimodal.encodeWav(samples, 8000 + 100 * ki))
+      }
+      import s.implicits._
+      val media = graft.operators.Multimodal.asMediaFrame(
+        rows.toDF("media_id", "payload"), "media_id", "payload", "audio")
+      graft.operators.Multimodal.decodeAudio(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // ─── q58: S12 BED sink round-trip — tab-joined, unquoted, position-sorted
     //     (`GeneTPMbed_v2.sh:49,93-99,124`); read back through the S6 BED scan. ─
     "q58_bed_roundtrip" -> ((s, dir) => {
@@ -437,6 +476,20 @@ object FormatQueries {
         | CASE WHEN NOT regexp_matches(project, '^[a-zA-Z0-9_-]+$') THEN 'invalid_project_id'
         |      WHEN NOT regexp_matches(read_length, '^[0-9]+$') THEN 'invalid_read_length' END AS reject_reason
         |FROM pl ORDER BY c_custkey""".stripMargin,
+    "q60_image_decode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+        | CAST(16 + n_nationkey % 9 AS INT) AS width,
+        | CAST(2 * (4 + n_nationkey % 5) AS INT) AS height,
+        | CAST(n_nationkey*3 % 256 + n_nationkey*11 % 256 AS DOUBLE)/2.0 AS mean_r,
+        | CAST(n_nationkey*5 % 256 + n_nationkey*13 % 256 AS DOUBLE)/2.0 AS mean_g,
+        | CAST(n_nationkey*7 % 256 + n_nationkey*17 % 256 AS DOUBLE)/2.0 AS mean_b
+        |FROM nation ORDER BY media_id""".stripMargin,
+    "q61_audio_decode" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+        | CAST(8000 + 100*n_nationkey AS INT) AS sample_rate,
+        | CAST(256*(2 + n_nationkey % 4) AS BIGINT) AS n_frames,
+        | -CAST(n_nationkey + 1 AS DOUBLE)/2.0 AS mean_amp
+        |FROM nation ORDER BY media_id""".stripMargin,
     "q58_bed_roundtrip" ->
       """SELECT 'chr' || (n_nationkey % 3 + 1) AS chrom,
         | CAST(n_nationkey*1000 AS BIGINT) AS start,

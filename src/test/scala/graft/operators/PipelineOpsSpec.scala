@@ -171,14 +171,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L).feature.length == 8)
   }
 
-  test("multimodal resize keeps the w*h byte contract; empty payload stays zeroed") {
-    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+  test("real PNG kernel: encode → distributed javax.imageio decode recovers dims + channel means") {
+    // two-tone 4x6: top half red-ish (0x804020), bottom half blue-ish (0x102030)
+    val png = Multimodal.encodePng(4, 6, 0x804020, 0x102030)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
     val media = Multimodal.asMediaFrame(
-      docs.withColumn("payload", col("text").cast("binary")), "doc_id", "payload", "image")
-    val out = Multimodal.resize(media, 3, 2).collect().map(r => r.media_id -> r).toMap
-    assert(out(1L).payload.length == 6 && out(1L).width == 3 && out(1L).height == 2)
-    assert(out(1L).payload.toSeq == "abcdab".getBytes.toSeq) // cyclic stub fill
-    assert(out(2L).payload.toSeq == Seq.fill(6)(0.toByte))
+      Seq((7L, png)).toDF("doc_id", "payload"), "doc_id", "payload", "image")
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(f.media_id == 7L && f.width == 4 && f.height == 6)
+    assert(f.mean_r == (0x80 + 0x10) / 2.0) // lossless PNG → exact channel means
+    assert(f.mean_g == (0x40 + 0x20) / 2.0)
+    assert(f.mean_b == (0x20 + 0x30) / 2.0)
+  }
+
+  test("real PNG resize: re-encoded output decodes at the target dims; solid color survives exactly") {
+    val png = Multimodal.encodePng(10, 8, 0x336699, 0x336699) // solid → any interpolation is exact
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, png)).toDF("doc_id", "payload"), "doc_id", "payload", "image")
+    val resized = Multimodal.resizeImages(media, 5, 4).collect().head
+    assert(resized.width == 5 && resized.height == 4)
+    val back = Multimodal.decodePng(1L, resized.payload)
+    assert(back.width == 5 && back.height == 4)
+    assert(back.mean_r == 0x33.toDouble && back.mean_g == 0x66.toDouble && back.mean_b == 0x99.toDouble)
+  }
+
+  test("real WAV kernel: encode → distributed javax.sound decode recovers rate, frames, mean") {
+    val samples = Array.tabulate(512)(i => (((i % 256) - 128) * 3).toShort)
+    val wav = Multimodal.encodeWav(samples, 8000)
+    assert(new String(wav.take(4)) == "RIFF") // real container, not raw PCM
+    val media = Multimodal.asMediaFrame(
+      Seq((3L, wav)).toDF("doc_id", "payload"), "doc_id", "payload", "audio")
+    val f = Multimodal.decodeAudio(media).collect().head
+    assert(f.media_id == 3L && f.sample_rate == 8000 && f.n_frames == 512L)
+    assert(f.mean_amp == -0.5 * 3) // Σ(i-128) over a full period = -128 → mean -0.5 per unit gain
   }
 
   test("multimodal frame sampling emits every k-th fixed-size chunk") {
