@@ -64,6 +64,17 @@ object SessionBuilder {
         concat(tid, lit("-LinearWiggleDisplay")).as("displayId"))).as("displays")))
   }
 
+  /** Combined-project link rewriting — `update_project_links`
+    * (`make_jbrowse_session_for_combined_bioproject_v2.py:55-84`). ONLY the two
+    * public-facing links are touched; `Project Accession ID` is never modified
+    * (traceability back to the source project). The regexes are the reference's
+    * own (`geoAcc=[^&]+` / `acc=[^&]+`), substring semantics included. */
+  def rewriteGeoAccLink(c: Column, combinedId: String): Column =
+    regexp_replace(c, "geoAcc=[^&]+", s"geoAcc=$combinedId")
+
+  def rewriteAccLink(c: Column, combinedId: String): Column =
+    regexp_replace(c, "acc=[^&]+", s"acc=$combinedId")
+
   // Viewport constants (`make_jbrowse_session_for_bioproject.py:210-235`).
   private val TargetStart1 = 12315273L
   private val TargetEnd1 = 14497135L
@@ -145,6 +156,134 @@ object SessionBuilder {
     val root = jmap("session" -> jmap(
       "name" -> s"${bioProjectId}_RNAseq_expression",
       "description" -> s"Auto-generated session for $bioProjectId on $timestamp",
+      "views" -> jlist(jmap(
+        "id" -> "lgv1", "type" -> "LinearGenomeView",
+        "tracks" -> viewTracks,
+        "displayedRegions" -> jlist(jmap(
+          "assemblyName" -> "GRCr8", "refName" -> "Chr4",
+          "start" -> 0, "end" -> WholeChr4End)),
+        "bpPerPx" -> bpPerPx,
+        "offsetPx" -> offsetPx)),
+      "sessionTracks" -> sessionTracks))
+
+    new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  // metadata key order of the per-sample track docs ([[trackJson]]) — the
+  // combined builder reconstructs metadata in this order
+  private val MetadataKeys = Seq(
+    "Sample Characteristic", "Tissue", "Strain", "RGD Strain Report", "Sex",
+    "Computed Sex", "RGD Metadata Report", "Project Title",
+    "Project Repository Link", "Project Accession ID", "Sample Accession ID",
+    "PubMed ID", "Data Processing", "Read alignment", "Genome version",
+    "Expression Quantification")
+
+  /** Assemble the COMBINED-project session JSON
+    * (`make_jbrowse_session_for_combined_bioproject_v2.py:94-332`): track docs
+    * from several merged projects are path-sorted (O6), their public-facing
+    * links rewritten to the combined id (`update_project_links`, `:165`) while
+    * `Project Accession ID` stays the SOURCE project's for traceability
+    * (`:30,61-63`), types forced to QuantitativeTrack with the combined
+    * download URI (`:174-187`), and colors assigned first-seen over the merged
+    * biological groups (`:86-91,189-212` — same combo key as the single-project
+    * builder). Unlike [[buildSession]], the full per-track metadata rides into
+    * `sessionTracks` — the combined doc is self-describing.
+    *
+    * The rewrite/combo/color stages are DataFrame ops (distributed); only the
+    * final document assembly collects — one row per track, the reference's own
+    * design scale (tens of rows).
+    *
+    * @param trackDocs parsed track docs from [[graft.io.TsvSources.readTrackJsons]]
+    *                  (glob spanning every merged project's track dir), with `_path`
+    */
+  def buildCombinedSession(trackDocs: DataFrame, combinedId: String,
+                           timestamp: String): String = {
+    val md = col("metadata")
+    val projected = trackDocs.select(
+      col("trackId"), col("_path"), col("name"), col("category"), col("assemblyNames"),
+      md.getField("Sample Characteristic").as("Sample_characteristics"),
+      md.getField("Tissue").as("Tissue"),
+      md.getField("Strain").as("Strain"),
+      md.getField("RGD Strain Report").as("RGD Strain Report"),
+      md.getField("Sex").as("Sex"),
+      coalesce(md.getField("Computed Sex"), lit(UnknownSex)).as("Computed Sex"),
+      rewriteGeoAccLink(md.getField("RGD Metadata Report"), combinedId)
+        .as("RGD Metadata Report"),
+      md.getField("Project Title").as("Project Title"),
+      rewriteAccLink(md.getField("Project Repository Link"), combinedId)
+        .as("Project Repository Link"),
+      md.getField("Project Accession ID").as("Project Accession ID"), // preserved
+      md.getField("Sample Accession ID").as("Sample Accession ID"),
+      md.getField("PubMed ID").as("PubMed ID"),
+      md.getField("Data Processing").as("Data Processing"),
+      md.getField("Read alignment").as("Read alignment"),
+      md.getField("Genome version").as("Genome version"),
+      md.getField("Expression Quantification").as("Expression Quantification"))
+    val colored = ColorAssigner.assign(ColorAssigner.comboKey(projected))
+      .orderBy(col("_path"))
+      .collect()
+
+    val sessionTracks = new JList[Any]()
+    val viewTracks = new JList[Any]()
+
+    // Gene track injected first (`:265-280`)
+    viewTracks.add(jmap(
+      "id" -> "F-8qwRhumS", "type" -> "FeatureTrack",
+      "configuration" -> "Rat GRCr8 (rn8) Genes and Transcripts-GRCr8",
+      "minimized" -> false,
+      "displays" -> jlist(jmap(
+        "id" -> "uZq89S4_XC", "type" -> "LinearBasicDisplay",
+        "heightPreConfig" -> 152,
+        "configuration" -> "Rat GRCr8 (rn8) Genes and Transcripts-GRCr8-LinearBasicDisplay"))))
+
+    colored.foreach { r =>
+      val tid = r.getAs[String]("trackId")
+      val color = r.getAs[String]("color")
+      val uri = s"https://download.rgd.mcw.edu/expression/$combinedId/Genome-wide_read_coverage_BigWig_files/$tid.bigwig"
+      val metaMap = {
+        val m = new JMap[String, Any]()
+        // "Sample Characteristic" was aliased to a legal column name; the rest
+        // keep their metadata key verbatim
+        MetadataKeys.foreach { k =>
+          val colName = if (k == "Sample Characteristic") "Sample_characteristics" else k
+          m.put(k, r.getAs[String](colName))
+        }
+        m
+      }
+      sessionTracks.add(jmap(
+        "type" -> "QuantitativeTrack", // forced (`:174`)
+        "trackId" -> tid,
+        "name" -> r.getAs[String]("name"),
+        "category" -> jlist(r.getSeq[String](r.fieldIndex("category")): _*),
+        "assemblyNames" -> jlist(r.getSeq[String](r.fieldIndex("assemblyNames")): _*),
+        "metadata" -> metaMap,
+        "adapter" -> jmap(
+          "type" -> "BigWigAdapter",
+          "bigWigLocation" -> jmap("locationType" -> "UriLocation", "uri" -> uri)),
+        "displays" -> jlist(jmap(
+          "type" -> "LinearWiggleDisplay",
+          "displayId" -> s"$tid-LinearWiggleDisplay",
+          "renderer" -> jmap("type" -> "XYPlotRenderer", "color1" -> color),
+          "renderers" -> jmap("XYPlotRenderer" ->
+            jmap("type" -> "XYPlotRenderer", "color1" -> color)),
+          "defaultRendering" -> "xyplot"))))
+      viewTracks.add(jmap(
+        "type" -> "QuantitativeTrack",
+        "configuration" -> tid,
+        "displays" -> jlist(jmap(
+          "type" -> "LinearWiggleDisplay",
+          "displayId" -> s"$tid-LinearWiggleDisplay",
+          "color" -> color,
+          "defaultRendering" -> "xyplot"))))
+    }
+
+    val windowBp = math.max(1L, TargetEnd1 - TargetStart1 + 1)
+    val bpPerPx = math.max(1.0, windowBp / ViewportPx)
+    val offsetPx = (TargetStart1 - 1).toDouble / bpPerPx
+
+    val root = jmap("session" -> jmap(
+      "name" -> s"${combinedId}_RNAseq_expression",
+      "description" -> s"Auto-generated combined session for $combinedId on $timestamp",
       "views" -> jlist(jmap(
         "id" -> "lgv1", "type" -> "LinearGenomeView",
         "tracks" -> viewTracks,

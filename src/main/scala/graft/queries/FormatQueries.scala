@@ -349,6 +349,57 @@ object FormatQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ─── q62: combined-project session — two projects' track docs merged,
+    //     public links rewritten to the combined id (update_project_links,
+    //     `make_jbrowse_session_for_combined_bioproject_v2.py:55-84,165`),
+    //     Project Accession ID PRESERVED, first-seen palette across the merged
+    //     path-sorted track list, combined download URIs; verified by strict
+    //     parse-back of the written session doc. ────────────────────────────────
+    "q62_combined_session" -> ((s, dir) => {
+      val root = cleanDir(fixDir("q62"))
+      def accFrame(even: Boolean) = t(s, dir, "nation")
+        .filter(col("n_nationkey") % 2 === (if (even) 0 else 1))
+        .select(
+          concat(lit("T"), col("n_regionkey")).as("Tissue"),
+          col("n_name").as("Strain"),
+          when(col("n_nationkey") % 2 === 0, "M").otherwise("F").as("Sex"),
+          col("n_nationkey").cast("string").as("PMID"),
+          concat(lit("https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=GSM"),
+            col("n_nationkey"), lit("&db=geo")).as("GEOpath"),
+          concat(lit("T_"), col("n_name")).as("Title"),
+          concat(lit("sc "), col("n_name")).as("Sample_characteristics"),
+          concat(lit("SI"), col("n_nationkey")).as("StrainInfo"),
+          concat(lit("GSM"), col("n_nationkey")).as("geo_accession"),
+          lit("M").as("ComputedSex"))
+      Seq((true, "PRJ_A"), (false, "PRJ_B")).foreach { case (even, prj) =>
+        val d = Files.createDirectories(root.resolve(prj))
+        val docs = graft.ops.AccListOps.withUniqueName(accFrame(even))
+          .select(col("unique_name"), SessionBuilder.trackJson(prj).as("doc"))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        docs.foreach { case (uname, doc) =>
+          Files.writeString(d.resolve(s"RNAseq_$uname.json"), doc)
+        }
+        // S7 exclusion contract holds for the combined scan too
+        Files.writeString(d.resolve("RNAseq_zz_geneTPMbed.json"), docs.head._2)
+      }
+      val tracks = TsvSources.readTrackJsons(s, s"$root/*/RNAseq_*.json")
+      val json = SessionBuilder.buildCombinedSession(tracks, "GSE_COMB", "20260101")
+      val f = root.resolve("combined_session.json")
+      Files.writeString(f, json)
+      val doc = s.read.option("multiLine", "true").json(f.toString)
+      doc.select(explode(col("session.sessionTracks")).as("tr"))
+        .select(
+          col("tr").getField("trackId").as("trackId"),
+          col("tr").getField("type").as("track_type"),
+          col("tr").getField("metadata").getField("RGD Metadata Report").as("rgd_url"),
+          col("tr").getField("metadata").getField("Project Repository Link").as("repo_url"),
+          col("tr").getField("metadata").getField("Project Accession ID").as("project_acc"),
+          col("tr").getField("adapter").getField("bigWigLocation").getField("uri").as("uri"),
+          element_at(col("tr").getField("displays"), 1)
+            .getField("renderer").getField("color1").as("color"))
+        .orderBy(col("trackId"))
+    }),
+
     // ─── q58: S12 BED sink round-trip — tab-joined, unquoted, position-sorted
     //     (`GeneTPMbed_v2.sh:49,93-99,124`); read back through the S6 BED scan. ─
     "q58_bed_roundtrip" -> ((s, dir) => {
@@ -476,6 +527,29 @@ object FormatQueries {
         | CASE WHEN NOT regexp_matches(project, '^[a-zA-Z0-9_-]+$') THEN 'invalid_project_id'
         |      WHEN NOT regexp_matches(read_length, '^[0-9]+$') THEN 'invalid_read_length' END AS reject_reason
         |FROM pl ORDER BY c_custkey""".stripMargin,
+    "q62_combined_session" ->
+      """WITH a AS (SELECT n_nationkey AS k, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'PRJ_A' ELSE 'PRJ_B' END AS prj,
+        |  'T' || n_regionkey || '_' || n_name || '_' ||
+        |    (CASE WHEN n_nationkey % 2 = 0 THEN 'M' ELSE 'F' END) ||
+        |    '_GSM' || n_nationkey AS uname
+        |  FROM nation),
+        |t AS (SELECT k, prj, 'RNAseq_' || uname AS trackId,
+        |  CASE WHEN prj = 'PRJ_A' THEN 0 ELSE 1 END AS dir_ord FROM a),
+        |c AS (SELECT *, row_number() OVER (ORDER BY dir_ord, trackId) - 1 AS rnk FROM t)
+        |SELECT trackId,
+        | 'QuantitativeTrack' AS track_type,
+        | 'https://rgd.mcw.edu/rgdweb/report/expressionStudy/main.html?geoAcc=GSE_COMB' AS rgd_url,
+        | 'https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=GSE_COMB&db=geo' AS repo_url,
+        | prj AS project_acc,
+        | 'https://download.rgd.mcw.edu/expression/GSE_COMB/Genome-wide_read_coverage_BigWig_files/'
+        |   || trackId || '.bigwig' AS uri,
+        | CASE CAST(rnk % 10 AS INT)
+        |   WHEN 0 THEN '#1f77b4' WHEN 1 THEN '#ff7f0e' WHEN 2 THEN '#2ca02c'
+        |   WHEN 3 THEN '#d62728' WHEN 4 THEN '#9467bd' WHEN 5 THEN '#8c564b'
+        |   WHEN 6 THEN '#e377c2' WHEN 7 THEN '#7f7f7f' WHEN 8 THEN '#bcbd22'
+        |   ELSE '#17becf' END AS color
+        |FROM c ORDER BY trackId""".stripMargin,
     "q60_image_decode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
         | CAST(16 + n_nationkey % 9 AS INT) AS width,

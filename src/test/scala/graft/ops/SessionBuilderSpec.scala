@@ -57,4 +57,58 @@ class SessionBuilderSpec extends SparkSpec {
     assert(st.get(0).get("adapter").get("bigWigLocation").get("uri").asText()
       .startsWith("https://download.rgd.mcw.edu/expression/PRJNA1/"))
   }
+
+  test("combined session: geoAcc/acc links rewritten to combined id, Project Accession ID preserved") {
+    import java.nio.file.Files
+    // two source projects' track docs, written through the REAL track-json path
+    val dir = tempDir()
+    Seq(("OLD_A", "p1"), ("OLD_B", "p2")).foreach { case (prj, sub) =>
+      val d = Files.createDirectories(dir.resolve(sub))
+      val doc = AccListOps.withUniqueName(
+          acc.withColumn("GEOpath",
+            lit(s"https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=$prj&db=gds")))
+        .withColumn("ComputedSex", lit("F"))
+        .select(SessionBuilder.trackJson(prj).as("doc")).head().getString(0)
+      // make trackIds distinct across projects so both tracks survive
+      Files.writeString(d.resolve(s"RNAseq_$sub.json"), doc.replace("GSM1", s"GSM_$sub"))
+    }
+    val tracks = graft.io.TsvSources.readTrackJsons(spark, s"$dir/*/RNAseq_*.json")
+    val json = SessionBuilder.buildCombinedSession(tracks, "GSE_NEW", "2026-01-01")
+    val root = new ObjectMapper().readTree(json).get("session")
+    assert(root.get("name").asText() == "GSE_NEW_RNAseq_expression")
+    val st = root.get("sessionTracks")
+    assert(st.size() == 2)
+    (0 until 2).foreach { i =>
+      val md = st.get(i).get("metadata")
+      // update_project_links: ONLY the two public links rewritten…
+      assert(md.get("RGD Metadata Report").asText()
+        == "https://rgd.mcw.edu/rgdweb/report/expressionStudy/main.html?geoAcc=GSE_NEW")
+      assert(md.get("Project Repository Link").asText()
+        == "https://www.ncbi.nlm.nih.gov/geo/query/acc.cgi?acc=GSE_NEW&db=gds")
+      assert(st.get(i).get("adapter").get("bigWigLocation").get("uri").asText()
+        .startsWith("https://download.rgd.mcw.edu/expression/GSE_NEW/"))
+      assert(st.get(i).get("type").asText() == "QuantitativeTrack")
+    }
+    // …and Project Accession ID keeps the SOURCE project id (traceability)
+    assert((0 until 2).map(i =>
+      st.get(i).get("metadata").get("Project Accession ID").asText()).toSet
+      == Set("OLD_A", "OLD_B"))
+    // both tracks share one biological group → one first-seen color
+    val view = root.get("views").get(0).get("tracks")
+    assert(view.get(1).get("displays").get(0).get("color").asText()
+      == ColorAssigner.Palette(0))
+    assert(view.get(2).get("displays").get(0).get("color").asText()
+      == ColorAssigner.Palette(0))
+  }
+
+  test("rewrite columns: first geoAcc/acc param rewritten, other params intact") {
+    val df = Seq(("https://x/main.html?geoAcc=OLD&tab=2", "https://y/q?acc=OLD2&db=gds"))
+      .toDF("rgd", "repo")
+      .select(
+        SessionBuilder.rewriteGeoAccLink(col("rgd"), "NEW").as("rgd"),
+        SessionBuilder.rewriteAccLink(col("repo"), "NEW").as("repo"))
+    val r = df.head()
+    assert(r.getString(0) == "https://x/main.html?geoAcc=NEW&tab=2")
+    assert(r.getString(1) == "https://y/q?acc=NEW&db=gds")
+  }
 }
