@@ -98,6 +98,27 @@ object TsvSources {
   def readBed(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").schema(Schemas.bed4).csv(path)
 
+  /** S16 — FastQC `summary.txt` scan (the MultiQC-lite input surface):
+    * `STATUS<TAB>Module Name<TAB>file` triples, no header, CRLF-tolerant (P13).
+    * The reference aggregates exactly these per-sample summaries with MultiQC
+    * (`run_SRA2QC_diskGuard.bash:159-165`, `RSEMmatrix_v5.sh:126-128`); running
+    * the MultiQC *binary* stays external, but parsing + aggregating the
+    * summaries is in-scope relational work. `sample` is derived from the
+    * reported sequence-file name minus its extensions (F5/F6 discipline). */
+  def readQcSummaries(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
+      .select(regexp_replace(col("value"), "\r$", "").as("line"),
+        input_file_name().as("source_path"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(split(col("line"), "\t").as("f"), col("source_path"))
+      .select(
+        get(col("f"), lit(0)).as("status"),
+        get(col("f"), lit(1)).as("module"),
+        get(col("f"), lit(2)).as("file"),
+        col("source_path"))
+      .withColumn("sample",
+        regexp_replace(col("file"), "\\.(fastq|fq|bam|sam)(\\.gz)?$", ""))
+
   /** S7 — track-JSON glob scan: recursive `RNAseq_*.json`, excluding
     * `*geneTPMbed*` / `*TXTPMbed*`, path-sorted downstream
     * (`make_jbrowse_session_for_bioproject.py:62-70`). One JSON doc per file. */

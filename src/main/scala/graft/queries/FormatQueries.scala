@@ -400,6 +400,33 @@ object FormatQueries {
         .orderBy(col("trackId"))
     }),
 
+    // ─── q63: S16 MultiQC-lite — FastQC summary.txt fixtures (CRLF, the q36
+    //     pattern) scanned into (sample, module, status) triples and pivoted to
+    //     the per-project sample × module QC matrix
+    //     (`run_SRA2QC_diskGuard.bash:159-165`). ────────────────────────────────
+    "q63_qc_summary" -> ((s, dir) => {
+      val root = cleanDir(fixDir("q63"))
+      val modules = Seq("Basic Statistics", "Per base sequence quality",
+        "Per sequence GC content", "Overrepresented sequences", "Adapter Content")
+      nationRows(s, dir).foreach { case (k, name, _) =>
+        val d = Files.createDirectories(root.resolve(s"${name}_fastqc"))
+        val lines = modules.zipWithIndex.map { case (m, j) =>
+          val st = (k + j) % 4 match { case 0 => "FAIL"; case 1 => "WARN"; case _ => "PASS" }
+          s"$st\t$m\t$name.fastq.gz"
+        }
+        Files.writeString(d.resolve("summary.txt"), lines.mkString("\r\n") + "\r\n")
+      }
+      val qc = TsvSources.readQcSummaries(s, s"$root/*_fastqc/summary.txt")
+      graft.ops.QcSummary.pivotStatuses(qc, modules)
+        .select(col("sample"),
+          col("Basic Statistics").as("basic_statistics"),
+          col("Per base sequence quality").as("per_base_sequence_quality"),
+          col("Per sequence GC content").as("per_sequence_gc_content"),
+          col("Overrepresented sequences").as("overrepresented_sequences"),
+          col("Adapter Content").as("adapter_content"))
+        .orderBy(col("sample"))
+    }),
+
     // ─── q58: S12 BED sink round-trip — tab-joined, unquoted, position-sorted
     //     (`GeneTPMbed_v2.sh:49,93-99,124`); read back through the S6 BED scan. ─
     "q58_bed_roundtrip" -> ((s, dir) => {
@@ -527,6 +554,14 @@ object FormatQueries {
         | CASE WHEN NOT regexp_matches(project, '^[a-zA-Z0-9_-]+$') THEN 'invalid_project_id'
         |      WHEN NOT regexp_matches(read_length, '^[0-9]+$') THEN 'invalid_read_length' END AS reject_reason
         |FROM pl ORDER BY c_custkey""".stripMargin,
+    "q63_qc_summary" ->
+      """SELECT n_name AS sample,
+        | CASE (n_nationkey + 0) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS basic_statistics,
+        | CASE (n_nationkey + 1) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS per_base_sequence_quality,
+        | CASE (n_nationkey + 2) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS per_sequence_gc_content,
+        | CASE (n_nationkey + 3) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS overrepresented_sequences,
+        | CASE (n_nationkey + 4) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS adapter_content
+        |FROM nation ORDER BY sample""".stripMargin,
     "q62_combined_session" ->
       """WITH a AS (SELECT n_nationkey AS k, n_name, n_regionkey,
         |  CASE WHEN n_nationkey % 2 = 0 THEN 'PRJ_A' ELSE 'PRJ_B' END AS prj,

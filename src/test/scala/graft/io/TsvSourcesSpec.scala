@@ -69,4 +69,37 @@ class TsvSourcesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("sample_id") == "GSM9"))
     assert(rows.find(_.getString(0) == "chrY").get.getAs[Long]("mapped") == 2500L)
   }
+
+  test("FastQC summary reader: CRLF triples, sample from file column, blank lines dropped (S16)") {
+    val f = fixture("summary.txt",
+      "PASS\tBasic Statistics\tSRR1_1.fastq.gz\r\n" +
+        "WARN\tPer base sequence quality\tSRR1_1.fastq.gz\r\n" +
+        "\r\n" + // blank line tolerated
+        "FAIL\tAdapter Content\tSRR1_1.fastq.gz\r\n")
+    val rows = TsvSources.readQcSummaries(spark, f).orderBy("module").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("status")).toSeq == Seq("FAIL", "PASS", "WARN"))
+    assert(rows.forall(_.getAs[String]("sample") == "SRR1_1")) // extensions stripped
+    assert(rows.forall(_.getAs[String]("module").last != '\r')) // CRLF really gone
+  }
+
+  test("QC pivot: sample × module matrix with explicit module list; counts + triage (S16)") {
+    import graft.ops.QcSummary
+    import spark.implicits._
+    val qc = Seq(
+      ("s1", "Basic Statistics", "PASS"), ("s1", "Adapter Content", "FAIL"),
+      ("s2", "Basic Statistics", "WARN")).toDF("sample", "module", "status")
+    val m = QcSummary.pivotStatuses(qc, Seq("Basic Statistics", "Adapter Content"))
+      .orderBy("sample").collect()
+    assert(m(0).getAs[String]("Basic Statistics") == "PASS")
+    assert(m(0).getAs[String]("Adapter Content") == "FAIL")
+    assert(m(1).getAs[String]("Basic Statistics") == "WARN")
+    assert(m(1).getAs[String]("Adapter Content") == null) // absent module stays null
+    val counts = QcSummary.statusCounts(qc).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("Basic Statistics", "PASS")) == 1L)
+    assert(counts(("Basic Statistics", "WARN")) == 1L)
+    val failing = QcSummary.failingSamples(qc).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(failing.toSeq == Seq(("s1", "Adapter Content")))
+  }
 }
