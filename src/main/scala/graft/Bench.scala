@@ -58,6 +58,15 @@ object Bench {
     // JVM/codegen warmup: exercise the scan->shuffle->agg machinery once so the
     // first timed query doesn't absorb classloading + first-codegen cost.
     spark.range(1 << 20).selectExpr("count(distinct id % 97)").collect()
+    // Heaviest-first ordering means the FIRST timed query would otherwise absorb
+    // the parquet-datasource init, Janino first-compile, and the cold documents
+    // scan (measured ~2.5 s extra on q45): run two cheap real queries once,
+    // untimed — q09 warms the TPC-H scan path, q43 the documents/tokenizer path.
+    Seq("q09_rgb_bucket", "q43_text_fingerprint").foreach { warm =>
+      SparkEntry.queries.get(warm).foreach { fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+      }
+    }
     val calibPre = calibrate(spark)
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (-expectedCost.getOrElse(name, 0.45), name) }

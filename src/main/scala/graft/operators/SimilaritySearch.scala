@@ -59,26 +59,25 @@ object SimilaritySearch {
                             overCapPlanes: Seq[Seq[Double]] = deterministicPlanes(12, 64)): DataFrame = {
     val tagged = df.select(col(partCol).as("block"), col(idCol), col(vecCol))
     val counts = tagged.groupBy(col("block")).agg(count(lit(1)).as("_block_n"))
+    // Both regimes share ONE self-join: the join key is (block, sub), where sub
+    // is empty below the cap (exact all-pairs within the block) and the row's
+    // sign-LSH bits above it (bounded sub-buckets). No union, no second scan.
     val withN = tagged.join(counts, Seq("block"))
-    val under = withN.filter(col("_block_n") <= maxBlock)
-
-    def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame = {
-      val l = src.select((keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("vec_a")): _*)
-      val r = src.select((keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("vec_b")): _*)
-      l.join(r, keys)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-        .filter(col("cosine") >= threshold)
-    }
-
-    val exact = pairsWithin(under, Seq("block"))
-    if (overCapPlanes.isEmpty) exact
-    else {
-      val over = withN.filter(col("_block_n") > maxBlock)
-        .withColumn("_lsh", signLshBucket(col(vecCol), overCapPlanes))
-      exact.unionByName(pairsWithin(over, Seq("block", "_lsh")))
-    }
+    val keyed =
+      if (overCapPlanes.isEmpty) // documented exclusion mode
+        withN.filter(col("_block_n") <= maxBlock).withColumn("_sub", lit(""))
+      else
+        withN.withColumn("_sub",
+          when(col("_block_n") <= maxBlock, lit(""))
+            .otherwise(signLshBucket(col(vecCol), overCapPlanes)))
+    val keys = Seq("block", "_sub")
+    val l = keyed.select((keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("vec_a")): _*)
+    val r = keyed.select((keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("vec_b")): _*)
+    l.join(r, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Sign-LSH bucket id for an embedding: bit b = sign of dot(vec, plane_b),
