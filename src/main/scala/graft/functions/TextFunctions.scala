@@ -22,6 +22,23 @@ object TextFunctions {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern (public BPE convention: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * residual whitespace). Restricted to constructs both java.util.regex and
+    * RE2 support — no lookahead — so engine and oracle tokenize identically. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-style subword pre-tokens of the raw text (NOT lower-cased: BPE vocabs
+    * are case-sensitive). The real merge table lives in the tokenizer model;
+    * pre-tokenization is the part that determines token COUNT scaling. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** BPE pre-token count — the practical "how many tokens is this corpus"
+    * estimator at 100 TB (pure scan-side expression, no shuffle). */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Default English stopword alternation used by the language-ID heuristic. */
   val EnglishStopwords = "\\b(the|a|an|of|to|and|in|is|was|for|on|with|that)\\b"
 

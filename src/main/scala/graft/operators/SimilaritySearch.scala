@@ -80,6 +80,76 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
+  // ─── IVF with a trained coarse quantizer ────────────────────────────────────
+
+  private def cosineScala(a: Seq[Double], b: Seq[Double]): Double = {
+    var (dot, na, nb) = (0.0, 0.0, 0.0)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Index of the cosine-nearest centroid as a column expression: k scored
+    * structs reduced with `greatest` (codegen'd, no UDF). Ties break toward the
+    * higher index — deterministic. */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(NativeVec.cosine(vec, vecLit(c)).as("s"), lit(i).as("i"))
+    }
+    val best =
+      if (scored.size == 1) scored.head
+      else greatest(scored: _*)
+    best.getField("i")
+  }
+
+  /** Deterministic Lloyd k-means over the embedding column — the IVF coarse
+    * quantizer. Assignment and per-dimension mean updates are DataFrame jobs
+    * (posexplode → groupBy(cluster, dim) → avg, i.e. one shuffle of k·dims cells
+    * per iteration); only the k×dims centroid matrix reaches the driver. Init is
+    * the k lowest-id vectors (no rand(): stable across retries). Empty clusters
+    * keep their previous centroid. Centroid doubles are partitioning-dependent
+    * in the last ulp (avg is non-associative) — harmless for a coarse quantizer;
+    * persist the matrix when bit-stable assignment matters. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): Seq[Seq[Double]] = {
+    require(k > 0 && iters >= 0, s"bad k=$k/iters=$iters")
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centroids.nonEmpty, "k-means needs a non-empty frame")
+    for (_ <- 1 to iters) {
+      val means = vecs
+        .select(nearestCentroid(col("v"), centroids).as("c"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d")).agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0))) old.indices.map(d => means((c, d))) else old
+      }
+    }
+    centroids
+  }
+
+  /** IVF search: score only rows whose nearest centroid is among the query's
+    * `nprobe` closest centroids. `nprobe = k` degrades gracefully to exact
+    * brute force (the oracle identity q65 checks); `nprobe = 1` scans ~1/k of
+    * the corpus. At scale the assignment column is precomputed once and used as
+    * the parquet partition key, turning this filter into file pruning
+    * ([[partitionedTopK]] is that shape). */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              centroids: Seq[Seq[Double]], query: Seq[Double],
+              nprobe: Int, k: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosineScala(query, c), i) }
+      .take(nprobe).map(_._2)
+    bruteForceTopK(
+      df.filter(nearestCentroid(col(vecCol), centroids).isin(probed: _*)),
+      vecCol, idCol, query, k)
+  }
+
   /** Sign-LSH bucket id for an embedding: bit b = sign of dot(vec, plane_b),
     * planes supplied as constant vectors (deterministic, data-derived or seeded).
     * Docs sharing a bucket are ANN candidates — the scale path for all-pairs

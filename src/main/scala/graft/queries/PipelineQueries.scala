@@ -79,6 +79,16 @@ object PipelineQueries {
         .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // q64: BPE-style pre-tokenization — the token-count estimator that actually
+    // matches how LLM training corpora are budgeted; pattern restricted to the
+    // regex subset java and RE2 share so DuckDB reproduces it verbatim.
+    "q64_text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"))
+        .orderBy(col("doc_id"))),
+
     // ─── dedup ───────────────────────────────────────────────────────────────
     "q44_dedup_exact" -> ((s, dir) =>
       DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -109,6 +119,19 @@ object PipelineQueries {
       val (q, label) = queryVec(s, dir)
       SimilaritySearch.partitionedTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
         "label", q, label, 10)
+    }),
+
+    // q65: IVF with a TRAINED coarse quantizer (deterministic Lloyd k-means,
+    // init = lowest-id vectors). Probing all k lists must reproduce exact brute
+    // force — the oracle identity that proves the index loses nothing it
+    // shouldn't; nprobe<k pruning is spec-verified (PipelineOpsSpec).
+    "q65_sim_ivf_fullprobe" -> ((s, dir) => {
+      val (q, _) = queryVec(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val centroids = SimilaritySearch.kmeansCentroids(emb, "embedding", "vec_id",
+        k = 4, iters = 2)
+      SimilaritySearch.ivfTopK(emb, "embedding", "vec_id", centroids, q,
+        nprobe = 4, k = 20)
     }),
 
     "q50_embedding_neardup" -> ((s, dir) =>
@@ -192,6 +215,17 @@ object PipelineQueries {
          |FROM p ORDER BY doc_id""".stripMargin,
     "q43_text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q64_text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text,
+         |   '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe,
+         | CAST(array_length($tokensSql) AS BIGINT) AS n_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q65_sim_ivf_fullprobe" ->
+      s"""SELECT e.vec_id,
+         | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
     "q44_dedup_exact" ->
       "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY digest",
     "q45_dedup_jaccard" ->

@@ -155,6 +155,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(0) == 24.0 && r.getDouble(1) == 25.0 && r.getDouble(2) == 2.0)
   }
 
+  test("BPE pre-tokenizer: contractions, space-prefixed runs, digit and punct runs") {
+    val df = Seq((1L, "I've 2 cats!"), (2L, "don't stop"), (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.bpeTokens(col("text")).as("t"),
+      TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == Seq("I", "'ve", " 2", " cats", "!"))
+    assert(out(1L)._2 == 5L)
+    assert(out(2L)._1 == Seq("don", "'t", " stop"))
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("IVF: trained centroids separate clusters; nprobe=1 prunes, nprobe=k equals brute force") {
+    // two well-separated clusters around (1,0) and (0,1)
+    val rows = (0 until 10).map(i => (i.toLong, Array(1f, 0.01f * i))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.01f * (i - 10), 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = SimilaritySearch.kmeansCentroids(df, "embedding", "vec_id", k = 2, iters = 3)
+    assert(centroids.size == 2)
+    // the two learned centroids point into different clusters
+    assert((centroids(0)(0) > centroids(0)(1)) != (centroids(1)(0) > centroids(1)(1)))
+    val q = Seq(1.0, 0.05)
+    val probed1 = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", centroids, q,
+      nprobe = 1, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(probed1.forall(_ < 10L)) // pruned to the (1,0)-cluster list only
+    val full = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", centroids, q,
+      nprobe = 2, k = 5).collect().map(_.getLong(0)).toSeq
+    val brute = SimilaritySearch.bruteForceTopK(df, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // probing every list loses nothing
+  }
+
   // ── multimodal ──────────────────────────────────────────────────────────────
 
   test("multimodal plumbing: binary payloads through per-partition extraction") {
