@@ -13,7 +13,9 @@ object Explain {
       else Seq("q03_starqc_gate", "q12_bed_tpm_broadcast", "q20_matrix_pivot",
         "q22_coverage_bins", "q01_scan_project", "q45_dedup_jaccard",
         "q46_dedup_minhash", "q47_dedup_simhash", "q48_sim_bruteforce",
-        "q52_embedding_neardup_lsh", "q53_interval_overlap", "q54_asof_join")
+        "q50_embedding_neardup", "q52_embedding_neardup_lsh",
+        "q53_interval_overlap", "q54_asof_join", "q64_text_bpe_tokens",
+        "q65_sim_ivf_fullprobe")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * over the shared test corpus with a DuckDB oracle in `oracleSql`. The genomics
   * file-format/driver surface (TSV/RSEM/BED/JSON writers+readers, external-stage
   * protocol) is oracle-checked too, via corpus-derived fixture ROUND-TRIPS
-  * ([[graft.queries.FormatQueries]] q34–q39/q56–q58) on top of the ScalaTest
+  * ([[graft.queries.FormatQueries]] q34–q39/q56–q63) on top of the ScalaTest
   * fixture specs.
   */
 object SparkEntry {
