@@ -358,6 +358,21 @@ object RelationalQueries {
           col("n"), col("total_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // ─── Streaming batch shadow: per-user SESSION windows (30-min inactivity
+    //     gap) via session_window — the sessionization staple; the oracle
+    //     recomputes it as gaps-and-islands SQL. Spark semantics: per-event
+    //     windows [ts, ts+gap) merge while they overlap; session end =
+    //     last event + gap. ─────────────────────────────────────────────────────
+    "q66_session_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          unix_millis(col("session_window.end")).as("session_end_ms"),
+          col("user_id"), col("n"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start_ms"))),
+
     // ─── Interval-overlap (range) join, binned — SURVEY §2.3's "natural
     //     genomic extension": same-type events whose [ts, ts+6·value sec]
     //     windows intersect, joined via fixed 300 s bins, one row per pair. ───
@@ -561,6 +576,18 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q66_session_windows" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT epoch_ms(min(ts)) AS session_start_ms,
+        | epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+        | user_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""".stripMargin,
     "q53_interval_overlap" ->
       """WITH iv0 AS (SELECT event_type, event_id, epoch_ms(ts)//1000 AS start_,
         |  epoch_ms(ts)//1000 + CAST(floor(value*6) AS BIGINT) AS end_ FROM events),

@@ -36,6 +36,22 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-user sessionization with an inactivity gap — the streaming twin of
+    * batch query q66. `session_window` merges each event's [ts, ts+gap) window
+    * while they overlap; a session closes (and, in Append mode, emits) once the
+    * watermark passes its end. State per live session only — bounded by the
+    * watermark horizon, not by history. */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("total_value"))
+
   /** One step-completion event from a pipeline run. */
   final case class StepEvent(project: String, step: String, ok: Boolean, ts: Timestamp)
 

@@ -30,6 +30,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts: inactivity gap splits sessions; session end = last event + gap") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // session-window aggregation supports Append: a session emits only once the
+    // watermark passes its end — exactly the bounded-state contract we want
+    val q = EventPipeline.sessionCounts(events, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      // user 7: two events 10 min apart (one session), then one 50 min later (new);
+      // user 8: single event
+      input.addData((ts(0), 7L, 1.0), (ts(10), 7L, 2.0), (ts(60), 7L, 4.0), (ts(5), 8L, 8.0))
+      q.processAllAvailable()
+      // advance the watermark past every session end (ts(200) - 1h = ts(140)),
+      // then one more batch so the closed sessions flush to the sink
+      input.addData((ts(200), 9L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts(310), 9L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).getTime) ->
+          ((r.getTimestamp(1).getTime, r.getLong(3), r.getDouble(4)))).toMap
+      assert(rows((7L, ts(0).getTime)) == ((ts(10).getTime + 30 * 60000L, 2L, 3.0)))
+      assert(rows((7L, ts(60).getTime)) == ((ts(60).getTime + 30 * 60000L, 1L, 4.0)))
+      assert(rows((8L, ts(5).getTime)) == ((ts(5).getTime + 30 * 60000L, 1L, 8.0)))
+      assert(!rows.contains((9L, ts(310).getTime))) // still open — not yet emitted
+    } finally q.stop()
+  }
+
   test("project state machine: RUNNING → COMPLETE / FAILED across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StepEvent]
