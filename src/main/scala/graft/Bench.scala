@@ -32,7 +32,17 @@ object Bench {
     "q24_distinct" -> 0.22, "q05_agreement" -> 0.22,
     "q06_regex_filter" -> 0.20, "q27_topk" -> 0.20,
     "q43_text_fingerprint" -> 0.20, "q08_marker_isin" -> 0.18,
-    "q09_rgb_bucket" -> 0.15)
+    "q09_rgb_bucket" -> 0.15,
+    // round-3 additions (r3_sf0.1 medians)
+    "q62_combined_session" -> 1.94, "q56_conflict_only" -> 1.28,
+    "q38_session_viewport" -> 1.12, "q37_track_json_roundtrip" -> 1.00,
+    "q34_report_roundtrip" -> 0.98, "q35_matrix_roundtrip" -> 0.93,
+    "q58_bed_roundtrip" -> 0.46, "q63_qc_summary" -> 0.46,
+    "q39_stage_protocol" -> 0.39, "q60_image_decode" -> 0.36,
+    "q36_rsem_scan" -> 0.26, "q61_audio_decode" -> 0.26,
+    "q57_orchestrator_outcomes" -> 0.20, "q59_input_validation" -> 0.18,
+    "q66_session_windows" -> 0.90, "q64_text_bpe_tokens" -> 0.60,
+    "q65_sim_ivf_fullprobe" -> 0.50)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

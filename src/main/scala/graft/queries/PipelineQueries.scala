@@ -149,7 +149,14 @@ object PipelineQueries {
         phi = 0.0013, k = 1024)
         .orderBy(col("gram"))),
 
-    // ─── multimodal plumbing (decode stubbed; Spark shape real) ──────────────
+    // q67: per-column profile gate — null counts, exact distinct cardinality,
+    // min/max — over pipeline-input columns; one aggregate job + stack unpivot.
+    "q67_profile_orders" -> ((s, dir) =>
+      graft.operators.Profiler.profile(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"))
+        .orderBy(col("col_name"))),
+
+    // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
@@ -215,6 +222,22 @@ object PipelineQueries {
          |FROM p ORDER BY doc_id""".stripMargin,
     "q43_text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q67_profile_orders" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS n_non_null,
+        |    COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS max_str FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', COUNT(o_orderkey), COUNT(DISTINCT o_orderkey),
+        |    CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+        |) ORDER BY col_name""".stripMargin,
     "q64_text_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text,

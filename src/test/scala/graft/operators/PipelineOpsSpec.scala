@@ -187,6 +187,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute) // probing every list loses nothing
   }
 
+  test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
+    val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
+      .toDF("k", "s", "t")
+    val prof = graft.operators.Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(prof("k") == ((3L, 2L, "1", "2")))
+    assert(prof("s") == ((2L, 2L, "a", "b"))) // null excluded from count + distinct
+    assert(prof("t") == ((2L, 2L, "x", "y")))
+    intercept[IllegalArgumentException](graft.operators.Profiler.profile(df, Seq("nope")))
+  }
+
   // ── multimodal ──────────────────────────────────────────────────────────────
 
   test("multimodal plumbing: binary payloads through per-partition extraction") {
