@@ -310,4 +310,65 @@ object DedupSuite {
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         col("jaccard"))
   }
+
+  // ── cluster resolution ─────────────────────────────────────────────────────
+
+  /** Connected components over an undirected candidate-pair graph
+    * (`id_a`, `id_b`) — the step that turns any of the pair generators above
+    * into dedup CLUSTERS ("keep one doc per duplicate group"). Returns
+    * (id, component) for every vertex in the pair set, component = min
+    * reachable id.
+    *
+    * Algorithm: min-label propagation with path shortcutting — each round every
+    * vertex takes the min label in its neighborhood, then labels chase their
+    * own label's label (pointer halving), giving O(log n) rounds on chains
+    * rather than O(diameter); the classic MapReduce connected-components shape
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"). Each
+    * round is two equi-joins + one aggregate; lineage is truncated per round
+    * with `localCheckpoint` (mandatory for iterative DataFrame loops — plan
+    * growth is otherwise exponential). Converges when a round changes no
+    * label; `maxIters` bounds pathological inputs. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      iters += 1
+      // 1. neighborhood min
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("dst_comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dst_comp")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // 2. pointer halving: follow my label's label
+      val next = stepped
+        .join(stepped.select(col("id").as("component"), col("component").as("parent_comp")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("parent_comp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Keep one canonical document per duplicate cluster: docs in the pair graph
+    * survive only if they ARE their cluster's min id; docs in no pair survive
+    * as their own singletons. Output: the canonical subset of `df`. */
+  def canonicalByCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
 }

@@ -38,6 +38,24 @@ object PipelineQueries {
     plane.zipWithIndex.map { case (v, j) =>
       s"CAST($e.embedding[${j + 1}] AS DOUBLE)*($v)" }.mkString(" + ")
 
+  /** MinHash-LSH candidate-pair SQL (q46's oracle body; also the edge set the
+    * q68 connected-components oracle closes transitively). */
+  private lazy val minhashPairsSql: String =
+    s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+       |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
+       |w AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
+       |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM e),
+       |sig AS (SELECT doc_id, ${(0 until 8).map(i =>
+           s"min((wa + $i * wb) % 4294967296) AS h$i").mkString(", ")}
+       |  FROM w GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
+       |  unnest([0,1,2,3]) AS band_idx FROM sig)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+
   private def bucketSql(e: String): String =
     LshPlanes.map(p =>
       s"(CASE WHEN (${planeDotSql(e, p)}) >= 0.0 THEN '1' ELSE '0' END)")
@@ -103,6 +121,16 @@ object PipelineQueries {
       DedupSuite.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 8, bands = 4)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // q68: candidate pairs → duplicate CLUSTERS via distributed connected
+    // components (min-label propagation + pointer halving); the oracle closes
+    // the same MinHash pair set transitively with a recursive CTE.
+    "q68_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupSuite.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 8, bands = 4)
+        .select(col("id_a"), col("id_b"))
+      DedupSuite.connectedComponents(pairs).orderBy(col("id"))
+    }),
 
     "q47_dedup_simhash" -> ((s, dir) =>
       DedupSuite.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -263,21 +291,17 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "q46_dedup_minhash" ->
-      s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
-         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
-         |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
-         |w AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
-         |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM e),
-         |sig AS (SELECT doc_id, ${(0 until 8).map(i =>
-             s"min((wa + $i * wb) % 4294967296) AS h$i").mkString(", ")}
-         |  FROM w GROUP BY doc_id),
-         |bands AS (SELECT doc_id,
-         |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
-         |  unnest([0,1,2,3]) AS band_idx FROM sig)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      s"""$minhashPairsSql
          |ORDER BY id_a, id_b""".stripMargin,
+    "q68_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
+         |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q47_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, md5(unnest($tokensSql)) AS d FROM documents),
          |wrd AS (SELECT doc_id, ${(0 until SimHashBits / 32).map(j =>

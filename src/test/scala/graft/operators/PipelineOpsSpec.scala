@@ -187,6 +187,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute) // probing every list loses nothing
   }
 
+  test("connected components: chains, stars, disjoint clusters resolve to min-id labels") {
+    import graft.operators.DedupSuite
+    // chain 1-2-3-4 (propagation must cross hops), star 10-{11,12}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = DedupSuite.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("canonicalByCluster keeps cluster minima plus untouched singletons") {
+    import graft.operators.DedupSuite
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (7L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DedupSuite.canonicalByCluster(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L)) // one canonical per cluster + the singleton
+  }
+
   test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
     val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
       .toDF("k", "s", "t")
