@@ -38,11 +38,13 @@ object PipelineQueries {
     plane.zipWithIndex.map { case (v, j) =>
       s"CAST($e.embedding[${j + 1}] AS DOUBLE)*($v)" }.mkString(" + ")
 
-  /** MinHash-LSH candidate-pair SQL (q46's oracle body; also the edge set the
-    * q68 connected-components oracle closes transitively). */
-  private lazy val minhashPairsSql: String =
-    s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
-       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+  /** MinHash-LSH candidate-pair SQL over `src` (q46's oracle body; also the
+    * edge set the q68/q69 connected-components oracles close transitively).
+    * NOTE: does not start with WITH — callers provide the (recursive) WITH and
+    * splice these CTEs in, since SQL allows only one WITH clause per level. */
+  private def minhashPairsCtes(src: String): String =
+    s"""sh0 AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM $src)),
        |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
        |w AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
        |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM e),
@@ -51,10 +53,21 @@ object PipelineQueries {
        |  FROM w GROUP BY doc_id),
        |bands AS (SELECT doc_id,
        |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
-       |  unnest([0,1,2,3]) AS band_idx FROM sig)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+       |  unnest([0,1,2,3]) AS band_idx FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Transitive closure of `pairs` into min-id components — CTE tail shared by
+    * the q68/q69 oracles; yields `comp(id, component)`. */
+  private val componentsCtes: String =
+    """edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   private def bucketSql(e: String): String =
     LshPlanes.map(p =>
@@ -136,6 +149,15 @@ object PipelineQueries {
       DedupSuite.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         bits = 64, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // q69: the full curation composition — quality gate → language filter →
+    // near-dup cluster canonicalization — as ONE operator; the oracle replays
+    // every stage (filters in SQL, pair set + recursive transitive closure
+    // over the filtered corpus, canonical = cluster min or untouched single).
+    "q69_curation" -> ((s, dir) =>
+      graft.operators.CurationPipeline.curate(t(s, dir, "documents"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
 
     // ─── similarity search ───────────────────────────────────────────────────
     "q48_sim_bruteforce" -> ((s, dir) => {
@@ -291,17 +313,24 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "q46_dedup_minhash" ->
-      s"""$minhashPairsSql
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${minhashPairsCtes("documents")}
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q68_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
-         |  UNION
-         |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d)
-         |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |$componentsCtes
+         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+    "q69_curation" ->
+      s"""WITH RECURSIVE filt AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ($qualitySql) >= 0.5
+         |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+         |${minhashPairsCtes("filt")},
+         |$componentsCtes
+         |SELECT f.doc_id FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = f.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q47_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, md5(unnest($tokensSql)) AS d FROM documents),
          |wrd AS (SELECT doc_id, ${(0 until SimHashBits / 32).map(j =>

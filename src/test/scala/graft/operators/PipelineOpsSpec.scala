@@ -207,6 +207,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 7L)) // one canonical per cluster + the singleton
   }
 
+  test("CurationPipeline: quality and language gates filter, near-dups collapse to canonicals") {
+    import graft.operators.CurationPipeline
+    val good = "the cat sat on the mat and then the dog sat on the mat too it was quite a day for sitting"
+    val docs = Seq(
+      (1L, good),                        // survives
+      (2L, good + " !"),                 // near-dup of 1 → collapsed into it
+      (3L, "!!!???...;;;:::!!!"),         // fails the quality gate (pure punctuation)
+      (4L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg hhh jjj kkk lll")) // no stopwords → not en
+    val kept = CurationPipeline.curate(docs.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L))
+    val rep = CurationPipeline.report(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("input" -> 4L, "quality_gate" -> 3L,
+      "language_filter" -> 2L, "near_dup_canonical" -> 1L))
+  }
+
   test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
     val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
       .toDF("k", "s", "t")
