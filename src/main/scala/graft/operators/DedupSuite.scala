@@ -319,20 +319,52 @@ object DedupSuite {
     * (id, component) for every vertex in the pair set, component = min
     * reachable id.
     *
-    * Algorithm: min-label propagation with path shortcutting — each round every
-    * vertex takes the min label in its neighborhood, then labels chase their
-    * own label's label (pointer halving), giving O(log n) rounds on chains
-    * rather than O(diameter); the classic MapReduce connected-components shape
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond"). Each
-    * round is two equi-joins + one aggregate; lineage is truncated per round
-    * with `localCheckpoint` (mandatory for iterative DataFrame loops — plan
-    * growth is otherwise exponential). Converges when a round changes no
-    * label; `maxIters` bounds pathological inputs. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
+    * Two regimes, identical results:
+    *   - pair sets up to `maxDriverEdges` (the common case — candidate pairs
+    *     are near-dups, a sliver of the corpus) resolve with a driver-side
+    *     union-find: one collect of id PAIRS (16 bytes each, never documents),
+    *     the same bounded-small-side discipline as the HeavyHitters candidate
+    *     collect;
+    *   - larger graphs run distributed min-label propagation with path
+    *     shortcutting — each round every vertex takes the min label in its
+    *     neighborhood, then labels chase their own label's label (pointer
+    *     halving), O(log n) rounds on chains; the classic MapReduce
+    *     connected-components shape (Kiveris et al., "Connected Components in
+    *     MapReduce and Beyond"). Each round is two equi-joins + one aggregate,
+    *     lineage truncated per round with `localCheckpoint` (mandatory for
+    *     iterative DataFrame loops); converges when a round changes no label,
+    *     `maxIters` bounds pathological inputs. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+                          maxDriverEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // materialize the pair set ONCE — candidate generation is the expensive
+    // upstream (LSH joins); count, collect, and the iterative loop all reread
+    // the checkpointed edges instead of recomputing it
+    val p2 = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst")).distinct()
       .localCheckpoint(true)
+    if (p2.count() <= maxDriverEdges) {
+      // driver union-find (min root wins), path compression
+      val es = p2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "component")
+    }
+    val edges = p2
+      .unionByName(p2.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

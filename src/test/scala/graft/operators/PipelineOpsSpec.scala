@@ -192,10 +192,16 @@ class PipelineOpsSpec extends SparkSpec {
     // chain 1-2-3-4 (propagation must cross hops), star 10-{11,12}, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find regime (default threshold)
     val comp = DedupSuite.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(comp == expected)
+    // distributed label-propagation regime (threshold forced to 0)
+    val dist = DedupSuite.connectedComponents(pairs, maxDriverEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("canonicalByCluster keeps cluster minima plus untouched singletons") {
