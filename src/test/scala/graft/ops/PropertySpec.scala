@@ -135,6 +135,56 @@ class PropertySpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("connected components ≡ naive transitive closure, both regimes, random graphs") {
+    val rnd = new Random(777)
+    (1 to rounds).foreach { round =>
+      val nVerts = 10 + rnd.nextInt(30)
+      val nEdges = 5 + rnd.nextInt(40)
+      val edges = (1 to nEdges).map { _ =>
+        val a = rnd.nextInt(nVerts).toLong; val b = rnd.nextInt(nVerts).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // naive closure: repeated relabel to min neighbor until fixpoint
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        var label = verts.map(v => v -> v).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          edges.foreach { case (a, b) =>
+            val m = math.min(label(a), label(b))
+            if (label(a) != m || label(b) != m) {
+              label += a -> m; label += b -> m; changed = true
+            }
+          }
+        }
+        val df = edges.toDF("id_a", "id_b")
+        Seq(1000000L /* driver union-find */, 0L /* distributed */).foreach { cap =>
+          val got = DedupSuite.connectedComponents(df, maxDriverEdges = cap)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == label, s"CC mismatch round=$round cap=$cap")
+        }
+      }
+    }
+  }
+
+  test("BPE pre-tokens concatenate back to the original text (lossless partition)") {
+    import graft.functions.TextFunctions
+    val rnd = new Random(31)
+    val alphabet = "abc XY12 ,.!?'\t"
+    val texts = (1 to 50).map { i =>
+      (i.toLong, (1 to (5 + rnd.nextInt(60))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val rows = texts.toDF("id", "text")
+      .select(col("id"), col("text"),
+        concat_ws("", TextFunctions.bpeTokens(col("text"))).as("rejoined"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"BPE tokens must partition the text exactly: '${r.getString(1)}'")
+    }
+  }
+
   test("dedup keep-first is idempotent and never grows") {
     val rnd = new Random(5)
     val acc = (1 to 80).map(i => (s"SRR$i", s"GSM${rnd.nextInt(20)}", i.toLong))
