@@ -427,6 +427,27 @@ object FormatQueries {
         .orderBy(col("sample"))
     }),
 
+    // ─── q70: REAL multi-frame demux — animated GIFs built with the JDK's
+    //     sequence writer, demuxed + frame-sampled distributed
+    //     (Multimodal.sampleGifFrames); the oracle regenerates every sampled
+    //     frame's index and exact channel means from the construction
+    //     arithmetic (solid colors survive the GIF palette losslessly). ────────
+    "q70_video_frames" -> ((s, dir) => {
+      val rows = nationRows(s, dir).map { case (k, _, _) =>
+        val ki = k.toInt
+        val n = 2 + ki % 4
+        val frames = (0 until n).map(f =>
+          (((ki * 7 + f * 31) % 256) << 16) | (((ki * 11 + f * 37) % 256) << 8) |
+            ((ki * 13 + f * 41) % 256))
+        (k, graft.operators.Multimodal.encodeGif(frames, 8 + ki % 5, 6))
+      }
+      import s.implicits._
+      val media = graft.operators.Multimodal.asMediaFrame(
+        rows.toDF("media_id", "payload"), "media_id", "payload", "video")
+      graft.operators.Multimodal.sampleGifFrames(media, every = 2).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ─── q58: S12 BED sink round-trip — tab-joined, unquoted, position-sorted
     //     (`GeneTPMbed_v2.sh:49,93-99,124`); read back through the S6 BED scan. ─
     "q58_bed_roundtrip" -> ((s, dir) => {
@@ -593,6 +614,17 @@ object FormatQueries {
         | CAST(n_nationkey*5 % 256 + n_nationkey*13 % 256 AS DOUBLE)/2.0 AS mean_g,
         | CAST(n_nationkey*7 % 256 + n_nationkey*17 % 256 AS DOUBLE)/2.0 AS mean_b
         |FROM nation ORDER BY media_id""".stripMargin,
+    "q70_video_frames" ->
+      """WITH f AS (SELECT n_nationkey AS k, unnest(range(0, 2 + n_nationkey % 4, 2)) AS frame_idx
+        |  FROM nation)
+        |SELECT CAST(k AS BIGINT) AS media_id,
+        | CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(8 + k % 5 AS INT) AS width,
+        | 6 AS height,
+        | CAST((k*7 + frame_idx*31) % 256 AS DOUBLE) AS mean_r,
+        | CAST((k*11 + frame_idx*37) % 256 AS DOUBLE) AS mean_g,
+        | CAST((k*13 + frame_idx*41) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q61_audio_decode" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
         | CAST(8000 + 100*n_nationkey AS INT) AS sample_rate,

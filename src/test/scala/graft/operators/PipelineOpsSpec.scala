@@ -292,6 +292,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f.mean_amp == -0.5 * 3) // Σ(i-128) over a full period = -128 → mean -0.5 per unit gain
   }
 
+  test("real GIF demux: sequence-written frames sampled and decoded with exact colors") {
+    val frames = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0x405060)
+    val gif = Multimodal.encodeGif(frames, 4, 3)
+    assert(new String(gif.take(3)) == "GIF") // real container
+    val media = Multimodal.asMediaFrame(
+      Seq((5L, gif)).toDF("doc_id", "payload"), "doc_id", "payload", "video")
+    val sampled = Multimodal.sampleGifFrames(media, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2, 4)) // every 2nd of 5 frames
+    assert(sampled.forall(f => f.width == 4 && f.height == 3))
+    // solid colors survive the GIF palette losslessly
+    assert(sampled.map(f => (f.mean_r, f.mean_g, f.mean_b)).toSeq == Seq(
+      (255.0, 0.0, 0.0), (0.0, 0.0, 255.0), (0x40.toDouble, 0x50.toDouble, 0x60.toDouble)))
+  }
+
   test("multimodal frame sampling emits every k-th fixed-size chunk") {
     val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
     val media = Multimodal.asMediaFrame(
