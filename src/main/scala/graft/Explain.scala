@@ -15,7 +15,8 @@ object Explain {
         "q46_dedup_minhash", "q47_dedup_simhash", "q48_sim_bruteforce",
         "q50_embedding_neardup", "q52_embedding_neardup_lsh",
         "q53_interval_overlap", "q54_asof_join", "q64_text_bpe_tokens",
-        "q65_sim_ivf_fullprobe")
+        "q65_sim_ivf_fullprobe", "q66_session_windows", "q67_profile_orders",
+        "q69_curation")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
