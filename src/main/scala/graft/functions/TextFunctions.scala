@@ -75,6 +75,27 @@ object TextFunctions {
   def rollingTokenHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Deterministic split assignment for train/val/test partitioning: bucket =
+    * first 32 md5 bits of the KEY (id or content fingerprint) modulo `buckets`.
+    * Hash-based splits are the only kind that survive corpus regeneration —
+    * row order and sampling seeds do not — and hashing the CONTENT fingerprint
+    * instead of the id keeps duplicate texts in the same split (no
+    * train/test leakage through near-identical rows). md5 keeps the oracle
+    * SQL-expressible; the arithmetic is engine-identical. */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+  }
+
+  /** Named split from bucket thresholds: bucket < trainUpTo → "train",
+    * < valUpTo → "val", else "test" (out of `buckets`). */
+  def splitAssign(key: Column, buckets: Int, trainUpTo: Int, valUpTo: Int): Column = {
+    require(0 < trainUpTo && trainUpTo < valUpTo && valUpTo <= buckets,
+      s"need 0 < trainUpTo($trainUpTo) < valUpTo($valUpTo) <= buckets($buckets)")
+    val b = hashBucket(key, buckets)
+    when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
+  }
+
   /** Word n-gram shingles from an ALREADY-BOUND tokens column (e.g. n=3 →
     * "w1 w2 w3" strings). Pass an attribute reference, not a raw `tokens(text)`
     * expression: higher-order lambdas re-evaluate their child tree per element, so

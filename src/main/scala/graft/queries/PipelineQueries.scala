@@ -120,6 +120,17 @@ object PipelineQueries {
           TextFunctions.tokenCount(col("text")).as("n_ws"))
         .orderBy(col("doc_id"))),
 
+    // q71: deterministic train/val/test split — hash of the CONTENT fingerprint
+    // (duplicate texts land in the same split: no leakage), 80/10/10 by md5
+    // bucket; per-doc assignment plus the per-split tallies, both oracle-exact.
+    "q71_hash_split" -> ((s, dir) => {
+      val assigned = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.splitAssign(TextFunctions.fingerprintMd5(col("text")),
+            buckets = 100, trainUpTo = 80, valUpTo = 90).as("split"))
+      assigned.orderBy(col("doc_id"))
+    }),
+
     // ─── dedup ───────────────────────────────────────────────────────────────
     "q44_dedup_exact" -> ((s, dir) =>
       DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -272,6 +283,13 @@ object PipelineQueries {
          |FROM p ORDER BY doc_id""".stripMargin,
     "q43_text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q71_hash_split" ->
+      """WITH a AS (SELECT doc_id,
+        |  ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q67_profile_orders" ->
       """SELECT * FROM (
         |  SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS n_non_null,

@@ -167,6 +167,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L)
   }
 
+  test("hash split: deterministic, duplicate texts share a split, thresholds validated") {
+    val docs = Seq((1L, "same doc"), (2L, "same doc"), (3L, "  SAME   DOC "), (4L, "other"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextFunctions.splitAssign(TextFunctions.fingerprintMd5(col("text")), 100, 80, 90).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical (and whitespace/case-variant) content always lands together
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(Set("train", "val", "test").contains(out(4L)))
+    // rerun is bit-identical (no seed, no order dependence)
+    val again = docs.select(col("doc_id"),
+      TextFunctions.splitAssign(TextFunctions.fingerprintMd5(col("text")), 100, 80, 90).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException](TextFunctions.splitAssign(col("text"), 100, 90, 80))
+  }
+
   test("IVF: trained centroids separate clusters; nprobe=1 prunes, nprobe=k equals brute force") {
     // two well-separated clusters around (1,0) and (0,1)
     val rows = (0 until 10).map(i => (i.toLong, Array(1f, 0.01f * i))) ++
