@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing — grouping documents into fixed token-budget bins
+  * (pretraining context windows). Packing is inherently sequential (each
+  * boundary depends on the running total), so it cannot be a window function;
+  * the distributed shape is per-SHARD sequential: documents are hash-sharded
+  * (deterministic md5 buckets, [[TextFunctions.hashBucket]]), each shard is
+  * packed independently by an in-order scan inside `mapPartitions` — the one
+  * legitimate use of per-partition imperative logic. Shards keep packing
+  * embarrassingly parallel at any corpus size; the greedy rule is the standard
+  * first-fit-in-order: a document that would overflow the budget starts the
+  * next pack (oversized documents occupy a pack alone).
+  */
+object SequencePacking {
+
+  /** Pack (id, n_tokens) rows into per-shard greedy bins.
+    * Output: (idCol, shard, pack) — pack indices are per-shard, 0-based. */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, s"bad budget=$budget/nShards=$nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = docs
+      .select(col(idCol).cast("long").as("id"), col(nTokensCol).cast("long").as("n"))
+      .withColumn("shard", TextFunctions.hashBucket(col("id"), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    sharded.select(col("id"), col("n"), col("shard")).as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // several shards may hash into one partition — state resets per shard
+        var curShard = Long.MinValue
+        var acc = 0L
+        var pack = 0L
+        it.map { case (id, n, shard) =>
+          if (shard != curShard) { curShard = shard; acc = n; pack = 0L }
+          else if (acc + n > budget) { pack += 1; acc = n }
+          else acc += n
+          (id, shard, pack)
+        }
+      }
+      .toDF(idCol, "shard", "pack")
+  }
+}

@@ -131,6 +131,17 @@ object PipelineQueries {
       assigned.orderBy(col("doc_id"))
     }),
 
+    // q72: greedy sequence packing into 300-token context windows, hash-sharded;
+    // the oracle replays the sequential greedy rule with a recursive CTE
+    // stepping shard rows in order.
+    "q72_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.SequencePacking
+        .packSequences(docs, "doc_id", "n_tokens", budget = 300L, nShards = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ─── dedup ───────────────────────────────────────────────────────────────
     "q44_dedup_exact" -> ((s, dir) =>
       DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -290,6 +301,20 @@ object PipelineQueries {
         |SELECT doc_id,
         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q72_sequence_packing" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+        |  CAST(array_length($tokensSql) AS BIGINT) AS n,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |st(shard, rn, doc_id, acc, pack) AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.doc_id,
+        |    CASE WHEN st.acc + r.n > 300 THEN r.n ELSE st.acc + r.n END,
+        |    CASE WHEN st.acc + r.n > 300 THEN st.pack + 1 ELSE st.pack END
+        |  FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1)
+        |SELECT doc_id, shard, pack FROM st ORDER BY doc_id""".stripMargin,
     "q67_profile_orders" ->
       """SELECT * FROM (
         |  SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS n_non_null,

@@ -247,6 +247,19 @@ class PipelineOpsSpec extends SparkSpec {
       "language_filter" -> 2L, "near_dup_canonical" -> 1L))
   }
 
+  test("sequence packing: greedy budget bins per shard, oversized doc gets its own pack") {
+    import graft.operators.SequencePacking
+    // single shard → fully deterministic order by id
+    val docs = Seq((1L, 100L), (2L, 150L), (3L, 60L), (4L, 500L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = SequencePacking.packSequences(docs, "doc_id", "n_tokens",
+      budget = 300L, nShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 100+150 = 250 fits; +60 → 310 > 300 → new pack; 60+500 overflows → 500 alone;
+    // 500+10 overflows → 10 starts pack 3
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
     val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
       .toDF("k", "s", "t")
