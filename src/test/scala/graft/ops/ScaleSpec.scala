@@ -99,6 +99,47 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("scan-side text ops prune columns and stay in one codegen stage (q64-class)") {
+    import graft.functions.TextFunctions
+    val dir = java.nio.file.Files.createTempDirectory("graft-scan").toString
+    (1 to 50).map(i => (i.toLong, s"doc $i text", s"extra $i", i * 1.0))
+      .toDF("doc_id", "text", "unused_a", "unused_b")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pure per-row op must not shuffle:\n$plan")
+    // column pruning: the scan must read only the two referenced columns
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("unused_a") && !scan.contains("unused_b"),
+      s"scan must prune unused columns:\n$scan")
+  }
+
+  test("session-window aggregation plans a single shuffle by user (q66-class)") {
+    val ev = (1 to 100).map(i => (new java.sql.Timestamp(1700000000000L + i * 60000L),
+      (i % 7).toLong, i * 1.0)).toDF("ts", "user_id", "value")
+    val q = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"session windows should shuffle once:\n$plan")
+  }
+
+  test("embeddingNearDupPairs keeps equi-join keys (block, sub) — no nested loop (q50)") {
+    import graft.operators.SimilaritySearch
+    val rows = (1 to 200).map(i => (i.toLong, Array(1f, 0.01f * i), s"b${i % 5}"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SimilaritySearch.embeddingNearDupPairs(rows.toDF("vec_id", "embedding", "label"),
+        "embedding", "vec_id", "label", threshold = 0.9, maxBlock = 10)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"pair generation must stay an equi-join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed join plans without exchanges; values match plain join") {
     Seq("bt_left", "bt_right").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
