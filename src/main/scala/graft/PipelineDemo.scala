@@ -95,7 +95,10 @@ object PipelineDemo {
       .withColumn("trackId", concat(lit("RNAseq_"), col("unique_name")))
       .withColumn("_path", concat(lit(s"$outDir/"), col("geo_accession"), lit(".json")))
     tracks.select(col("trackId"), SessionBuilder.trackJson("PRJDEMO").as("doc"))
-      .collect().foreach(r => write(outDir, r.getString(0) + ".json", r.getString(1)))
+      .collect().foreach { r =>
+        // strain names may contain '/' (BN/NHsdMcwi) — flatten for the FILE name
+        write(outDir, r.getString(0).replace('/', '_') + ".json", r.getString(1))
+      }
     write(outDir, "PRJDEMO_jbrowse_session_GRCr8.json",
       SessionBuilder.buildSession(tracks, "PRJDEMO",
         java.time.LocalDateTime.now().withNano(0).toString))
