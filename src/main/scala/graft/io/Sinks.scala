@@ -53,6 +53,28 @@ object Sinks {
     publishSingleFile(tmpDir, outFile)
   }
 
+  /** Large-data parquet sink with file-count discipline — the opposite regime
+    * from the single-file report sinks above. At 100 TB the failure mode is
+    * SMALL FILES: a shuffle with thousands of tasks writing into hundreds of
+    * partition values creates tasks×values fragments, and every downstream scan
+    * pays per-file open cost. This sink repartitions by the partition columns
+    * first (one task per live partition value, so each value gets ONE file
+    * unless `maxRecordsPerFile` splits it) and lets the writer roll files at
+    * the record cap — bounded file count AND bounded file size.
+    *
+    * Skewed partition values: a value bigger than `maxRecordsPerFile` still
+    * splits correctly (the cap is enforced by the writer, per task). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partitionCols.nonEmpty, "use plain df.write for unpartitioned output")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Children of `dir`, with the directory stream closed (Files.list leaks an fd
     * per call otherwise — these sinks run in per-sample/per-project loops). */
   private def listChildren(dir: Path): Seq[Path] = {

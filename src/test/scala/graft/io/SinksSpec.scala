@@ -44,4 +44,29 @@ class SinksSpec extends SparkSpec {
     assert(Files.readAllLines(Paths.get(out)).get(0)
       == "chr1\t100\t200\tGeneA\t812.44\t.\t100\t200\t0,0,205")
   }
+
+  test("writePartitionedParquet: one file per partition value, record cap splits big values") {
+    import spark.implicits._
+    val df = (1 to 900).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
+    val out = tempDir().resolve("layout").toString
+    Sinks.writePartitionedParquet(df, out, Seq("part"), maxRecordsPerFile = 1000L)
+    def partFiles(v: String) = {
+      val d = Paths.get(out, s"part=$v")
+      val ls = Files.list(d)
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally ls.close()
+    }
+    // 300 rows per value, cap 1000 -> exactly one file each (no task-fragmenting)
+    assert(Seq("p0", "p1", "p2").map(partFiles) == Seq(1L, 1L, 1L))
+    // skewed value over the cap rolls into multiple files
+    val out2 = tempDir().resolve("layout2").toString
+    Sinks.writePartitionedParquet(df, out2, Seq("part"), maxRecordsPerFile = 100L)
+    val d2 = Paths.get(out2, "part=p0")
+    val ls2 = Files.list(d2)
+    val n2 = try ls2.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+             finally ls2.close()
+    assert(n2 == 3L) // 300 rows / 100-record cap
+    // round-trip intact
+    assert(spark.read.parquet(out2).count() == 900L)
+  }
 }
