@@ -45,7 +45,9 @@ object Bench {
     "q65_sim_ivf_fullprobe" -> 0.50,
     "q68_dedup_clusters" -> 2.00, "q69_curation" -> 3.30,
     "q67_profile_orders" -> 2.90, "q70_video_frames" -> 0.40,
-    "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45)
+    "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
+    "q73_text_repetition" -> 0.60, "q74_length_trim" -> 0.40,
+    "q75_stratified_sample" -> 0.35)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

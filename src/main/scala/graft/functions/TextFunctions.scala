@@ -96,6 +96,36 @@ object TextFunctions {
     when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
   }
 
+  /** Longest run of equal adjacent elements in an ALREADY-SORTED array (long; 0
+    * for empty). On a sorted array this is the maximum element frequency — the
+    * zero-shuffle way to get "count of the most frequent n-gram" per document:
+    * sort in place, fold once. O(n log n) per row, whole-stage codegen, no
+    * explode/groupBy. The accumulator is a (prev, run, best) struct; the first
+    * element starts a run of 1 via the null-safe `<=>` (null prev ≠ any value). */
+  def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signal: fraction of the document's n-grams taken by
+    * its single most frequent n-gram (double in (0,1]). High values flag
+    * boilerplate/spam. `grams` must be an attribute reference (see
+    * [[wordShinglesOf]] on HOF re-evaluation). */
+  def topGramFraction(grams: Column): Column =
+    maxRunLength(array_sort(grams)).cast("double") / size(grams).cast("double")
+
+  /** Vocabulary-richness signal: distinct tokens / total tokens (double). Low
+    * values flag repetitive documents (the complement of [[topGramFraction]] at
+    * the unigram level). */
+  def distinctTokenFraction(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
   /** Word n-gram shingles from an ALREADY-BOUND tokens column (e.g. n=3 →
     * "w1 w2 w3" strings). Pass an attribute reference, not a raw `tokens(text)`
     * expression: higher-order lambdas re-evaluate their child tree per element, so

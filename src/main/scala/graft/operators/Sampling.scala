@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: outlier trimming and
+  * per-group downsampling. Both are fully declarative (no collect, no driver
+  * loop) and deterministic — rerunning on a regenerated corpus keeps the same
+  * rows, which is what makes sampled corpora reproducible.
+  */
+object Sampling {
+
+  /** Drop rows whose `valueCol` falls in the bottom `lo` or top (1−`hi`)
+    * fraction of ROWS — the standard length-outlier trim before training
+    * (truncated docs at the bottom, concatenation accidents at the top).
+    *
+    * Exact, value-based semantics: the kept range is [loV, hiV] where loV is the
+    * smallest value whose cumulative row count reaches ceil(lo·n) (ties keep or
+    * drop together — no arbitrary within-tie row split). Two aggregate jobs +
+    * one broadcast: per-value counts → cumulative sum over DISTINCT values →
+    * 1-row bounds crossJoined back. The unpartitioned window runs over the
+    * distinct-value table, so its single-partition state is bounded by value
+    * cardinality (lengths: thousands), not row count — fine at 100 TB. For a
+    * genuinely high-cardinality metric column, swap the exact cumsum for
+    * `approx_percentile`; the filter shape is unchanged.
+    */
+  def trimByValueQuantile(df: DataFrame, valueCol: String,
+                          lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo($lo) < hi($hi) <= 1")
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("_cum", sum(col("_cnt")).over(w))
+    val total = df.agg(count(lit(1)).as("_n"))
+    val bounds = cum.crossJoin(total).agg(
+      min(when(col("_cum") >= ceil(lit(lo) * col("_n")), col(valueCol))).as("_lo_v"),
+      min(when(col("_cum") >= ceil(lit(hi) * col("_n")), col(valueCol))).as("_hi_v"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("_lo_v") && col(valueCol) <= col("_hi_v"))
+      .drop("_lo_v", "_hi_v")
+  }
+
+  /** Deterministic stratified downsample: keep at most `m` rows per `groupCol`
+    * value, selected by md5 of the row id (a fixed pseudo-random order that
+    * survives corpus regeneration, unlike `sample()` seeds which are
+    * partition-layout-dependent). One partitioned window — shuffles by group,
+    * no global sort, no skew beyond the group sizes themselves. This is the
+    * source-mixing primitive: cap an over-represented crawl so it can't drown
+    * the mixture. */
+  def stratifiedLimit(df: DataFrame, groupCol: String, idCol: String,
+                      m: Int): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= m)
+      .drop("_rn")
+  }
+}

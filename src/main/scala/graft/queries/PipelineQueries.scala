@@ -142,6 +142,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q73: Gopher-style repetition signals — top-bigram fraction via in-place
+    // sort + run-length fold (zero shuffle, no explode/groupBy: the per-doc
+    // max-frequency is the longest equal-run of the SORTED bigram array) and
+    // distinct-token fraction. The oracle recomputes the max frequency the
+    // relational way (unnest → count → max).
+    "q73_text_repetition" -> ((s, dir) => {
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          TextFunctions.wordShinglesOf(col("toks"), 2).as("bigrams"))
+      staged.select(col("doc_id"),
+        TextFunctions.distinctTokenFraction(col("toks")).as("distinct_word_frac"),
+        TextFunctions.topGramFraction(col("bigrams")).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q74: length-outlier trim — drop the bottom/top 5% of rows by n_chars with
+    // value-based (tie-stable) cut points; exact cumsum over DISTINCT values.
+    "q74_length_trim" -> ((s, dir) =>
+      graft.operators.Sampling.trimByValueQuantile(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy(col("doc_id"))),
+
+    // q75: deterministic stratified downsample — at most 10 docs per source,
+    // chosen by md5(doc_id) order (regeneration-stable, unlike sample() seeds).
+    "q75_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedLimit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", m = 10)
+        .orderBy(col("doc_id"))),
+
     // ─── dedup ───────────────────────────────────────────────────────────────
     "q44_dedup_exact" -> ((s, dir) =>
       DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -342,6 +373,32 @@ object PipelineQueries {
          | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    "q73_text_repetition" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |b AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |  THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS gram FROM t0),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_big FROM cnt GROUP BY 1)
+         |SELECT t0.doc_id,
+         | CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) AS distinct_word_frac,
+         | CAST(top_c AS DOUBLE)/CAST(n_big AS DOUBLE) AS top_bigram_frac
+         |FROM t0 JOIN top ON t0.doc_id = top.doc_id ORDER BY t0.doc_id""".stripMargin,
+    "q74_length_trim" ->
+      """WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT min(CASE WHEN cum >= ceil(0.05 * n) THEN n_chars END) AS lo_v,
+        |             min(CASE WHEN cum >= ceil(0.95 * n) THEN n_chars END) AS hi_v
+        |      FROM w, n)
+        |SELECT doc_id, n_chars FROM documents, b
+        |WHERE n_chars >= lo_v AND n_chars <= hi_v ORDER BY doc_id""".stripMargin,
+    "q75_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "q44_dedup_exact" ->
       "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY digest",
     "q45_dedup_jaccard" ->

@@ -41,6 +41,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "unknown"))
   }
 
+  test("maxRunLength / repetition signals: sorted-run fold equals true max frequency") {
+    val r = Seq("a b a b a b c").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("toks"), TextFunctions.wordShinglesOf(col("toks"), 2).as("bg"))
+      .select(
+        TextFunctions.maxRunLength(array_sort(col("toks"))).as("mr"),
+        TextFunctions.distinctTokenFraction(col("toks")).as("dtf"),
+        TextFunctions.topGramFraction(col("bg")).as("tbf")).head()
+    assert(r.getAs[Long]("mr") == 3L)                  // "a" occurs 3 times
+    assert(r.getAs[Double]("dtf") == 3.0 / 7.0)        // {a,b,c} of 7 tokens
+    assert(r.getAs[Double]("tbf") == 3.0 / 6.0)        // "a b" and "b a" tie at 3 of 6
+    // degenerate: single-token doc → one unigram "shingle", fraction 1.0
+    val one = Seq("solo").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(TextFunctions.topGramFraction(
+        TextFunctions.wordShinglesOf(col("toks"), 2)).as("tbf")).head()
+    assert(one.getAs[Double]("tbf") == 1.0)
+    // empty array → 0 (no runs), not null/crash
+    val empty = Seq(Seq.empty[String]).toDF("arr")
+      .select(TextFunctions.maxRunLength(col("arr"))).head().getLong(0)
+    assert(empty == 0L)
+  }
+
+  // ── sampling ────────────────────────────────────────────────────────────────
+
+  test("trimByValueQuantile: value-based cut points, ties survive together") {
+    // 20 rows of value 1..20 → lo cut at ceil(0.05*20)=1st row (v=1),
+    // hi cut at ceil(0.95*20)=19th row (v=19): keep 1..19
+    val df = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val kept = Sampling.trimByValueQuantile(df, "v")
+      .select("v").as[Long].collect().sorted
+    assert(kept.toSeq == (1L to 19L))
+    // tie block straddling the cut: all 5 copies of the boundary value kept
+    val ties = (Seq.fill(5)(10L) ++ (1L to 15L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val keptTies = Sampling.trimByValueQuantile(ties, "v", lo = 0.0, hi = 0.5)
+      .select("v").as[Long].collect()
+    // hi cut = ceil(0.5*20)=10th row by value order → lands inside the 10-tie
+    // block; value-based semantics keep every 10
+    assert(keptTies.count(_ == 10L) == 6)              // 5 dups + the 10 from 1..15
+    assert(keptTies.forall(_ <= 10L))
+  }
+
+  test("stratifiedLimit: caps each group at m, deterministic across runs") {
+    val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.stratifiedLimit(df, "grp", "id", m = 7)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L))
+    val ids1 = out.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedLimit(df, "grp", "id", m = 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // m >= group size keeps everything
+    assert(Sampling.stratifiedLimit(df, "grp", "id", m = 100).count() == 60L)
+  }
+
   // ── dedup ───────────────────────────────────────────────────────────────────
 
   test("exact dedup groups by digest, keeps min id as canonical") {

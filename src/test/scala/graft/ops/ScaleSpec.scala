@@ -116,6 +116,36 @@ class ScaleSpec extends SparkSpec {
       s"scan must prune unused columns:\n$scan")
   }
 
+  test("repetition signals are scan-side: no shuffle, no explode (q73)") {
+    import graft.functions.TextFunctions
+    val docs = (1 to 50).map(i => (i.toLong, s"w$i w$i w${i + 1}")).toDF("doc_id", "text")
+    val q = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.distinctTokenFraction(col("toks")).as("dtf"),
+        TextFunctions.topGramFraction(TextFunctions.wordShinglesOf(col("toks"), 2)).as("tbf"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-doc fold must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"must not explode n-grams:\n$plan")
+  }
+
+  test("stratifiedLimit shuffles once by group; trim windows only distinct values (q74/q75)") {
+    import graft.operators.Sampling
+    val docs = (1 to 100).map(i => (i.toLong, s"g${i % 4}", (i % 10).toLong))
+      .toDF("doc_id", "grp", "v")
+    val s = Sampling.stratifiedLimit(docs, "grp", "doc_id", m = 5)
+    val sPlan = s.queryExecution.executedPlan.toString
+    assert(sPlan.split("Exchange").length - 1 <= 1,
+      s"per-group limit should shuffle once (by group):\n$sPlan")
+    // trim: the single-partition window input is the per-value count table —
+    // its Aggregate must sit BELOW the Window in the plan
+    val t = Sampling.trimByValueQuantile(docs, "v", 0.1, 0.9)
+    val tPlan = t.queryExecution.optimizedPlan.toString
+    val winIdx = tPlan.indexOf("Window")
+    assert(winIdx >= 0 && tPlan.indexOf("Aggregate", winIdx) >= 0,
+      s"window must run over the aggregated distinct-value table:\n$tPlan")
+    assert(t.count() == 90L)
+  }
+
   test("session-window aggregation plans a single shuffle by user (q66-class)") {
     val ev = (1 to 100).map(i => (new java.sql.Timestamp(1700000000000L + i * 60000L),
       (i % 7).toLong, i * 1.0)).toDF("ts", "user_id", "value")
