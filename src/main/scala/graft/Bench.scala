@@ -46,7 +46,7 @@ object Bench {
     "q68_dedup_clusters" -> 2.00, "q69_curation" -> 3.30,
     "q67_profile_orders" -> 2.90, "q70_video_frames" -> 0.40,
     "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
-    "q73_text_repetition" -> 0.60, "q74_length_trim" -> 0.40,
+    "q73_text_repetition" -> 0.86, "q74_length_trim" -> 0.53,
     "q75_stratified_sample" -> 0.35)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
