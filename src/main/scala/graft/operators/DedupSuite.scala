@@ -71,14 +71,19 @@ object DedupSuite {
     * alternative re-evaluates the tokenizer inside every lambda element
     * (interpreted, O(shingles × tokens) per seed per row) — measurably pathological
     * even at 5k docs, hence the explicit staging here. */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Exploded LSH band keys per document: (id, bnd, band_idx, band_key), where
+    * `bnd` is the full band-key array (carried so joins can do first-matching-band
+    * emission). This is the INDEX side of incremental dedup — at scale it is
+    * computed once per corpus and persisted, then each new batch joins against it.
+    *
+    * One md5 per shingle, staged into its two 32-bit words BEFORE the aggregate
+    * (an md5 inside each min() would be re-evaluated once per seed — common
+    * subexpression elimination does not span aggregate buffers); the seeded
+    * minima are then integer affine maps of the staged words. */
+  def minHashBandKeys(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
     val rows = numHashes / bands
-    // One md5 per shingle, staged into its two 32-bit words BEFORE the aggregate
-    // (an md5 inside each min() would be re-evaluated once per seed — common
-    // subexpression elimination does not span aggregate buffers); the seeded
-    // minima are then integer affine maps of the staged words.
     val sh = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(TextFunctions.wordShinglesOf(col("toks"), shingleSize)).as("s"))
@@ -94,13 +99,18 @@ object DedupSuite {
     val bandArr = array((0 until bands).map { b =>
       xxhash64((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
     }: _*)
+    sig.select(col("id"), bandArr.as("bnd"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+  }
+
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     // Carry the whole band-key array through the join (bands×8 bytes/row) so a
     // pair colliding in k bands can be emitted from its FIRST matching band only:
     // `band_idx = b` survives iff bands 0..b-1 differ. Each pair then appears
     // exactly once and the output needs NO distinct() — at scale that removes a
     // full shuffle of the candidate set (candidates >> output).
-    val banded = sig.select(col("id"), bandArr.as("bnd"), posexplode(bandArr))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val banded = minHashBandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
     val l = banded.select(col("band_idx"), col("band_key"),
       col("id").as("id_a"), col("bnd").as("bnd_a"))
     val r = banded.select(col("band_idx"), col("band_key"),
@@ -113,6 +123,34 @@ object DedupSuite {
     l.join(r, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b") && firstBandOnly)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Incremental dedup: the continuous-ingestion pattern. A new batch survives
+    * only where it is (1) not a near-dup of anything ALREADY IN the corpus and
+    * (2) internally deduplicated. Two stages:
+    *   - left-anti join of the batch's band keys against the corpus's band keys
+    *     on (band_idx, band_key) — an incoming doc colliding with the index in
+    *     ANY band is dropped (same candidate rule as [[minHashLshPairs]]);
+    *   - [[canonicalByCluster]] over the remainder (within-batch near-dup
+    *     clusters keep their min id).
+    *
+    * Scale shape: the corpus side is `bands` rows of (idx, 8-byte key) per doc —
+    * at 100 TB this is the PRECOMPUTED index read back from storage, not a
+    * recompute ([[minHashBandKeys]] is public precisely so the index can be
+    * persisted); each batch then costs signatures over the batch only plus two
+    * bounded equi-joins. Nothing ever rescans corpus text. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 8,
+                       bands: Int = 4): DataFrame = {
+    val exKeys = minHashBandKeys(existing, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("band_idx"), col("band_key"))
+    val inKeys = minHashBandKeys(incoming, idCol, textCol, shingleSize, numHashes, bands)
+    val hitIds = inKeys.join(exKeys, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    val fresh = incoming.join(hitIds, Seq(idCol), "left_anti")
+    val pairs = minHashLshPairs(fresh, idCol, textCol, shingleSize, numHashes, bands)
+    canonicalByCluster(fresh, idCol, pairs)
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────────

@@ -38,11 +38,11 @@ object PipelineQueries {
     plane.zipWithIndex.map { case (v, j) =>
       s"CAST($e.embedding[${j + 1}] AS DOUBLE)*($v)" }.mkString(" + ")
 
-  /** MinHash-LSH candidate-pair SQL over `src` (q46's oracle body; also the
-    * edge set the q68/q69 connected-components oracles close transitively).
+  /** MinHash-LSH banded-signature SQL over `src`: yields `bands(doc_id,
+    * band_key, band_idx)` — the oracle twin of `DedupSuite.minHashBandKeys`.
     * NOTE: does not start with WITH — callers provide the (recursive) WITH and
     * splice these CTEs in, since SQL allows only one WITH clause per level. */
-  private def minhashPairsCtes(src: String): String =
+  private def minhashBandsCtes(src: String): String =
     s"""sh0 AS (SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, $tokensSql AS t FROM $src)),
        |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
@@ -53,7 +53,12 @@ object PipelineQueries {
        |  FROM w GROUP BY doc_id),
        |bands AS (SELECT doc_id,
        |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
-       |  unnest([0,1,2,3]) AS band_idx FROM sig),
+       |  unnest([0,1,2,3]) AS band_idx FROM sig)""".stripMargin
+
+  /** MinHash-LSH candidate-pair SQL over `src` (q46's oracle body; also the
+    * edge set the q68/q69 connected-components oracles close transitively). */
+  private def minhashPairsCtes(src: String): String =
+    s"""${minhashBandsCtes(src)},
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
@@ -196,6 +201,20 @@ object PipelineQueries {
         shingleSize = 3, numHashes = 8, bands = 4)
         .select(col("id_a"), col("id_b"))
       DedupSuite.connectedComponents(pairs).orderBy(col("id"))
+    }),
+
+    // q76: incremental dedup — the continuous-ingestion pattern. The corpus is
+    // split by source name length into "existing" (src0–src9) and "incoming"
+    // (src10–src19); incoming docs colliding with the existing index in any
+    // LSH band are dropped, the remainder self-dedups to cluster canonicals.
+    "q76_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupSuite.incrementalDedup(
+        docs.filter(length(col("source")) === 4),
+        docs.filter(length(col("source")) === 5),
+        "doc_id", "text", shingleSize = 3, numHashes = 8, bands = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     "q47_dedup_simhash" -> ((s, dir) =>
@@ -431,6 +450,24 @@ object PipelineQueries {
          |SELECT f.doc_id FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = f.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q76_incremental_dedup" ->
+      s"""WITH RECURSIVE ${minhashBandsCtes("documents")},
+         |bx AS (SELECT b.doc_id, b.band_idx, b.band_key, length(d.source) = 4 AS is_ex
+         |       FROM bands b JOIN documents d ON b.doc_id = d.doc_id),
+         |dropped AS (SELECT DISTINCT i.doc_id FROM bx i JOIN bx e2
+         |            ON i.band_idx = e2.band_idx AND i.band_key = e2.band_key
+         |            AND NOT i.is_ex AND e2.is_ex),
+         |fresh AS (SELECT doc_id, source FROM documents
+         |          WHERE length(source) = 5 AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |            AND a.doc_id < b.doc_id
+         |          WHERE a.doc_id IN (SELECT doc_id FROM fresh)
+         |            AND b.doc_id IN (SELECT doc_id FROM fresh)),
+         |$componentsCtes
+         |SELECT f.doc_id, f.source FROM fresh f LEFT JOIN comp ON f.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     "q47_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, md5(unnest($tokensSql)) AS d FROM documents),
          |wrd AS (SELECT doc_id, ${(0 until SimHashBits / 32).map(j =>

@@ -119,6 +119,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalDedup drops corpus matches, self-dedups the rest, keeps fresh docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                          // dup of corpus doc 1 → dropped
+      (20L, "fresh words entirely new content never indexed before today ok fine"),
+      (21L, "fresh words entirely new content never indexed before today ok fine"),
+      (30L, "unrelated survivor document with its own distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val out = DedupSuite.incrementalDedup(existing, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 10 collides with the index; 20/21 are within-batch dups → canonical 20
+    assert(out == Seq(20L, 30L))
+    // empty corpus: pure within-batch dedup
+    val emptyEx = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out2 = DedupSuite.incrementalDedup(emptyEx, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(10L, 20L, 30L))
+  }
+
   test("simhash pairs: identical docs at hamming 0, unrelated docs excluded") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq((1L, base), (2L, base),
