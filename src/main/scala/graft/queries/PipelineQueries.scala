@@ -178,6 +178,13 @@ object PipelineQueries {
         "source", "doc_id", m = 10)
         .orderBy(col("doc_id"))),
 
+    // q77: per-doc top-3 terms by tf·idf (rational idf (N+1)/(df+1) — IEEE-
+    // identical across engines where ln is not; see TfIdf scaladoc).
+    "q77_tfidf_topterms" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rank"))),
+
     // ─── dedup ───────────────────────────────────────────────────────────────
     "q44_dedup_exact" -> ((s, dir) =>
       DedupSuite.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -450,6 +457,18 @@ object PipelineQueries {
          |SELECT f.doc_id FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = f.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q77_tfidf_topterms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |  CAST(tf AS DOUBLE) * ((CAST(n AS DOUBLE) + 1.0) / (CAST(dfc AS DOUBLE) + 1.0)) AS score
+         |  FROM tf JOIN dfq USING (term), n),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, score
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q76_incremental_dedup" ->
       s"""WITH RECURSIVE ${minhashBandsCtes("documents")},
          |bx AS (SELECT b.doc_id, b.band_idx, b.band_key, length(d.source) = 4 AS is_ex

@@ -64,6 +64,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("TfIdf.topTerms: rare terms outrank frequent ones, lexical tiebreak, k bound") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    // doc1: apple 2·(4/2)=4.0 > banana 1·(4/3); doc3: cherry 3·(4/3)=4.0 > date 1·(4/2)=2.0
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq("apple", "banana"))
+    assert(out.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq
+      == Seq(("cherry", 4.0), ("date", 2.0)))
+    // doc2 has two terms with EQUAL score (both tf 1, df 2) → lexical order
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("banana", "cherry"))
+    assert(out.forall(_._2 <= 2L))
+  }
+
   // ── sampling ────────────────────────────────────────────────────────────────
 
   test("trimByValueQuantile: value-based cut points, ties survive together") {
