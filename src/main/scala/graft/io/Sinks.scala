@@ -75,6 +75,32 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Compact a fragmented parquet dataset: rewrite `inPath` to `outPath` with
+    * file count sized from the INPUT'S ACTUAL BYTES (ceil(totalBytes /
+    * targetFileBytes)), not a guessed partition number. This is the maintenance
+    * half of small-files discipline — ingestion tails, streaming micro-batches,
+    * and per-sample writers all leave thousands-of-tiny-files datasets whose
+    * downstream scans pay per-file open + footer-read cost; periodic compaction
+    * is how 100 TB tables stay scannable.
+    *
+    * Sizing reads file lengths from the filesystem listing (a metadata
+    * operation, no data scan). Rewrites to a NEW path: parquet readers can't
+    * atomically replace a directory being read; publishing by rename/swap is
+    * the caller's (or table format's) job. Uses coalesce — a narrow,
+    * shuffle-free merge of input splits — because compaction only merges
+    * what's already there; use `writePartitionedParquet` when a layout CHANGE
+    * (partition columns) is wanted. */
+  def compactParquet(df: DataFrame, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.coalesce(nFiles).write.mode("overwrite").parquet(outPath)
+  }
+
   /** Children of `dir`, with the directory stream closed (Files.list leaks an fd
     * per call otherwise — these sinks run in per-sample/per-project loops). */
   private def listChildren(dir: Path): Seq[Path] = {

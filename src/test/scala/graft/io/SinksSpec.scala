@@ -45,6 +45,38 @@ class SinksSpec extends SparkSpec {
       == "chr1\t100\t200\tGeneA\t812.44\t.\t100\t200\t0,0,205")
   }
 
+  test("compactParquet: fragmented dataset rewritten to byte-budgeted file count") {
+    import spark.implicits._
+    val in = tempDir().resolve("fragmented").toString
+    // 64 tiny files
+    (1 to 1024).map(i => (i.toLong, s"payload$i")).toDF("id", "v")
+      .repartition(64).write.parquet(in)
+    def parquetFiles(dir: String) = {
+      val ls = Files.list(Paths.get(dir))
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally ls.close()
+    }
+    assert(parquetFiles(in) == 64L)
+    val df = spark.read.parquet(in)
+    // huge target → exactly one output file
+    val out1 = tempDir().resolve("compacted1").toString
+    Sinks.compactParquet(df, in, out1, targetFileBytes = 1L << 30)
+    assert(parquetFiles(out1) == 1L)
+    assert(spark.read.parquet(out1).count() == 1024L)
+    // target ~ quarter of the input bytes → ceil gives a small multi-file layout
+    val total = {
+      val ls = Files.list(Paths.get(in))
+      try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .mapToLong(p => Files.size(p)).sum()
+      finally ls.close()
+    }
+    val out2 = tempDir().resolve("compacted2").toString
+    Sinks.compactParquet(spark.read.parquet(in), in, out2, targetFileBytes = total / 4 + 1)
+    val n2 = parquetFiles(out2)
+    assert(n2 >= 2L && n2 <= 5L, s"expected ~4 files, got $n2")
+    assert(spark.read.parquet(out2).count() == 1024L)
+  }
+
   test("writePartitionedParquet: one file per partition value, record cap splits big values") {
     import spark.implicits._
     val df = (1 to 900).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")

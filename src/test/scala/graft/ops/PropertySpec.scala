@@ -185,6 +185,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("maxRunLength on sorted arrays ≡ naive max frequency, random multisets") {
+    import graft.functions.TextFunctions
+    val rnd = new Random(4242)
+    (1 to rounds).foreach { round =>
+      val n = 1 + rnd.nextInt(60)
+      val words = (1 to n).map(_ => s"w${rnd.nextInt(8)}")
+      val naive = words.groupBy(identity).values.map(_.size).max.toLong
+      val got = Seq(words).toDF("arr")
+        .select(TextFunctions.maxRunLength(array_sort(col("arr"))))
+        .head().getLong(0)
+      assert(got == naive, s"round=$round words=$words")
+    }
+  }
+
+  test("trimByValueQuantile ≡ naive value-threshold scan, random distributions") {
+    import graft.operators.Sampling
+    val rnd = new Random(777)
+    (1 to rounds).foreach { round =>
+      val n = 20 + rnd.nextInt(100)
+      val vals = (1 to n).map(_ => rnd.nextInt(15).toLong)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      Seq((0.05, 0.95), (0.1, 0.5), (0.0, 1.0)).foreach { case (lo, hi) =>
+        // naive: same ceil arithmetic over the sorted values
+        val sorted = vals.sorted
+        def cutValue(frac: Double): Long = {
+          val k = math.ceil(frac * n).toLong
+          if (k <= 0) sorted.head else sorted(k.toInt - 1)
+        }
+        val (loV, hiV) = (cutValue(lo), cutValue(hi))
+        val naive = vals.filter(v => v >= loV && v <= hiV).sorted
+        val got = Sampling.trimByValueQuantile(df, "v", lo, hi)
+          .select("v").as[Long].collect().sorted.toSeq
+        assert(got == naive, s"round=$round lo=$lo hi=$hi n=$n")
+      }
+    }
+  }
+
+  test("stratifiedLimit keeps min(m, group size) rows and is a subset of the input") {
+    import graft.operators.Sampling
+    val rnd = new Random(31337)
+    (1 to rounds).foreach { round =>
+      val n = 30 + rnd.nextInt(80)
+      val rows = (1 to n).map(i => (i.toLong, s"g${rnd.nextInt(5)}"))
+      val df = rows.toDF("id", "grp")
+      val m = 1 + rnd.nextInt(10)
+      val kept = Sampling.stratifiedLimit(df, "grp", "id", m)
+        .as[(Long, String)].collect().toSeq
+      val bySize = rows.groupBy(_._2).map { case (g, rs) => g -> rs.size }
+      kept.groupBy(_._2).foreach { case (g, rs) =>
+        assert(rs.size == math.min(m, bySize(g)), s"round=$round group=$g m=$m")
+      }
+      assert(kept.toSet.subsetOf(rows.toSet))
+      assert(kept.groupBy(_._2).keySet == bySize.keySet)
+    }
+  }
+
   test("dedup keep-first is idempotent and never grows") {
     val rnd = new Random(5)
     val acc = (1 to 80).map(i => (s"SRR$i", s"GSM${rnd.nextInt(20)}", i.toLong))
