@@ -112,4 +112,42 @@ object EventPipeline {
       .withColumn("digest", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming NEAR-dup ingest dedup — the streaming twin of
+    * `DedupSuite.incrementalDedup`, with the stream-so-far (within the
+    * watermark horizon) as the corpus. Two chained stateful operators:
+    *
+    *   1. each doc's MinHash band keys (computed per-row with the pure
+    *      column-fold signature — no mid-stream aggregate, unlike the batch
+    *      path's staged groupBy) explode to (band_idx, band_key) rows, and
+    *      `dropDuplicatesWithinWatermark` keeps only FIRST-seen band keys —
+    *      bounded state, exactly like the exact-dedup digest store;
+    *   2. a windowed per-doc count re-assembles verdicts: a doc survives iff
+    *      ALL `bands` of its keys were first-seen (any collision with an
+    *      earlier doc steals at least one band). Survivors emit as
+    *      (window_start, doc id) when the watermark closes their window.
+    *
+    * A near-dup arriving AFTER the watermark horizon won't find its
+    * predecessor's bands in state — the same bounded-recall contract
+    * `dropDuplicatesWithinWatermark` itself ships with. */
+  def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
+                            tsCol: String, watermark: String = "1 hour",
+                            windowLen: String = "10 minutes",
+                            shingleSize: Int = 3, numHashes: Int = 8,
+                            bands: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.DedupSuite
+    val sig = DedupSuite.minHashSignature(
+      TextFunctions.wordShingles(col(textCol), shingleSize), numHashes)
+    docs
+      .withColumn("bnd", DedupSuite.lshBands(sig, numHashes, bands))
+      .select(col(idCol), col(tsCol), posexplode(col("bnd"))
+        .as(Seq("band_idx", "band_key")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band_idx", "band_key")
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_first_seen"))
+      .filter(col("n_first_seen") === bands)
+      .select(col("window.start").as("window_start"), col(idCol))
+  }
 }

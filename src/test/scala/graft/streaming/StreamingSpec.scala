@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: band collision with an earlier doc drops the arrival") {
+    implicit val sc = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.streamingNearDupDedup(docs, "doc_id", "text", "ts",
+      watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("ndd").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, base, ts(0)),
+        (3L, "totally different words here nothing shared at all in this document", ts(1)))
+      q.processAllAvailable()
+      // near-identical re-arrival in a later micro-batch: every band collides
+      input.addData((10L, base + " nu", ts(2)))
+      q.processAllAvailable()
+      // watermark driver: push event time far past window 0's end so it emits
+      input.addData((99L, "watermark driver event far in the future", ts(120)))
+      q.processAllAvailable()
+      val ids = spark.table("ndd").collect().map(_.getLong(1)).toSet
+      assert(ids.contains(1L) && ids.contains(3L), s"fresh docs must survive: $ids")
+      assert(!ids.contains(10L), s"near-dup of doc 1 must be dropped: $ids")
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
