@@ -48,7 +48,7 @@ object Bench {
     "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
     "q73_text_repetition" -> 0.86, "q74_length_trim" -> 0.53,
     "q75_stratified_sample" -> 0.35, "q76_incremental_dedup" -> 1.80,
-    "q77_tfidf_topterms" -> 0.70)
+    "q77_tfidf_topterms" -> 0.70, "q78_stratified_fraction" -> 0.35)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

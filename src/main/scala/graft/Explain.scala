@@ -16,7 +16,8 @@ object Explain {
         "q50_embedding_neardup", "q52_embedding_neardup_lsh",
         "q53_interval_overlap", "q54_asof_join", "q64_text_bpe_tokens",
         "q65_sim_ivf_fullprobe", "q66_session_windows", "q67_profile_orders",
-        "q69_curation")
+        "q69_curation", "q73_text_repetition", "q74_length_trim",
+        "q75_stratified_sample", "q76_incremental_dedup", "q77_tfidf_topterms")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -57,4 +57,23 @@ object Sampling {
       .filter(col("_rn") <= m)
       .drop("_rn")
   }
+
+  /** Fractional variant of [[stratifiedLimit]]: keep ceil(frac·|group|) rows
+    * per group — per-group PROPORTIONAL downsampling, the mixture-weighting
+    * primitive ("take 30% of every source" preserves the mixture; a global
+    * 30% limit does not). Same deterministic md5 order; the group size comes
+    * from a count window over the same partition, so the plan stays one
+    * shuffle by group. ceil guarantees every non-empty group keeps >= 1 row —
+    * rare sources are never silently erased. */
+  def stratifiedFraction(df: DataFrame, groupCol: String, idCol: String,
+                         frac: Double): DataFrame = {
+    require(0.0 < frac && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_gn", count(lit(1)).over(wAll))
+      .filter(col("_rn") <= ceil(lit(frac) * col("_gn")))
+      .drop("_rn", "_gn")
+  }
 }

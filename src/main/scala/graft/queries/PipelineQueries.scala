@@ -178,6 +178,15 @@ object PipelineQueries {
         "source", "doc_id", m = 10)
         .orderBy(col("doc_id"))),
 
+    // q78: proportional per-source downsample — keep ceil(30%·|source|) docs
+    // per source in deterministic md5 order (mixture-preserving, unlike a
+    // global limit; ceil keeps rare sources alive).
+    "q78_stratified_fraction" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedFraction(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", frac = 0.3)
+        .orderBy(col("doc_id"))),
+
     // q77: per-doc top-3 terms by tf·idf (rational idf (N+1)/(df+1) — IEEE-
     // identical across engines where ln is not; see TfIdf scaladoc).
     "q77_tfidf_topterms" -> ((s, dir) =>
@@ -457,6 +466,12 @@ object PipelineQueries {
          |SELECT f.doc_id FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = f.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q78_stratified_fraction" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS gn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= ceil(0.3 * gn) ORDER BY doc_id""".stripMargin,
     "q77_tfidf_topterms" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),

@@ -102,6 +102,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptTies.forall(_ <= 10L))
   }
 
+  test("stratifiedFraction: ceil(frac·group) per group, rare groups never erased") {
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++ Seq((100L, "tiny")))
+      .toDF("id", "grp")
+    val out = Sampling.stratifiedFraction(df, "grp", "id", frac = 0.25)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 10L, "tiny" -> 1L))  // ceil(0.25·40)=10, ceil(0.25·1)=1
+    // frac=1.0 keeps everything; subset of the kept-at-0.25 ids is stable
+    assert(Sampling.stratifiedFraction(df, "grp", "id", 1.0).count() == 41L)
+    val k25 = Sampling.stratifiedFraction(df, "grp", "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    val k50 = Sampling.stratifiedFraction(df, "grp", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(k25.subsetOf(k50), "md5 order makes smaller fractions nest inside larger ones")
+  }
+
   test("stratifiedLimit: caps each group at m, deterministic across runs") {
     val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
     val out = Sampling.stratifiedLimit(df, "grp", "id", m = 7)
