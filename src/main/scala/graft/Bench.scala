@@ -47,8 +47,8 @@ object Bench {
     "q67_profile_orders" -> 2.90, "q70_video_frames" -> 0.40,
     "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
     "q73_text_repetition" -> 0.86, "q74_length_trim" -> 0.53,
-    "q75_stratified_sample" -> 0.35, "q76_incremental_dedup" -> 1.80,
-    "q77_tfidf_topterms" -> 0.70, "q78_stratified_fraction" -> 0.35)
+    "q75_stratified_sample" -> 0.35, "q76_incremental_dedup" -> 4.63,
+    "q77_tfidf_topterms" -> 1.67, "q78_stratified_fraction" -> 0.28)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
