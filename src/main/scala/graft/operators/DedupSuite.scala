@@ -104,13 +104,21 @@ object DedupSuite {
   }
 
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    // Carry the whole band-key array through the join (bands×8 bytes/row) so a
-    // pair colliding in k bands can be emitted from its FIRST matching band only:
-    // `band_idx = b` survives iff bands 0..b-1 differ. Each pair then appears
-    // exactly once and the output needs NO distinct() — at scale that removes a
-    // full shuffle of the candidate set (candidates >> output).
-    val banded = minHashBandKeys(df, idCol, textCol, shingleSize, numHashes, bands)
+                      shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame =
+    pairsFromBandKeys(
+      minHashBandKeys(df, idCol, textCol, shingleSize, numHashes, bands), bands)
+
+  /** Candidate pairs from a PRECOMPUTED [[minHashBandKeys]] frame — split out so
+    * callers holding a persisted or checkpointed index don't recompute
+    * signatures ([[incrementalDedup]], or a 100 TB corpus index read from
+    * parquet).
+    *
+    * Carries the whole band-key array through the join (bands×8 bytes/row) so a
+    * pair colliding in k bands can be emitted from its FIRST matching band only:
+    * `band_idx = b` survives iff bands 0..b-1 differ. Each pair then appears
+    * exactly once and the output needs NO distinct() — at scale that removes a
+    * full shuffle of the candidate set (candidates >> output). */
+  def pairsFromBandKeys(banded: DataFrame, bands: Int): DataFrame = {
     val l = banded.select(col("band_idx"), col("band_key"),
       col("id").as("id_a"), col("bnd").as("bnd_a"))
     val r = banded.select(col("band_idx"), col("band_key"),
