@@ -271,9 +271,12 @@ object Multimodal {
                               mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Real frame sampling over multi-frame GIF payloads: one `ImageReader` per
-    * partition, each payload demuxed by frame index, every `every`-th frame
-    * decoded and reduced — one row in → many rows out through a flatMap
-    * iterator, so frames stream without buffering the clip. */
+    * payload, each payload demuxed by frame index, every `every`-th frame
+    * decoded and reduced. Sampled frames are decoded EAGERLY per payload under
+    * try/finally — clips are small (the sampled-frame stats are a few dozen
+    * rows), and a lazily-disposed iterator would leak the reader and its
+    * `ImageInputStream` whenever a downstream `limit`/`take`/task-kill
+    * short-circuits before exhausting it. */
   def sampleGifFrames(media: DataFrame, every: Int): Dataset[VideoFrame] = {
     require(every > 0, "every must be positive")
     import media.sparkSession.implicits._
@@ -282,25 +285,28 @@ object Multimodal {
         ImageIO.setUseCache(false) // per-partition init
         it.flatMap { case (id, payload) =>
           val reader = ImageIO.getImageReadersByFormatName("gif").next()
-          reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(payload)))
-          val n = reader.getNumImages(true)
-          (0 until n by every).iterator.map { f =>
-            val img = reader.read(f)
-            val w = img.getWidth; val h = img.getHeight
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by every).map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              val cnt = w.toLong * h
+              VideoFrame(id, f, w, h, sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
             }
-            val cnt = w.toLong * h
-            VideoFrame(id, f, w, h, sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
-          } ++ { reader.dispose(); Iterator.empty }
+          } finally { reader.dispose(); iis.close() }
         }
       }
   }

@@ -25,9 +25,21 @@ object QcSummary {
   /** The per-project QC matrix: one row per sample, one column per module,
     * cells are PASS/WARN/FAIL (null = module absent for that sample). The module
     * list is explicit — like the matrix pivot (A7), no collect-distinct job
-    * precedes the shuffle, so the plan is one pass at any corpus size. */
-  def pivotStatuses(qc: DataFrame, modules: Seq[String] = StandardModules): DataFrame =
-    qc.groupBy(col("sample")).pivot("module", modules).agg(min(col("status")))
+    * precedes the shuffle, so the plan is one pass at any corpus size.
+    *
+    * Duplicate (sample, module) rows — e.g. the R1 and R2 reads of a paired-end
+    * sample each produce a summary line — resolve to the WORST status by
+    * explicit severity rank (FAIL > WARN > PASS), not lexicographic min (which
+    * would let PASS shadow WARN since "PASS" < "WARN"). */
+  def pivotStatuses(qc: DataFrame, modules: Seq[String] = StandardModules): DataFrame = {
+    val rank = when(col("status") === "FAIL", 0)
+      .when(col("status") === "WARN", 1)
+      .when(col("status") === "PASS", 2)
+      .otherwise(3) // unknown statuses never out-rank a real one
+    qc.withColumn("_sev", rank)
+      .groupBy(col("sample")).pivot("module", modules)
+      .agg(min(struct(col("_sev"), col("status"))).getField("status"))
+  }
 
   /** MultiQC's headline tallies: how many samples PASS/WARN/FAIL each module. */
   def statusCounts(qc: DataFrame): DataFrame =

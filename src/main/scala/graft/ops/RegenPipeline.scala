@@ -48,8 +48,12 @@ object RegenPipeline {
             bioProjectId: String, outDir: Path, timestamp: String,
             writeTrack: (String, String) => Boolean = null,
             bwjsonRequired: Boolean = true): Either[String, RegenResult] = {
-    require(!bioProjectId.isEmpty && bioProjectId.matches("^[a-zA-Z0-9_-]+$"),
-      "ERROR: Invalid characters in BioProject ID. Only alphanumeric, underscore, and hyphen allowed.")
+    // invalid id goes through the declared Left error channel, not an exception
+    // (and through P11's shared validator for a consistent message)
+    graft.driver.InputValidation.validateArgs(bioProjectId, "1") match {
+      case Left(err) => return Left(err)
+      case Right(_)  => ()
+    }
     val trackDir = Files.createDirectories(outDir.resolve("tracks"))
     val doWrite: (String, String) => Boolean =
       if (writeTrack != null) writeTrack

@@ -229,7 +229,7 @@ object FormatQueries {
         var waited = 0L
         val res = ExternalStage.run(
           ExternalStage.StageSpec(s"stage_$name", Seq("kernel", name), Seq(out.toString),
-            maxAttempts = 3),
+            maxAttempts = 3, wrongLayoutExit = Some(2)),
           exec = _ => {
             calls += 1
             if (wrongLayout) 2 // exit-2 protocol: single-end layout detected
@@ -415,6 +415,12 @@ object FormatQueries {
           s"$st\t$m\t$name.fastq.gz"
         }
         Files.writeString(d.resolve("summary.txt"), lines.mkString("\r\n") + "\r\n")
+        if (k % 5 == 0) { // paired-end R2 report: duplicate (sample, module) row;
+          // worst status must win (WARN may not be shadowed by a PASS)
+          val d2 = Files.createDirectories(root.resolve(s"${name}_rep2_fastqc"))
+          Files.writeString(d2.resolve("summary.txt"),
+            s"WARN\tBasic Statistics\t$name.fastq.gz\r\n")
+        }
       }
       val qc = TsvSources.readQcSummaries(s, s"$root/*_fastqc/summary.txt")
       graft.ops.QcSummary.pivotStatuses(qc, modules)
@@ -577,7 +583,10 @@ object FormatQueries {
         |FROM pl ORDER BY c_custkey""".stripMargin,
     "q63_qc_summary" ->
       """SELECT n_name AS sample,
-        | CASE (n_nationkey + 0) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS basic_statistics,
+        | CASE WHEN n_nationkey % 5 = 0 THEN
+        |   (CASE WHEN n_nationkey % 4 = 0 THEN 'FAIL' ELSE 'WARN' END)
+        | ELSE CASE (n_nationkey + 0) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END
+        | END AS basic_statistics,
         | CASE (n_nationkey + 1) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS per_base_sequence_quality,
         | CASE (n_nationkey + 2) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS per_sequence_gc_content,
         | CASE (n_nationkey + 3) % 4 WHEN 0 THEN 'FAIL' WHEN 1 THEN 'WARN' ELSE 'PASS' END AS overrepresented_sequences,

@@ -114,22 +114,30 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("digest")
 
   /** Streaming NEAR-dup ingest dedup — the streaming twin of
-    * `DedupSuite.incrementalDedup`, with the stream-so-far (within the
-    * watermark horizon) as the corpus. Two chained stateful operators:
+    * `DedupSuite.incrementalDedup`, with each event-time window as the
+    * dedup scope. Two chained stateful windowed aggregations (Append mode):
     *
     *   1. each doc's MinHash band keys (computed per-row with the pure
     *      column-fold signature — no mid-stream aggregate, unlike the batch
-    *      path's staged groupBy) explode to (band_idx, band_key) rows, and
-    *      `dropDuplicatesWithinWatermark` keeps only FIRST-seen band keys —
-    *      bounded state, exactly like the exact-dedup digest store;
-    *   2. a windowed per-doc count re-assembles verdicts: a doc survives iff
-    *      ALL `bands` of its keys were first-seen (any collision with an
-    *      earlier doc steals at least one band). Survivors emit as
-    *      (window_start, doc id) when the watermark closes their window.
+    *      path's staged groupBy) explode to (band_idx, band_key) rows, and a
+    *      windowed aggregation elects a DETERMINISTIC winner per band key:
+    *      the minimum doc id seen in the window — bounded state (one id per
+    *      live band key), finalized when the watermark closes the window;
+    *   2. a second windowed count re-assembles verdicts: a doc survives iff
+    *      it won ALL `bands` of its keys. Survivors emit as
+    *      (window_start, doc id).
     *
-    * A near-dup arriving AFTER the watermark horizon won't find its
-    * predecessor's bands in state — the same bounded-recall contract
-    * `dropDuplicatesWithinWatermark` itself ships with. */
+    * The min-id winner makes same-batch (and same-window) near-dup clusters
+    * safe: within a window, every band bucket of the cluster's minimum-id doc
+    * contains only docs with ids >= it, so that doc wins all its bands and
+    * survives — exactly the batch twin's min-id canonical
+    * (`DedupSuite.canonicalByCluster`). An arbitrary-order first-seen dedup
+    * (`dropDuplicatesWithinWatermark`) could instead split a cluster's bands
+    * across two same-batch arrivals and drop EVERY copy.
+    *
+    * Recall contract: near-dups are only detected within one `windowLen`
+    * window of each other; a copy arriving in a later window is kept. (The
+    * watermark bounds state and lateness, as everywhere else.) */
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                             tsCol: String, watermark: String = "1 hour",
                             windowLen: String = "10 minutes",
@@ -144,10 +152,12 @@ object EventPipeline {
       .select(col(idCol), col(tsCol), posexplode(col("bnd"))
         .as(Seq("band_idx", "band_key")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("band_idx", "band_key")
-      .groupBy(window(col(tsCol), windowLen), col(idCol))
-      .agg(count(lit(1)).as("n_first_seen"))
-      .filter(col("n_first_seen") === bands)
-      .select(col("window.start").as("window_start"), col(idCol))
+      .groupBy(window(col(tsCol), windowLen), col("band_idx"), col("band_key"))
+      .agg(min(col(idCol)).as("winner"))
+      .groupBy(col("window"), col("winner"))
+      .agg(count(lit(1)).as("n_won"))
+      .filter(col("n_won") === bands)
+      .select(col("window.start").as("window_start"),
+        col("winner").as(idCol))
   }
 }

@@ -102,4 +102,21 @@ class TsvSourcesSpec extends SparkSpec {
     val failing = QcSummary.failingSamples(qc).collect().map(r => (r.getString(0), r.getString(1)))
     assert(failing.toSeq == Seq(("s1", "Adapter Content")))
   }
+
+  test("QC pivot: duplicate (sample, module) rows resolve to the WORST status") {
+    import graft.ops.QcSummary
+    import spark.implicits._
+    // severity FAIL > WARN > PASS — lexicographic min would wrongly report
+    // PASS over WARN ("PASS" < "WARN") and FAIL over everything by accident
+    val qc = Seq(
+      ("s1", "Basic Statistics", "PASS"), ("s1", "Basic Statistics", "WARN"),
+      ("s2", "Basic Statistics", "WARN"), ("s2", "Basic Statistics", "FAIL"),
+      ("s3", "Basic Statistics", "PASS"), ("s3", "Basic Statistics", "PASS"))
+      .toDF("sample", "module", "status")
+    val m = QcSummary.pivotStatuses(qc, Seq("Basic Statistics"))
+      .orderBy("sample").collect()
+    assert(m(0).getAs[String]("Basic Statistics") == "WARN")
+    assert(m(1).getAs[String]("Basic Statistics") == "FAIL")
+    assert(m(2).getAs[String]("Basic Statistics") == "PASS")
+  }
 }

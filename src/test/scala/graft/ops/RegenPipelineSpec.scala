@@ -72,6 +72,15 @@ class RegenPipelineSpec extends SparkSpec {
       == "RNAseq_Liver_BN_M_GSM1")
   }
 
+  test("invalid BioProject ID returns Left through the declared error channel") {
+    val out = tempDir()
+    val r = RegenPipeline.regen(accList, sexResult, tpmLong, "PRJ 1; rm -rf", out, "2026-01-01")
+    assert(r == Left("ERROR: Invalid characters in BioProject ID. " +
+      "Only alphanumeric, underscore, and hyphen allowed."))
+    // nothing was written — validation precedes all side effects
+    assert(!java.nio.file.Files.exists(out.resolve("tracks")))
+  }
+
   test("no surviving tracks → report still written, no session (reference :383-388)") {
     val out = tempDir()
     val r = RegenPipeline.regen(accList, sexResult, tpmLong, "PRJ1", out, "2026-01-01",

@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: same-batch cluster keeps exactly the min-id copy") {
+    implicit val sc = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.streamingNearDupDedup(docs, "doc_id", "text", "ts",
+      watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("ndd2").outputMode(OutputMode.Append()).start()
+    try {
+      // both near-dup copies arrive in the SAME micro-batch: an arbitrary-order
+      // first-seen dedup could split the band keys between them and drop both;
+      // the min-id winner election must keep exactly doc 5
+      input.addData(
+        (7L, base + " nu", ts(0)),
+        (5L, base, ts(1)),
+        (3L, "totally different words here nothing shared at all in this document", ts(2)))
+      q.processAllAvailable()
+      input.addData((99L, "watermark driver event far in the future", ts(120)))
+      q.processAllAvailable()
+      val ids = spark.table("ndd2").collect().map(_.getLong(1)).toSet
+      assert(ids.contains(5L), s"min-id copy of the cluster must survive: $ids")
+      assert(!ids.contains(7L), s"higher-id near-dup must be dropped: $ids")
+      assert(ids.contains(3L), s"unrelated doc must survive: $ids")
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
