@@ -48,7 +48,11 @@ object Bench {
     "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
     "q73_text_repetition" -> 0.86, "q74_length_trim" -> 0.53,
     "q75_stratified_sample" -> 0.35, "q76_incremental_dedup" -> 4.63,
-    "q77_tfidf_topterms" -> 1.67, "q78_stratified_fraction" -> 0.28)
+    "q77_tfidf_topterms" -> 1.67, "q78_stratified_fraction" -> 0.28,
+    // round-4 additions (initial sf0.1 measurements)
+    "q79_decontamination" -> 1.20, "q80_pii_redact" -> 0.80,
+    "q81_domain_blocklist" -> 0.60, "q82_chunk_overlap" -> 1.00,
+    "q83_unigram_freq" -> 1.50)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

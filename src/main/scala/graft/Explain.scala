@@ -17,7 +17,9 @@ object Explain {
         "q53_interval_overlap", "q54_asof_join", "q64_text_bpe_tokens",
         "q65_sim_ivf_fullprobe", "q66_session_windows", "q67_profile_orders",
         "q69_curation", "q73_text_repetition", "q74_length_trim",
-        "q75_stratified_sample", "q76_incremental_dedup", "q77_tfidf_topterms")
+        "q75_stratified_sample", "q76_incremental_dedup", "q77_tfidf_topterms",
+        "q79_decontamination", "q81_domain_blocklist", "q82_chunk_overlap",
+        "q83_unigram_freq")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -126,6 +126,61 @@ object TextFunctions {
   def distinctTokenFraction(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / size(toks).cast("double")
 
+  // ─── PII scrubbing ─────────────────────────────────────────────────────────
+  // Patterns restricted to constructs java.util.regex and RE2 share (no
+  // lookaround, no backrefs) so the engine and the DuckDB oracle match the
+  // exact same spans. Redaction is a per-row regexp_replace chain — pure
+  // column expressions, zero shuffle, applied in-scan at any corpus size.
+
+  /** RFC-5322-lite email address. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4.5 in a
+    * longer dotted run still match their first four octets only). */
+  val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** International-prefixed dashed phone number: +CC then 2–3 dash-separated
+    * groups of 2–4 digits (+1-555-0042, +44-20-7946-0958). */
+  val PhonePattern = "\\+[0-9]{1,2}(-[0-9]{2,4}){2,3}"
+
+  /** Redact emails, phones, and IPv4s to <EMAIL>/<PHONE>/<IP> placeholders.
+    * Email first (its local part may contain digits and dots), then phone
+    * (anchored by '+', cannot overlap dotted quads), then IP. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+
+  /** (n_emails, n_phones, n_ips) hit counts for the PII report — counted on the
+    * progressively-redacted text exactly as [[redactPii]] consumes it, so a
+    * span can never be double-counted by two patterns. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    (matchCount(text, EmailPattern),
+      matchCount(noEmail, PhonePattern),
+      matchCount(noPhone, Ipv4Pattern))
+  }
+
+  // ─── URL hygiene ───────────────────────────────────────────────────────────
+
+  /** Host of a URL, lower-cased, port and leading `www.` stripped — the
+    * blocklist join key for domain-level corpus filtering. Pure regex (not
+    * parse_url) so the oracle evaluates the identical extraction. */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":[0-9]+$", "")
+
+  /** Last two labels of a host ("a.b.c.co.uk" → "co.uk") — the crude
+    * registrable-domain key used for per-site aggregation when no public-suffix
+    * list is available. */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "[^.]+\\.[^.]+$", 0)
+
   /** Word n-gram shingles from an ALREADY-BOUND tokens column (e.g. n=3 →
     * "w1 w2 w3" strings). Pass an attribute reference, not a raw `tokens(text)`
     * expression: higher-order lambdas re-evaluate their child tree per element, so

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag/drop training documents that share word
+  * n-gram shingles with a held-out evaluation set (the published LLM-corpus
+  * hygiene step: GPT-3 App. C / PaLM-style 13-gram overlap filters).
+  *
+  * Scale shape: eval sets are tiny (benchmarks, thousands of docs) while the
+  * corpus is the 100 TB side — so the eval shingle set is aggregated first and
+  * BROADCAST; the corpus-side plan is scan → in-scan shingling (explode) →
+  * broadcast hash semi/inner join → per-doc count. The corpus is never
+  * shuffled to find contamination: the only shuffle is the per-doc hit count
+  * over the (rare) matching grams. `decontaminate` needs one more corpus-side
+  * pass — a broadcast of the (small) contaminated-id set back onto the corpus
+  * via left-anti join, again shuffle-free.
+  */
+object Decontamination {
+
+  /** (id, gram) rows: distinct n-gram shingles per doc. Tokens are STAGED into
+    * a column before shingling — HOF lambdas re-evaluate their child tree per
+    * element, so an inlined split() would re-tokenize per shingle (O(n²)). */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShinglesOf(col("_toks"), n))).as("gram"))
+
+  /** Distinct n-gram shingles of the eval set — one small frame to broadcast. */
+  private def evalGrams(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
+    evalDocs
+      .select(TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(explode(array_distinct(
+        TextFunctions.wordShinglesOf(col("_toks"), n))).as("gram"))
+      .distinct()
+
+  /** Per-contaminated-doc report: (id, n_hits) where n_hits counts the DISTINCT
+    * corpus-doc shingles also present in the eval set. Docs with zero overlap
+    * do not appear (at corpus scale the report is the small output). */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String, n: Int): DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .join(broadcast(evalGrams(evalDocs, textCol, n)), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Corpus minus every doc overlapping the eval set in >= minHits distinct
+    * shingles. The contaminated-id set is small — broadcast left-anti join. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String, n: Int,
+                    minHits: Int = 1): DataFrame = {
+    val contaminated = contaminationReport(docs, evalDocs, idCol, textCol, n)
+      .filter(col("n_hits") >= minHits)
+      .select(col(idCol))
+    docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+}

@@ -48,4 +48,30 @@ object TfIdf {
       .select(col("id"), col("rank").cast("long").as("rank"), col("term"),
         col("tf"), col("score"))
   }
+
+  /** Per-document mean corpus frequency of its tokens — a CCNet-style
+    * language-model-perplexity proxy built from the corpus's own unigram
+    * counts: common-token documents score high, rare-token (gibberish,
+    * wrong-language, encoding-damaged) documents score low. Output:
+    * (id, n_tokens, sum_freq, mean_freq = sum_freq/n_tokens).
+    *
+    * Scale shape: two shuffles — the global unigram count (map-side
+    * combinable, vocabulary-sized result) and the per-doc sum. Per-doc
+    * accumulation SUMS LONGS, not doubles: integer addition is associative,
+    * so the result is identical under any partial-aggregation order (and any
+    * external engine); the single double division happens once per doc at the
+    * end. The vocabulary table joins the exploded tokens by term equi-join —
+    * at web scale the vocabulary still fits executor memory, so Spark's AQE
+    * typically broadcasts it; nothing in the plan requires that.
+    */
+  def unigramFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val vocab = tk.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    tk.join(vocab, Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+  }
 }

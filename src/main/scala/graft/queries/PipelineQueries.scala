@@ -147,6 +147,77 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q79: benchmark decontamination — corpus docs sharing 3-gram shingles with
+    // a held-out eval subset (doc_id % 101 == 0), reported as per-doc distinct
+    // overlap counts. Eval shingles broadcast; the corpus side never shuffles.
+    "q79_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(101)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q80: PII scrubbing — emails/phones/IPv4s (injected deterministically from
+    // doc_id on BOTH engine sides, since the synthetic corpus carries none)
+    // counted and redacted with java/RE2-shared patterns.
+    "q80_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" alt o"), col("doc_id").cast("string"), lit("@x.org")))
+          .otherwise(""),
+        lit(" call +1-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"))
+      val staged = t(s, dir, "documents").select(col("doc_id"), aug.as("aug"))
+      val (ne, np, ni) = TextFunctions.piiCounts(col("aug"))
+      staged.select(col("doc_id"),
+        ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
+        TextFunctions.redactPii(col("aug")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q81: domain-level corpus filtering — URL host extraction (scheme+www+port
+    // handling), crude registrable domain, and a relationally-derived blocklist
+    // (top-2 hosts by doc count) removed via broadcast anti-join.
+    "q81_domain_blocklist" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "www.").otherwise(""),
+        when(pmod(col("doc_id"), lit(6)) === 0, "cdn.").otherwise(""),
+        col("source"), pmod(col("doc_id"), lit(7)).cast("string"), lit("-site"),
+        when(pmod(col("doc_id"), lit(3)) === 0, ".com")
+          .when(pmod(col("doc_id"), lit(3)) === 1, ".org").otherwise(".net"),
+        when(pmod(col("doc_id"), lit(5)) === 0, ":8080").otherwise(""),
+        lit("/doc/"), col("doc_id").cast("string"))
+      val withHost = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.urlHost(url).as("host"))
+        .withColumn("domain", TextFunctions.registrableDomain(col("host")))
+      val blocked = withHost.groupBy(col("host")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("host")).limit(2).select(col("host"))
+      withHost.join(broadcast(blocked), Seq("host"), "left_anti")
+        .select(col("doc_id"), col("host"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q82: chunking with overlap — 32-token windows advancing by 24 (the
+    // embedding/retrieval prep; dual of q72's packing). Zero shuffle: chunks
+    // materialize in-scan via HOF + posexplode.
+    "q82_chunk_overlap" -> ((s, dir) =>
+      graft.operators.Chunker.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // q83: unigram-frequency quality proxy — per-doc mean corpus frequency of
+    // its tokens (CCNet-style LM-perplexity stand-in). LONG sums keep the
+    // aggregate order-independent; one double division per doc at the end.
+    "q83_unigram_freq" -> ((s, dir) =>
+      graft.operators.TfIdf.unigramFrequencyScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // q73: Gopher-style repetition signals — top-bigram fraction via in-place
     // sort + run-length fold (zero shuffle, no explode/groupBy: the per-doc
     // max-frequency is the longest equal-run of the SORTED bigram array) and
@@ -408,6 +479,64 @@ object PipelineQueries {
          | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    "q79_decontamination" ->
+      s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sh0 WHERE doc_id % 101 = 0),
+         |cg AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh0
+         |       WHERE doc_id % 101 <> 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM cg JOIN ev USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q80_pii_redact" ->
+      s"""WITH aug0 AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' alt o' || CAST(doc_id AS VARCHAR) || '@x.org' ELSE '' END ||
+         |  ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |  AS aug FROM documents),
+         |r1 AS (SELECT doc_id, aug,
+         |  regexp_replace(aug, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g') AS ne FROM aug0),
+         |r2 AS (SELECT doc_id, aug, ne,
+         |  regexp_replace(ne, '${TextFunctions.PhonePattern}', '<PHONE>', 'g') AS np FROM r1)
+         |SELECT doc_id,
+         | len(regexp_extract_all(aug, '${TextFunctions.EmailPattern}')) AS n_emails,
+         | len(regexp_extract_all(ne, '${TextFunctions.PhonePattern}')) AS n_phones,
+         | len(regexp_extract_all(np, '${TextFunctions.Ipv4Pattern}')) AS n_ips,
+         | regexp_replace(np, '${TextFunctions.Ipv4Pattern}', '<IP>', 'g') AS redacted
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+    "q81_domain_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN 'cdn.' ELSE '' END ||
+        |  source || CAST(doc_id % 7 AS VARCHAR) || '-site' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '.com' WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |  '/doc/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+        |    '^www\.', ''), ':[0-9]+$', '') AS host FROM u),
+        |hd AS (SELECT doc_id, host, regexp_extract(host, '[^.]+\.[^.]+$') AS domain FROM h),
+        |blocked AS (SELECT host FROM hd GROUP BY host
+        |            ORDER BY count(*) DESC, host LIMIT 2)
+        |SELECT doc_id, host, domain FROM hd
+        |WHERE host NOT IN (SELECT host FROM blocked) ORDER BY doc_id""".stripMargin,
+    "q82_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |n0 AS (SELECT doc_id, t, len(t) AS n FROM d),
+         |c AS (SELECT doc_id, t, n,
+         |  CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 23) // 24) + 1 END AS nchunks FROM n0),
+         |x AS (SELECT doc_id, t, n, unnest(generate_series(0, nchunks - 1)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         | CAST(least(32, n - ci * 24) AS BIGINT) AS n_chunk_tokens,
+         | array_to_string(t[(ci * 24 + 1):(ci * 24 + 32)], ' ') AS chunk
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q83_unigram_freq" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |v AS (SELECT term, count(*) AS freq FROM tk GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(freq) AS BIGINT) AS sum_freq,
+         | CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+         |FROM tk JOIN v USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q73_text_repetition" ->
       s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |b AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2

@@ -455,4 +455,92 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
     assert(frames.map(f => new String(f.frame)).toSeq == Seq("01", "45", "89"))
   }
+
+  // ── decontamination ─────────────────────────────────────────────────────────
+
+  test("decontamination: distinct shingle overlap counted, clean docs untouched") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares shingles with eval doc
+      (2L, "one two three four five"),        // no overlap
+      (3L, "alpha beta gamma alpha beta gamma")) // repeated shingle counts ONCE
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val report = Decontamination.contaminationReport(corpus, evalSet, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval shingles: {alpha beta gamma, beta gamma delta}
+    assert(report == Map(1L -> 2L, 3L -> 1L)) // doc 2 absent; doc 3's repeat deduped
+    val kept = Decontamination.decontaminate(corpus, evalSet, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // minHits above the max overlap keeps everything
+    val keptAll = Decontamination
+      .decontaminate(corpus, evalSet, "doc_id", "text", n = 3, minHits = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L))
+  }
+
+  // ── PII + URL hygiene ───────────────────────────────────────────────────────
+
+  test("PII redaction: emails, phones, IPv4s replaced; counts match; order-safe") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.co.uk and b@x.org, call +1-555-0042 or +44-20-7946-0958, host 10.0.0.1",
+      "no pii here at all").toDF("text")
+    val (ne, np, ni) = TextFunctions.piiCounts(col("text"))
+    val r = df.select(TextFunctions.redactPii(col("text")).as("red"),
+      ne.as("ne"), np.as("np"), ni.as("ni")).collect()
+    assert(r(0).getAs[String]("red") ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, host <IP>")
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (2L, 2L, 1L))
+    assert(r(1).getAs[String]("red") == "no pii here at all")
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == (0L, 0L, 0L))
+  }
+
+  test("urlHost strips scheme, www, port; registrableDomain keeps last two labels") {
+    val df = Seq(
+      "https://www.Sub.Example.COM:8443/path?q=1",
+      "http://cdn.assets.example.org/x",
+      "ftp://plain.net/file").toDF("url")
+    val r = df.select(TextFunctions.urlHost(col("url")).as("h"))
+      .withColumn("d", TextFunctions.registrableDomain(col("h")))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r == Seq(
+      ("sub.example.com", "example.com"),
+      ("cdn.assets.example.org", "example.org"),
+      ("plain.net", "plain.net")))
+  }
+
+  // ── chunking ────────────────────────────────────────────────────────────────
+
+  test("chunkByTokens: overlapping windows, clamped tail, short docs = one chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = Chunker.chunkByTokens(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(c => (c._1, c._2))
+    // doc 1: n=10 → ((10-4+2)/3)+1 = 3 chunks starting at tokens 1, 4, 7
+    val doc1 = chunks.filter(_._1 == 1L)
+    assert(doc1.map(_._4).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // every token is covered by at least one chunk
+    assert(doc1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
+    val doc2 = chunks.filter(_._1 == 2L)
+    assert(doc2.toSeq == Seq((2L, 0L, 3L, "a b c")))
+    intercept[IllegalArgumentException](
+      Chunker.chunkByTokens(df, "doc_id", "text", chunkSize = 4, stride = 5))
+  }
+
+  // ── unigram frequency scoring ───────────────────────────────────────────────
+
+  test("unigramFrequencyScore: common-token docs outscore rare-token docs; exact sums") {
+    val df = Seq(
+      (1L, "the the the"),   // 'the' freq 4 → sum 12, mean 4.0
+      (2L, "the rare"),      // 4 + 1 → sum 5, mean 2.5
+      (3L, "zyx")).toDF("doc_id", "text") // freq 1 → mean 1.0
+    val r = TfIdf.unigramFrequencyScore(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 12L, 4.0)))
+    assert(r(2L) == ((2L, 5L, 2.5)))
+    assert(r(3L) == ((1L, 1L, 1.0)))
+  }
 }
