@@ -138,6 +138,33 @@ object EventPipeline {
     * Recall contract: near-dups are only detected within one `windowLen`
     * window of each other; a copy arriving in a later window is kept. (The
     * watermark bounds state and lateness, as everywhere else.) */
+  /** Streaming decontamination — the streaming twin of
+    * [[graft.operators.Decontamination.decontaminate]]: drop arriving docs that
+    * share any word n-gram shingle with the STATIC eval set. The eval-set
+    * shingles are collected once at query-build time (eval sets are benchmark-
+    * sized — the same small-side discipline as the batch path's broadcast) and
+    * checked per row with `arrays_overlap` — completely STATELESS: no
+    * watermark, no state store, works in any output mode at any stream rate.
+    * If the eval set ever outgrew a literal, the check becomes a stream-static
+    * broadcast join on exploded grams — same shape, still stateless. */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                             textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    val evalSpark = evalDocs.sparkSession
+    import evalSpark.implicits._
+    val grams = evalDocs
+      .select(TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(explode(array_distinct(
+        TextFunctions.wordShinglesOf(col("_toks"), n))).as("gram"))
+      .distinct().as[String].collect().toSeq
+    docs
+      .withColumn("_toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("_grams", array_distinct(
+        TextFunctions.wordShinglesOf(col("_toks"), n)))
+      .filter(!arrays_overlap(col("_grams"), typedlit(grams)))
+      .drop("_toks", "_grams")
+  }
+
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                             tsCol: String, watermark: String = "1 hour",
                             windowLen: String = "10 minutes",

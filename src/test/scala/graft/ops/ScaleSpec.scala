@@ -195,4 +195,38 @@ class ScaleSpec extends SparkSpec {
       assert(j.count() == l.join(r, Seq("k")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("decontamination broadcasts the eval side — the corpus is never shuffled to find overlap (q79)") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"alpha beta w$i gamma delta epsilon")).toDF("doc_id", "text")
+    val evalSet = Seq((900L, "alpha beta gamma")).toDF("doc_id", "text")
+    val report = graft.operators.Decontamination
+      .contaminationReport(corpus, evalSet, "doc_id", "text", n = 3)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+    val kept = graft.operators.Decontamination
+      .decontaminate(corpus, evalSet, "doc_id", "text", n = 3)
+    val kplan = kept.queryExecution.executedPlan.toString
+    // both joins (gram hit + id anti) build on the broadcast side
+    assert(!kplan.contains("SortMergeJoin"), s"anti-join must broadcast too:\n$kplan")
+  }
+
+  test("chunking is scan-side: no shuffle anywhere in the plan (q82)") {
+    val df = (1 to 50).map(i => (i.toLong, (1 to 40).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val q = graft.operators.Chunker.chunkByTokens(df, "doc_id", "text", 16, 12)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "chunks materialize via explode, not a join")
+  }
+
+  test("PII redaction and URL hygiene are scan-side column expressions (q80/q81)") {
+    import graft.functions.TextFunctions
+    val df = (1 to 50).map(i => (i.toLong, s"doc $i mail u$i@x.org")).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"), TextFunctions.redactPii(col("text")).as("red"),
+      TextFunctions.urlHost(concat(lit("https://h"), col("doc_id").cast("string"),
+        lit(".example.com/p"))).as("host"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+  }
 }

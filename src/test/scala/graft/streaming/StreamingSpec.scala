@@ -149,6 +149,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless overlap filter against a static eval set") {
+    implicit val sc = spark.sqlContext
+    val evalSet = Seq((900L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventPipeline.streamingDecontaminate(docs, evalSet, "text", n = 3)
+      .writeStream.format("memory").queryName("dec").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "totally unrelated words in this one"),
+        (2L, "prefix alpha beta gamma suffix")) // shares shingle "alpha beta gamma"
+      q.processAllAvailable()
+      input.addData((3L, "beta gamma delta trailing")) // hits in a later batch too
+      q.processAllAvailable()
+      val ids = spark.table("dec").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L), s"contaminated docs must be dropped in every batch: $ids")
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
