@@ -52,7 +52,8 @@ object Bench {
     // round-4 additions (initial sf0.1 measurements)
     "q79_decontamination" -> 1.20, "q80_pii_redact" -> 0.80,
     "q81_domain_blocklist" -> 0.60, "q82_chunk_overlap" -> 1.00,
-    "q83_unigram_freq" -> 1.50)
+    "q83_unigram_freq" -> 1.50,
+    "q84_dedup_containment" -> 2.50, "q85_sqrt_cap_sample" -> 0.35)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

@@ -313,6 +313,12 @@ object DedupSuite {
     // A cross-doc hash collision would need two DIFFERENT grams of the same
     // block to collide in 64 bits (~n²/2⁶⁵) — negligible at any corpus size
     // this targets, and it only perturbs one `inter` count by 1.
+    // The gram index is MATERIALIZED once (localCheckpoint): it feeds four
+    // subtrees (two candidate sides, two verification joins), and re-running
+    // scan+tokenize+shingle+hash per subtree measured 4-7× slower than one
+    // ~8·grams-bytes/doc materialization — the same persistable-gram-index
+    // trade incrementalDedup documents; at full corpus scale persist this
+    // frame to storage instead.
     val gramArr = df
       .select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -321,6 +327,7 @@ object DedupSuite {
           if (n == 1) col("toks")
           else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
+      .localCheckpoint(true)
     // PPJoin-style prefix filter (exact, no false negatives): under ANY global
     // gram order — here the hash order itself, so no frequency pass is needed —
     // two sets with Jaccard >= t must share a gram inside their first
@@ -355,6 +362,60 @@ object DedupSuite {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         col("jaccard"))
+  }
+
+  /** One-sided CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold —
+    * catches a short doc embedded in a longer one (quote farms, page-plus-
+    * boilerplate wrappers), which symmetric Jaccard misses because the union
+    * term punishes the size gap. Same blocked, hashed-gram machinery as
+    * [[ngramJaccardPairs]]; the prefix filter is ASYMMETRIC: only the
+    * candidate's own size bounds its prefix (containment is measured against
+    * the smaller set, and the smaller set must share a gram within its first
+    * |S| − ceil(t·|S|) + 1 sorted grams — pigeonhole), while the containing
+    * side cannot prune (its bound would depend on the unknown partner size),
+    * so one side explodes prefixes and the other explodes all grams. Output:
+    * (id_a, id_b, inter, size_a, size_b, containment) with id_a < id_b. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, n: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    // gram index materialized once for the same four-subtree reason as
+    // ngramJaccardPairs (measured 7.9 s → 1.2 s at sf0.1)
+    val gramArr = df
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("block"),
+        array_sort(array_distinct(transform(
+          if (n == 1) col("toks")
+          else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
+      .withColumn("sz", size(col("harr")).cast("long"))
+      .localCheckpoint(true)
+    val pref = gramArr.select(col("id"), col("block"), col("sz"),
+      explode(slice(col("harr"), lit(1),
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))
+    // (smaller-set prefix) × (any doc's full gram list); only rows where the
+    // prefix side IS the smaller (or equal) doc can witness a qualifying pair,
+    // so the size guard halves the candidate volume with zero recall loss.
+    val cand = pref.select(col("block"), col("gh"), col("id").as("id_pref"),
+        col("sz").as("sz_pref"))
+      .join(gramArr.select(col("block"), explode(col("harr")).as("gh"),
+        col("id").as("id_other"), col("sz").as("sz_other")), Seq("block", "gh"))
+      .filter(col("id_pref") =!= col("id_other") &&
+        col("sz_pref") <= col("sz_other"))
+      .select(least(col("id_pref"), col("id_other")).as("id_a"),
+        greatest(col("id_pref"), col("id_other")).as("id_b"))
+      .distinct()
+    cand
+      .join(gramArr.select(col("id").as("id_a"), col("harr").as("harr_a"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("harr_a"), col("harr_b"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        col("containment"))
   }
 
   // ── cluster resolution ─────────────────────────────────────────────────────

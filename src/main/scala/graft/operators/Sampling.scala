@@ -76,4 +76,24 @@ object Sampling {
       .filter(col("_rn") <= ceil(lit(frac) * col("_gn")))
       .drop("_rn", "_gn")
   }
+
+  /** Temperature-flattened mixture cap: keep at most k·ceil(sqrt(|group|))
+    * rows per group — the sublinear (T≈2) source re-weighting used to stop a
+    * dominant crawl from drowning rare sources while still letting bigger
+    * sources contribute more than a flat cap would. sqrt is IEEE
+    * correctly-rounded (unlike pow/exp), and everything after it is integer
+    * arithmetic, so the kept set is engine-exact and regeneration-stable
+    * (same md5 order as the other samplers). Same one-shuffle plan shape as
+    * [[stratifiedFraction]]. */
+  def sqrtCapSample(df: DataFrame, groupCol: String, idCol: String,
+                    k: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_gn", count(lit(1)).over(wAll))
+      .filter(col("_rn") <= lit(k) * ceil(sqrt(col("_gn").cast("double"))))
+      .drop("_rn", "_gn")
+  }
 }

@@ -218,6 +218,32 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // q84: one-sided containment near-dup pairs — |A∩B|/min sizes over 3-gram
+    // shingles; catches short-doc-inside-long-doc cases symmetric Jaccard's
+    // union term suppresses. Asymmetric prefix filter (see DedupSuite scaladoc).
+    // Every doc_id % 83 == 0 doc gets a boilerplate-wrapped twin (id + 1e6, same
+    // construction in the oracle) so the corpus provably contains the
+    // short-inside-long shape the operator exists for.
+    "q84_dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val wrapped = docs.filter(pmod(col("doc_id"), lit(83)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" standard footer boilerplate appended here"))
+            .as("text"),
+          col("source"))
+      DedupSuite.ngramContainmentPairs(docs.unionByName(wrapped), "doc_id", "text",
+        blockCol = "source", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q85: temperature-flattened mixture cap — at most ceil(sqrt(|source|))
+    // docs per source (sqrt is IEEE-exact cross-engine, unlike pow).
+    "q85_sqrt_cap_sample" -> ((s, dir) =>
+      graft.operators.Sampling.sqrtCapSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 1)
+        .orderBy(col("doc_id"))),
+
     // q73: Gopher-style repetition signals — top-bigram fraction via in-place
     // sort + run-length fold (zero shuffle, no explode/groupBy: the per-doc
     // max-frequency is the longest equal-run of the SORTED bigram array) and
@@ -479,6 +505,32 @@ object PipelineQueries {
          | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    "q84_dedup_containment" ->
+      s"""WITH corpus AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    text || ' standard footer boilerplate appended here', source
+         |  FROM documents WHERE doc_id % 83 = 0),
+         |sh0 AS (SELECT doc_id, source, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, source, $tokensSql AS t FROM corpus)),
+         |w AS (SELECT doc_id, source, unnest(list_distinct(sh)) AS gram FROM sh0),
+         |sz AS (SELECT doc_id, count(*) AS s FROM w GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM w a JOIN w b ON a.source = b.source AND a.gram = b.gram
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1,2)
+         |SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b,
+         | CAST(inter AS DOUBLE)/CAST(least(sa.s, sb.s) AS DOUBLE) AS containment
+         |FROM i JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/CAST(least(sa.s, sb.s) AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q85_sqrt_cap_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS gn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= ceil(sqrt(CAST(gn AS DOUBLE))) ORDER BY doc_id""".stripMargin,
     "q79_decontamination" ->
       s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),

@@ -530,6 +530,39 @@ class PipelineOpsSpec extends SparkSpec {
       Chunker.chunkByTokens(df, "doc_id", "text", chunkSize = 4, stride = 5))
   }
 
+  test("containment pairs: short doc inside long doc found; Jaccard misses it") {
+    val short = "alpha beta gamma delta epsilon zeta" // 4 3-gram shingles
+    val long = short + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val df = Seq((1L, short, "b1"), (2L, long, "b1"),
+      (3L, "completely different words entirely here now today maybe", "b1"),
+      (4L, short, "b2")) // other block: never compared with 1/2
+      .toDF("doc_id", "text", "src")
+    val pairs = DedupSuite.ngramContainmentPairs(df, "doc_id", "text", "src",
+      n = 3, threshold = 0.8).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) == (1L, 2L))
+    assert(p.getAs[Double]("containment") == 1.0) // all of doc 1's shingles in doc 2
+    // symmetric Jaccard at the same threshold rejects the same pair
+    val jac = DedupSuite.ngramJaccardPairs(df, "doc_id", "text", "src",
+      n = 3, threshold = 0.8).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101L to 103L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.sqrtCapSample(df, "source", "doc_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("big") == 10)   // ceil(sqrt(100))
+    assert(bySrc("small") == 2)  // ceil(sqrt(3)) = 2
+    // deterministic: second run keeps the identical set
+    val kept2 = Sampling.sqrtCapSample(df, "source", "doc_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq == kept2.sortBy(_._1).toSeq)
+  }
+
   // ── unigram frequency scoring ───────────────────────────────────────────────
 
   test("unigramFrequencyScore: common-token docs outscore rare-token docs; exact sums") {
