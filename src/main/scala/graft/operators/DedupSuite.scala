@@ -153,11 +153,19 @@ object DedupSuite {
                        bands: Int = 4): DataFrame = {
     val exKeys = minHashBandKeys(existing, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("band_idx"), col("band_key"))
+    // Batch signatures are computed ONCE and materialized: they feed the
+    // corpus-collision probe, the fresh-key derivation, and both sides of the
+    // within-batch pair join — recomputing a signature pass per consumer
+    // (the previous shape called minHashLshPairs over the fresh TEXT) was the
+    // dominant cost. The batch is the small side by definition, so the
+    // checkpoint is batch-sized, never corpus-sized.
     val inKeys = minHashBandKeys(incoming, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(true)
     val hitIds = inKeys.join(exKeys, Seq("band_idx", "band_key"), "left_semi")
-      .select(col("id").as(idCol)).distinct()
-    val fresh = incoming.join(hitIds, Seq(idCol), "left_anti")
-    val pairs = minHashLshPairs(fresh, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("id")).distinct()
+    val freshKeys = inKeys.join(hitIds, Seq("id"), "left_anti")
+    val pairs = pairsFromBandKeys(freshKeys, bands)
+    val fresh = incoming.join(hitIds.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     canonicalByCluster(fresh, idCol, pairs)
   }
 
