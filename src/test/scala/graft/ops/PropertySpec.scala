@@ -241,6 +241,106 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly; reconstructs for random docs and strides") {
+    val rnd = new Random(77)
+    (1 to rounds).foreach { round =>
+      val nTok = 1 + rnd.nextInt(120)
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val chunkSize = 2 + rnd.nextInt(30)
+      val stride = 1 + rnd.nextInt(chunkSize)
+      val chunks = graft.operators.Chunker.chunkByTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", chunkSize, stride)
+        .collect().sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getString(3)))
+      // coverage: the union of chunk tokens is exactly the doc's token set
+      assert(chunks.flatMap(_._2.split(" ")).toSet == (1 to nTok).map(i => s"w$i").toSet,
+        s"round=$round c=$chunkSize s=$stride n=$nTok")
+      // chunk i starts at token i*stride+1 — stride-reconstruction property
+      chunks.foreach { case (idx, c) =>
+        assert(c.split(" ").head == s"w${idx * stride + 1}",
+          s"round=$round chunk=$idx starts wrong")
+      }
+      // count formula
+      val expected = if (nTok <= chunkSize) 1 else (nTok - chunkSize + stride - 1) / stride + 1
+      assert(chunks.length == expected, s"round=$round count")
+    }
+  }
+
+  test("PII redaction is idempotent and leaves PII-free text unchanged") {
+    import graft.functions.TextFunctions
+    val rnd = new Random(88)
+    val texts = (1 to 40).map { i =>
+      val base = (1 to 5 + rnd.nextInt(10)).map(j => s"word${rnd.nextInt(50)}").mkString(" ")
+      rnd.nextInt(3) match {
+        case 0 => base
+        case 1 => s"$base user$i@example.com tail"
+        case _ => s"$base +1-555-${1000 + rnd.nextInt(9000)} and 10.${rnd.nextInt(255)}.0.$i"
+      }
+    }
+    val df = texts.toDF("text")
+    val once = df.select(TextFunctions.redactPii(col("text")).as("r")).as[String].collect()
+    val twice = df.select(TextFunctions.redactPii(
+      TextFunctions.redactPii(col("text"))).as("r")).as[String].collect()
+    assert(once.toSeq == twice.toSeq) // idempotent: placeholders never re-match
+    texts.zip(once).foreach { case (orig, red) =>
+      if (!orig.contains("@") && !orig.contains("+1-") && !orig.contains("10."))
+        assert(orig == red, s"clean text must be untouched: $orig")
+      else assert(!red.contains("@example.com") && !red.contains("+1-555-"),
+        s"PII must be gone: $red")
+    }
+  }
+
+  test("sqrtCapSample keeps min(group, k*ceil(sqrt(group))) rows, subset of input") {
+    val rnd = new Random(99)
+    (1 to rounds).foreach { round =>
+      val rows = (1 to 150 + rnd.nextInt(150)).map(i =>
+        (i.toLong, s"g${rnd.nextInt(5)}"))
+      val df = rows.toDF("id", "grp")
+      val k = 1 + rnd.nextInt(3)
+      val kept = graft.operators.Sampling.sqrtCapSample(df, "grp", "id", k)
+        .as[(Long, String)].collect().toSeq
+      val bySize = rows.groupBy(_._2).map { case (g, rs) => g -> rs.size }
+      kept.groupBy(_._2).foreach { case (g, rs) =>
+        val cap = k * math.ceil(math.sqrt(bySize(g).toDouble)).toInt
+        assert(rs.size == math.min(cap, bySize(g)), s"round=$round g=$g k=$k")
+      }
+      assert(kept.toSet.subsetOf(rows.toSet))
+    }
+  }
+
+  test("containment pairs ≡ naive set arithmetic; wrapped docs always found") {
+    val rnd = new Random(111)
+    val vocab = (1 to 60).map(i => s"v$i")
+    (1 to rounds).foreach { round =>
+      val docs = (1 to 25).map { i =>
+        (i.toLong, (1 to 8 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // wrap some docs: original must be contained in its wrapped twin
+      val wrapped = docs.filter(_._1 % 5 == 0).map { case (id, t) =>
+        (id + 1000L, s"$t extra trailing boilerplate words appended") }
+      val all = docs ++ wrapped
+      val df = all.map { case (id, t) => (id, t, "blk") }.toDF("doc_id", "text", "src")
+      val t = 0.8
+      def grams(s: String): Set[Seq[String]] = {
+        val toks = s.split("\\s+").toSeq
+        if (toks.size >= 3) toks.sliding(3).map(_.toSeq).toSet else Set(toks)
+      }
+      val naive = (for {
+        a <- all; b <- all
+        if a._1 < b._1
+        ga = grams(a._2); gb = grams(b._2)
+        inter = (ga intersect gb).size
+        if inter.toDouble / math.min(ga.size, gb.size) >= t
+      } yield (a._1, b._1)).toSet
+      val got = DedupSuite.ngramContainmentPairs(df, "doc_id", "text", "src", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"round=$round")
+      docs.filter(_._1 % 5 == 0).foreach { case (id, _) =>
+        assert(got.contains((id, id + 1000L)), s"round=$round wrapped twin of $id missed")
+      }
+    }
+  }
+
   test("dedup keep-first is idempotent and never grows") {
     val rnd = new Random(5)
     val acc = (1 to 80).map(i => (s"SRR$i", s"GSM${rnd.nextInt(20)}", i.toLong))
