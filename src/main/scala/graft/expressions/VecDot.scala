@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (exprs: Seq[Expression]) => {

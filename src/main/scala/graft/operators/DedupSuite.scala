@@ -363,7 +363,7 @@ object DedupSuite {
       .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
         col("sz").as("size_b")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("harr_a"), col("harr_b"))).cast("long"))
+        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
@@ -418,7 +418,7 @@ object DedupSuite {
       .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
         col("sz").as("size_b")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(col("harr_a"), col("harr_b"))).cast("long"))
+        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
       .withColumn("containment",
         col("inter").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("containment") >= threshold)
