@@ -33,6 +33,37 @@ object CurationPipeline {
     DedupSuite.canonicalByCluster(filtered, idCol, pairs)
   }
 
+  /** The FULL training-data prep composition, corpus in → sharded parquet out:
+    *
+    *   1. [[curate]] (quality gate → language filter → near-dup canonicals),
+    *   2. benchmark decontamination against `evalDocs`
+    *      ([[Decontamination.decontaminate]] — broadcast eval shingles),
+    *   3. PII redaction in-scan ([[TextFunctions.redactPii]]),
+    *   4. chunking to context windows ([[Chunker.chunkByTokens]]),
+    *   5. deterministic shard assignment ([[TextFunctions.hashBucket]] on the
+    *      doc id — chunks of one doc co-shard for sequence packing) and a
+    *      partitioned, record-capped parquet write
+    *      ([[graft.io.Sinks.writePartitionedParquet]]).
+    *
+    * Stage ORDER is the scale argument: the scan-side filters and the
+    * broadcast decontamination shrink the corpus before the only expensive
+    * shuffles (LSH dedup); redaction and chunking are zero-shuffle column
+    * work on survivors; the final write is the only wide output. Returns the
+    * chunk frame it wrote. */
+  def curateForTraining(docs: DataFrame, evalDocs: DataFrame, outPath: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        minQuality: Double = 0.5, decontaminationGrams: Int = 3,
+                        chunkSize: Int = 256, stride: Int = 192,
+                        numShards: Int = 16): DataFrame = {
+    val kept = Decontamination.decontaminate(
+      curate(docs, idCol, textCol), evalDocs, idCol, textCol, decontaminationGrams)
+    val redacted = kept.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+    val chunks = Chunker.chunkByTokens(redacted, idCol, textCol, chunkSize, stride)
+      .withColumn("shard", TextFunctions.hashBucket(col(idCol), numShards))
+    graft.io.Sinks.writePartitionedParquet(chunks, outPath, Seq("shard"))
+    chunks
+  }
+
   /** Curation survival report: per-stage kept counts (one pass per stage). */
   def report(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.5): DataFrame = {

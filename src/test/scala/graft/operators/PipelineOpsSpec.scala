@@ -563,6 +563,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.sortBy(_._1).toSeq == kept2.sortBy(_._1).toSeq)
   }
 
+  test("curateForTraining: end-to-end corpus → deduped, decontaminated, redacted, sharded chunks") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val docs = Seq(
+      (1L, good + "contact admin@site.org now"),       // survives; email redacted
+      (2L, good + "contact admin@site.org now"),       // exact near-dup of 1 → dropped
+      (3L, "a small cat sat on the warm mat and then it went to sleep in the sun " * 3), // survives
+      (4L, good + "held out benchmark sentence marker"), // contaminated → dropped
+      (5L, "x")).toDF("doc_id", "text")                // fails quality gate
+    val evalSet = Seq((90L, "held out benchmark sentence marker")).toDF("doc_id", "text")
+    val out = tempDir().resolve("chunks").toString
+    val chunks = graft.operators.CurationPipeline.curateForTraining(
+      docs, evalSet, out, minQuality = 0.5, chunkSize = 16, stride = 12, numShards = 4)
+    val ids = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"survivors: $ids")
+    // PII gone from every chunk (chunk text is lower-cased by tokenization)
+    assert(chunks.filter(col("chunk").contains("admin@site.org")).count() == 0)
+    assert(chunks.filter(col("chunk").contains("<email>")).count() > 0)
+    // one shard per doc, all chunks of a doc co-sharded; written partitioned
+    val byDoc = chunks.select("doc_id", "shard").distinct().collect()
+    assert(byDoc.length == 2)
+    val written = spark.read.parquet(out)
+    assert(written.count() == chunks.count())
+    assert(written.columns.contains("shard"))
+  }
+
   // ── unigram frequency scoring ───────────────────────────────────────────────
 
   test("unigramFrequencyScore: common-token docs outscore rare-token docs; exact sums") {
