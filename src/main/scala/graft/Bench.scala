@@ -53,7 +53,8 @@ object Bench {
     "q79_decontamination" -> 1.20, "q80_pii_redact" -> 0.80,
     "q81_domain_blocklist" -> 0.60, "q82_chunk_overlap" -> 1.00,
     "q83_unigram_freq" -> 1.50,
-    "q84_dedup_containment" -> 2.50, "q85_sqrt_cap_sample" -> 0.35)
+    "q84_dedup_containment" -> 1.60, "q85_sqrt_cap_sample" -> 0.35,
+    "q86_curated_decontaminated" -> 3.20)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

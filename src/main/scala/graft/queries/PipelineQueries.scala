@@ -244,6 +244,20 @@ object PipelineQueries {
         "source", "doc_id", k = 1)
         .orderBy(col("doc_id"))),
 
+    // q86: the capstone composition's relational core, oracle-checked end to
+    // end — curate (quality → language → near-dup canonicals) THEN
+    // decontaminate against the held-out eval subset; the oracle replays the
+    // full q69 recursive-CTE pipeline plus the q79 overlap filter.
+    "q86_curated_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.decontaminate(
+        graft.operators.CurationPipeline.curate(docs),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q73: Gopher-style repetition signals — top-bigram fraction via in-place
     // sort + run-length fold (zero shuffle, no explode/groupBy: the per-doc
     // max-frequency is the longest equal-run of the SORTED bigram array) and
@@ -505,6 +519,26 @@ object PipelineQueries {
          | (${dotSql("e", "q")}) / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("q", "q")})) AS cosine
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+    "q86_curated_decontaminated" ->
+      s"""WITH RECURSIVE filt AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ($qualitySql) >= 0.5
+         |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+         |${minhashPairsCtes("filt")},
+         |$componentsCtes,
+         |cur AS (SELECT f.doc_id, f.text FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+         |        WHERE comp.id IS NULL OR comp.component = f.doc_id),
+         |evsh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM evsh),
+         |csh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM cur)),
+         |hit AS (SELECT DISTINCT c.doc_id
+         |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram))
+         |SELECT doc_id FROM cur
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id""".stripMargin,
     "q84_dedup_containment" ->
       s"""WITH corpus AS (SELECT doc_id, text, source FROM documents
          |  UNION ALL

@@ -168,6 +168,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text ops (PII redaction, chunking) run unmodified on streams") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.TextFunctions
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    // redaction is a pure column expression; chunking is HOF + posexplode —
+    // neither needs state, watermarks, or output-mode restrictions
+    val q = graft.operators.Chunker.chunkByTokens(
+      docs.withColumn("text", TextFunctions.redactPii(col("text"))),
+      "doc_id", "text", chunkSize = 4, stride = 3)
+      .writeStream.format("memory").queryName("txt").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+        (2L, "mail me at someone@example.org today"))
+      q.processAllAvailable()
+      val rows = spark.table("txt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      assert(rows.count(_._1 == 1L) == 2) // 7 tokens, c=4 s=3 → 2 chunks
+      assert(rows.exists(r => r._1 == 2L && r._3.contains("<email>")))
+      assert(!rows.exists(_._3.contains("someone@example.org")))
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
