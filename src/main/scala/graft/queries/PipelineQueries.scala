@@ -405,6 +405,24 @@ object PipelineQueries {
         Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"))
         .orderBy(col("col_name"))),
 
+    // q87: exact duplicated-PASSAGE removal (Lee et al. 2022 EXACTSUBSTR at
+    // 8-token granularity): any 8-token window occurring more than once in the
+    // corpus is stripped from every document containing it — the substring-
+    // level complement of the document-level dedup family (q44-q47/q84). Docs
+    // with doc_id % 37 == 0 carry a planted verbatim promo passage (same
+    // construction in the oracle) so corpus-wide duplicated spans provably
+    // exist beyond natural repetition.
+    "q87_passage_dedup" -> ((s, dir) => {
+      val promo = " repeated promotional sentence fragment appears verbatim in many documents exactly"
+      val aug = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(37)) === 0, concat(col("text"), lit(promo)))
+            .otherwise(col("text")).as("text"))
+      graft.operators.PassageDedup.removeDuplicatedPassages(
+        aug, "doc_id", "text", windowTokens = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
@@ -765,6 +783,32 @@ object PipelineQueries {
          |   (${dotSql("a", "b")}) / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q87_passage_dedup" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 37 = 0 THEN text ||
+         |    ' repeated promotional sentence fragment appears verbatim in many documents exactly'
+         |  ELSE text END AS text FROM documents),
+         |t0 AS (SELECT doc_id, $tokensSql AS t FROM aug),
+         |g AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS gk
+         |      FROM t0, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+         |      WHERE len(t) >= 8),
+         |dup AS (SELECT gk FROM g GROUP BY gk HAVING count(*) > 1),
+         |cov AS (SELECT DISTINCT doc_id, p
+         |        FROM (SELECT doc_id, i FROM g JOIN dup USING (gk)) gi,
+         |        LATERAL unnest(generate_series(i, i + 7)) AS v(p)),
+         |pos AS (SELECT doc_id, p, t[p] AS tok
+         |        FROM t0, LATERAL unnest(generate_series(1, len(t))) AS u(p)),
+         |keep AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+         |         LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+         |         WHERE cov.p IS NULL),
+         |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+         |       FROM keep GROUP BY doc_id),
+         |nc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t0.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(nc.n_removed, 0) AS BIGINT) AS n_removed,
+         | coalesce(cl.cleaned, '') AS cleaned_text
+         |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // The sketch is a candidate filter + exact recount, so the oracle is the
     // plain exact heavy-hitter query (phi=0.0013 > 1/k guarantees equality).
     "q55_heavy_bigrams" ->
