@@ -51,6 +51,52 @@ object TextFunctions {
     when(toks > 0 && hits / toks >= threshold, "en").otherwise("unknown")
   }
 
+  /** Per-language stopword profiles for multilingual language ID. Small
+    * closed-class word lists (the standard n-gram/stopword-profile heuristic à
+    * la textcat): function words are the highest-frequency, most
+    * language-exclusive tokens, so a dozen per language separates these four
+    * reliably. Order = tie-break priority. */
+  val LanguageProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "mit", "ein", "auf"),
+    "fr" -> Seq("le", "les", "et", "est", "je", "ne", "pas", "pour", "dans", "une"),
+    "es" -> Seq("el", "los", "y", "es", "no", "que", "para", "con", "por", "una"))
+
+  /** Number of tokens of `toks` found in `profile` (occurrences, not distinct
+    * membership — repeated stopwords are evidence too). Pure scan-side HOF. */
+  def profileHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => t.isin(profile.map(_.asInstanceOf[Any]): _*))).cast("long")
+
+  /** First-max argmax over (label, score) pairs in list order — deterministic
+    * tie-break; an all-zero row falls back to the first label. Pass STAGED
+    * score columns (not inline [[profileHits]] calls) so each score is
+    * evaluated once. */
+  def langArgmax(scores: Seq[(String, Column)]): Column =
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, sc), i), elseCol) =>
+      val laterMax = scores.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
+      when(sc >= laterMax, lang).otherwise(elseCol)
+    }
+
+  /** Multilingual language ID over staged tokens: per-profile hit counts with
+    * first-max argmax in [[LanguageProfiles]] order. Zero shuffle. */
+  def langIdMulti(toks: Column): Column =
+    langArgmax(LanguageProfiles.map { case (lang, prof) => lang -> profileHits(toks, prof) })
+
+  /** Linear text-classifier inference over hashed bag-of-words features
+    * (the fastText-style quality-classifier shape: score = Σ w[h(token)]).
+    * The weight table is DERIVED, not stored: w(t) = (first-32-md5-bits(t) mod
+    * 1001) − 500 ∈ [−500, 500] — a deterministic stand-in for trained weights
+    * that keeps the inference path (hash → lookup → sum) real and the oracle
+    * SQL-expressible; swap the affine map for a broadcast weight array lookup
+    * to serve a trained model. Integer lanes: the per-doc sum is a LONG fold
+    * (order-independent, exact), normalized by one double division at the end.
+    * Pure scan-side HOF — classifying 100 TB shuffles nothing. */
+  def hashedFeatureScore(toks: Column): Column =
+    aggregate(
+      transform(toks, t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1001 - 500),
+      lit(0L), (acc, x) => acc + x)
+
   /** Composite quality score in [0,1]: penalizes extreme length, high punctuation
     * density, and low alphabetic density. Deterministic double arithmetic. */
   def qualityScore(text: Column): Column = {

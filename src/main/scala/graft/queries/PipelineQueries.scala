@@ -27,6 +27,14 @@ object PipelineQueries {
 
   private val tokensSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** The q88 language-suffix / profile-list pair, derived from the single
+    * source of truth ([[TextFunctions.LanguageProfiles]]) on both engine sides. */
+  private def langProfile(lang: String): Seq[String] =
+    TextFunctions.LanguageProfiles.find(_._1 == lang).get._2
+  private def langSuffix(lang: String): String = " " + langProfile(lang).mkString(" ")
+  private def langListSql(lang: String): String =
+    langProfile(lang).map(w => s"'$w'").mkString(", ")
+
   /** Fixed sign-LSH hyperplanes shared by the q52 query and its oracle: the SQL
     * side embeds the exact same doubles as literals (Double.toString round-trips
     * bit-exactly through DuckDB's decimal parser), and both sides evaluate the
@@ -423,6 +431,85 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q88: multilingual language ID — per-language stopword-profile hit counts
+    // (en/de/fr/es) with deterministic first-max argmax. Docs are augmented
+    // with a repeated language suffix keyed on doc_id % 4 (same construction
+    // in the oracle) so all four labels provably occur; scores are STAGED
+    // columns evaluated once, argmax reads the staged columns.
+    "q88_langid_multi" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 1, repeat(lit(langSuffix("de")), 4))
+            .when(pmod(col("doc_id"), lit(4)) === 2, repeat(lit(langSuffix("fr")), 4))
+            .when(pmod(col("doc_id"), lit(4)) === 3, repeat(lit(langSuffix("es")), 4))
+            .otherwise(lit(""))).as("text"))
+      val scored = aug
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: TextFunctions.LanguageProfiles.map { case (l, p) =>
+          TextFunctions.profileHits(col("toks"), p).as(s"s_$l") }: _*)
+      scored.select(col("doc_id"),
+          col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+          TextFunctions.langArgmax(
+            TextFunctions.LanguageProfiles.map { case (l, _) => l -> col(s"s_$l") })
+            .as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q89: KMV distinct-count sketch (native TypedImperativeAggregate, <= k
+    // longs of state, order-insensitive merge — so its output is deterministic
+    // and oracle-checkable, unusual for a sketch). The exact n_distinct_hashes
+    // column exists only to juxtapose estimate vs truth in the verified output;
+    // production reads just the sketch. k=16 < the 25-distinct-per-source
+    // cardinality, so the estimator arm (not the exact fallback) is verified.
+    "q89_kmv_distinct" -> ((s, dir) => {
+      val k = 16
+      val hashed = t(s, dir, "documents").select(col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("hv"))
+      hashed.groupBy(col("source"))
+        .agg(graft.expressions.KmvSketch.kmvMinima(col("hv"), k).as("minima"),
+          countDistinct(col("hv")).as("n_distinct_hashes"))
+        .select(col("source"),
+          size(col("minima")).cast("long").as("n_minima"),
+          col("n_distinct_hashes"),
+          when(size(col("minima")) >= k, element_at(col("minima"), k)).as("kth_min"),
+          when(size(col("minima")) < k, size(col("minima")).cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+              element_at(col("minima"), k).cast("double"))
+            .as("estimate"))
+        .orderBy(col("source"))
+    }),
+
+    // q90: inverted index build (retrieval prep) — term -> document frequency +
+    // head of the sorted postings list. The head cap is the scale contract:
+    // full postings for stopword-class terms are corpus-sized, so the verified
+    // surface is (df exact, first 32 postings); full lists shard by term.
+    "q90_inverted_index" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          TextFunctions.tokens(col("text")))).as("term"))
+      posts.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 32),
+            x => x.cast("string"))).as("postings_head"))
+        .orderBy(col("term"))
+    }),
+
+    // q91: linear quality-classifier inference over hashed bag-of-words
+    // features (fastText shape; see TextFunctions.hashedFeatureScore — the
+    // LONG fold keeps the sum order-independent, one double division per doc).
+    "q91_linear_classifier" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextFunctions.hashedFeatureScore(col("toks")).as("raw_score"))
+        .withColumn("norm_score",
+          col("raw_score").cast("double") / (col("n_tokens").cast("double") * 500.0))
+        .withColumn("label",
+          when(col("raw_score") >= 0, "keep").otherwise("drop"))
+        .orderBy(col("doc_id"))),
+
     // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
@@ -783,6 +870,52 @@ object PipelineQueries {
          |   (${dotSql("a", "b")}) / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q89_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS nd FROM h)
+        |SELECT source,
+        | CAST(least(nd, 16) AS BIGINT) AS n_minima,
+        | CAST(nd AS BIGINT) AS n_distinct_hashes,
+        | max(CASE WHEN rn = 16 THEN hv END) AS kth_min,
+        | CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |      ELSE 64424509440.0 / CAST(max(CASE WHEN rn = 16 THEN hv END) AS DOUBLE)
+        | END AS estimate
+        |FROM r GROUP BY source, nd ORDER BY source""".stripMargin,
+    "q90_inverted_index" ->
+      s"""WITH tk AS (SELECT DISTINCT doc_id, term FROM
+         |  (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         | array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 32), ',') AS postings_head
+         |FROM tk GROUP BY term ORDER BY term""".stripMargin,
+    "q91_linear_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |w AS (SELECT doc_id,
+         |  (('0x' || substr(md5(term), 1, 8))::BIGINT % 1001) - 500 AS wt FROM tk),
+         |agg AS (SELECT doc_id, count(*) AS n, sum(wt) AS raw FROM w GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(raw AS BIGINT) AS raw_score,
+         | CAST(raw AS DOUBLE) / (CAST(n AS DOUBLE) * 500.0) AS norm_score,
+         | CASE WHEN raw >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q88_langid_multi" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 4 = 1 THEN repeat('${langSuffix("de")}', 4)
+         |       WHEN doc_id % 4 = 2 THEN repeat('${langSuffix("fr")}', 4)
+         |       WHEN doc_id % 4 = 3 THEN repeat('${langSuffix("es")}', 4)
+         |       ELSE '' END AS text FROM documents),
+         |tk AS (SELECT doc_id, $tokensSql AS t FROM aug),
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> list_contains([${langListSql("en")}], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> list_contains([${langListSql("de")}], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> list_contains([${langListSql("fr")}], x))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> list_contains([${langListSql("es")}], x))) AS BIGINT) AS s_es
+         |  FROM tk)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         | CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |      WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q87_passage_dedup" ->
       s"""WITH aug AS (SELECT doc_id,
          |  CASE WHEN doc_id % 37 = 0 THEN text ||

@@ -41,6 +41,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "unknown"))
   }
 
+  test("langIdMulti picks the dominant stopword profile; ties break in profile order") {
+    val out = Seq(
+      "the cat and the dog was in for that with",       // en
+      "der hund und die katze ist nicht mit ein auf",   // de
+      "le chat et les chiens est je ne pas dans une",   // fr
+      "el gato y los perros es no que para con por",    // es
+      "zzz qqq www")                                    // no hits -> first profile
+      .toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .select(TextFunctions.langIdMulti(col("toks"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "en"))
+  }
+
+  test("hashedFeatureScore is an order-independent LONG sum of per-token weights") {
+    val Seq(a, b) = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(TextFunctions.hashedFeatureScore(TextFunctions.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b) // permutation-invariant
+    // weight bounds: |w| <= 500 per token, 3 tokens
+    assert(math.abs(a) <= 1500)
+    // repeated token doubles its contribution
+    val Seq(one, two) = Seq("solo", "solo solo").toDF("text")
+      .select(TextFunctions.hashedFeatureScore(TextFunctions.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(two == 2 * one)
+  }
+
   test("maxRunLength / repetition signals: sorted-run fold equals true max frequency") {
     val r = Seq("a b a b a b c").toDF("text")
       .select(TextFunctions.tokens(col("text")).as("toks"))
