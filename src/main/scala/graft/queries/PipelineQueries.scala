@@ -35,6 +35,50 @@ object PipelineQueries {
   private def langListSql(lang: String): String =
     langProfile(lang).map(w => s"'$w'").mkString(", ")
 
+  /** Planted boilerplate lines for the q92/q93 line-dedup pair (doc-frequency
+    * by construction: ~N/3, ~N/13, ~N/250 docs). */
+  private val Boiler: Seq[(Int, String)] = Seq(
+    3 -> "subscribe to our newsletter for updates",
+    13 -> "all rights reserved copyright notice",
+    250 -> "rare footer appears almost nowhere")
+
+  /** Newline-structured corpus for the line-dedup queries: 12-token chunk
+    * lines + boilerplate planted at [[Boiler]] frequencies + a within-doc
+    * repeat of line 1 for doc_id % 5 == 0. [[linedCtes]] is the oracle twin. */
+  private def linedDocs(docs: DataFrame): DataFrame = {
+    val emptyArr = typedLit(Seq.empty[String])
+    val chunked = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1L), floor((size(col("_toks")) - 1).cast("double") / 12.0) + 1L),
+        i => array_join(slice(col("_toks"), ((i - lit(1L)) * 12L + 1L).cast("int"),
+          lit(12)), " ")).as("_ls"))
+    val planted = Boiler.foldLeft(chunked) { case (df, (m, line)) =>
+      df.withColumn("_ls", concat(col("_ls"),
+        when(pmod(col("doc_id"), lit(m)) === 0, array(lit(line))).otherwise(emptyArr)))
+    }
+    planted
+      .select(col("doc_id"), concat(col("_ls"),
+        when(pmod(col("doc_id"), lit(5)) === 0, array(element_at(col("_ls"), 1)))
+          .otherwise(emptyArr)).as("_ls"))
+      .select(col("doc_id"), array_join(col("_ls"), "\n").as("text"))
+  }
+
+  /** Oracle CTEs ending in `lines(doc_id, ls)` — the q92/q93 construction twin
+    * of [[linedDocs]] (no leading WITH; callers splice). */
+  private def linedCtes: String = {
+    val boilerSql = Boiler.map { case (m, line) =>
+      s"(CASE WHEN doc_id % $m = 0 THEN ['$line'] ELSE []::VARCHAR[] END)"
+    }.mkString(" || ")
+    s"""t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |l0 AS (SELECT doc_id, [array_to_string(t[(i-1)*12+1:(i)*12], ' ')
+       |  FOR i IN generate_series(1, (len(t)+11)//12)] AS ls FROM t0),
+       |l1 AS (SELECT doc_id, ls || $boilerSql AS ls FROM l0),
+       |lines AS (SELECT doc_id,
+       |  ls || (CASE WHEN doc_id % 5 = 0 THEN [ls[1]] ELSE []::VARCHAR[] END) AS ls
+       |  FROM l1)""".stripMargin
+  }
+
   /** Fixed sign-LSH hyperplanes shared by the q52 query and its oracle: the SQL
     * side embeds the exact same doubles as literals (Double.toString round-trips
     * bit-exactly through DuckDB's decimal parser), and both sides evaluate the
@@ -510,6 +554,26 @@ object PipelineQueries {
           when(col("raw_score") >= 0, "keep").otherwise("drop"))
         .orderBy(col("doc_id"))),
 
+    // q92: corpus-level LINE dedup (C4 §2.2 / RefinedWeb line-wise pass) —
+    // any line appearing in > 4 distinct docs is removed from every doc. Lines
+    // are constructed (the corpus is single-line): 12-token chunks joined by
+    // \n, plus planted boilerplate lines at three frequencies — doc_id%3
+    // (removed), %13 (removed), %250 (2 docs — KEPT, proving the threshold) —
+    // and a %5 within-doc first-line repeat (doc-frequency 1 — kept here,
+    // removed by q93). Same construction in the oracle.
+    "q92_line_dedup" -> ((s, dir) =>
+      graft.operators.LineDedup.removeRepeatedLines(
+        linedDocs(t(s, dir, "documents")), "doc_id", "text", maxDocs = 4)
+        .orderBy(col("doc_id"))),
+
+    // q93: WITHIN-document line dedup (first occurrence wins, order kept) —
+    // the zero-shuffle HOF variant; the %5 planted repeat of line 1 is removed,
+    // corpus-repeated boilerplate is NOT (it occurs once per doc).
+    "q93_line_dedup_intradoc" -> ((s, dir) =>
+      graft.operators.LineDedup.dedupLinesWithinDoc(
+        linedDocs(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
@@ -942,6 +1006,29 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q92_line_dedup" ->
+      s"""WITH $linedCtes,
+         |cnt AS (SELECT line, count(*) AS n FROM
+         |  (SELECT doc_id, unnest(list_distinct(ls)) AS line FROM lines) GROUP BY 1),
+         |bad AS (SELECT line FROM cnt WHERE n > 4),
+         |ex AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM
+         |  (SELECT doc_id, unnest([{'pos': i, 'line': ls[i]}
+         |     FOR i IN generate_series(1, len(ls))]) AS s FROM lines)),
+         |keep AS (SELECT e.doc_id, e.pos, e.line FROM ex e
+         |  LEFT JOIN bad b ON e.line = b.line WHERE b.line IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY pos) AS ct FROM keep GROUP BY 1)
+         |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+         | CAST(len(l.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         | coalesce(a.ct, '') AS clean_text
+         |FROM lines l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q93_line_dedup_intradoc" ->
+      s"""WITH $linedCtes
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         | CAST(len(list_filter(ls, (x, i) -> list_position(ls, x) = i)) AS BIGINT) AS n_kept,
+         | array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10))
+         |   AS clean_text
+         |FROM lines ORDER BY doc_id""".stripMargin,
     // The sketch is a candidate filter + exact recount, so the oracle is the
     // plain exact heavy-hitter query (phi=0.0013 > 1/k guarantees equality).
     "q55_heavy_bigrams" ->
