@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson–Spärck Jones Okapi weighting) over a
+  * document corpus — the query-side consumer of the inverted-index prep (q90)
+  * and the standard relevance score for retrieval-augmented training-data
+  * selection.
+  *
+  * Formula per (doc, term): idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+  * summed over query terms in fixed order. The idf is the RATIONAL core of the
+  * Robertson form, (N − df + 0.5)/(df + 0.5), without the enclosing log: log is
+  * monotone, so top-k per term is unchanged, and the rational form is exact
+  * IEEE division — bit-identical across engines (same trick as
+  * [[TfIdf]]'s rational idf; production rankers that want the damped scale put
+  * the log back and lose only oracle-exactness, not correctness).
+  *
+  * Scale shape: two corpus passes, both scan-shaped. Pass 1 reduces map-side to
+  * (N, Σdl, df per query term) — a handful of longs; at 100 TB with a standing
+  * query workload these come precomputed from the inverted index's df column
+  * instead. Pass 2 computes every per-doc term frequency with higher-order
+  * functions during the scan (no explode, no shuffle) and feeds
+  * TakeOrderedAndProject — the global top-k materializes k rows per partition,
+  * never a global sort. Defaults k1=1.5, b=0.75 are in the standard Okapi range
+  * and exactly representable in binary, so the arithmetic chain is
+  * reproducible down to the last bit.
+  */
+object Retrieval {
+
+  /** Per-document BM25 scores for `queryTerms`: (id, n_tokens, score), one row
+    * per document (docs matching no term score 0.0). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    val staged = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).cast("long").as("_dl"))
+
+    // Pass 1: corpus stats — one aggregate job, map-side combined to 2+|q| longs.
+    val statCols = count(lit(1)).as("n") +: sum(col("_dl")).as("sdl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = staged.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = stats.getAs[Long]("n")
+    val avgdl = stats.getAs[Long]("sdl").toDouble / n.toDouble
+
+    // Pass 2: scan-side scoring; fixed-order term sum keeps doubles exact.
+    val dl = col("_dl").cast("double")
+    val termScores = queryTerms.zipWithIndex.map { case (t, i) =>
+      val df = stats.getAs[Long](s"df_$i")
+      val idf = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      val tf = size(filter(col("_toks"), x => x === t)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgdl))))
+    }
+    staged.select(col(idCol), col("_dl").as("n_tokens"),
+      termScores.reduceLeft(_ + _).as("score"))
+  }
+
+  /** Top-k BM25 retrieval, deterministically tie-broken by ascending id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

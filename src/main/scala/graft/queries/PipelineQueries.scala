@@ -79,6 +79,21 @@ object PipelineQueries {
        |  FROM l1)""".stripMargin
   }
 
+  /** q94's fixed retrieval query (terms from the corpus vocabulary). */
+  private val Bm25Terms = Seq("spark", "window", "table")
+
+  /** One BM25 term's score expression in DuckDB SQL — the exact arithmetic
+    * twin of [[graft.operators.Retrieval.bm25Scores]]: rational idf from in-SQL
+    * (n, df_i), k1=1.5 / b=0.75 literals (exact binary doubles), identical
+    * association order. */
+  private def bm25TermSql(term: String, i: Int): String = {
+    val tf = s"CAST(len(list_filter(t, x -> x = '$term')) AS DOUBLE)"
+    s"""((CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+       | * ($tf * 2.5) / ($tf + 1.5 * (0.25 + 0.75 *
+       |   (CAST(len(t) AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Fixed sign-LSH hyperplanes shared by the q52 query and its oracle: the SQL
     * side embeds the exact same doubles as literals (Double.toString round-trips
     * bit-exactly through DuckDB's decimal parser), and both sides evaluate the
@@ -574,6 +589,13 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q94: BM25 top-k retrieval (rational-idf Okapi; exact cross-engine
+    // arithmetic — see Retrieval scaladoc). Ranks the whole corpus for a fixed
+    // 3-term query, deterministic doc_id tie-break at the k-th boundary.
+    "q94_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, topK = 50)),
+
     // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
@@ -1006,6 +1028,17 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q94_bm25_topk" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(t)) AS sdl,
+         |  ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+               s"sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$i"
+             }.mkString(", ")}
+         |  FROM t0)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         | (${Bm25Terms.zipWithIndex.map { case (t, i) => bm25TermSql(t, i) }
+              .mkString(" + ")}) AS score
+         |FROM t0, st ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "q92_line_dedup" ->
       s"""WITH $linedCtes,
          |cnt AS (SELECT line, count(*) AS n FROM

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, equal length (so dl-normalization is constant and ordering is
+  // driven by tf/idf alone where asserted).
+  private def corpus: DataFrame = Seq(
+    (1L, "spark spark spark query"), // tf(spark)=3
+    (2L, "spark query other words"), // tf(spark)=1
+    (3L, "query other words here"),  // tf(spark)=0
+    (4L, "rare other words here")    // contains the rare term
+  ).toDF("doc_id", "text")
+
+  test("more occurrences of a query term rank higher; absent terms score 0") {
+    val out = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("spark"))
+      .orderBy("doc_id").collect()
+    val scores = out.map(_.getDouble(2))
+    assert(scores(0) > scores(1))       // tf 3 > tf 1
+    assert(scores(1) > 0.0)
+    assert(scores(2) === 0.0 && scores(3) === 0.0)
+  }
+
+  test("rarer terms get higher idf weight at equal tf") {
+    // "rare" df=1 vs "query" df=3, both tf=1 in their docs, equal dl.
+    val out = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("rare", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(3L)) // doc4 matches only rare; doc3 only query
+  }
+
+  test("longer documents are penalized at equal tf") {
+    val docs = Seq(
+      (1L, "spark a b c"),
+      (2L, "spark a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val out = Retrieval.bm25Scores(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("bm25 score matches the closed-form Okapi formula") {
+    // corpus: N=4, avgdl=4; term "spark": df=2; doc1 tf=3 dl=4.
+    val score = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("spark"))
+      .filter($"doc_id" === 1L).collect()(0).getDouble(2)
+    val idf = (4.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    val expected = idf * (3.0 * 2.5) / (3.0 + 1.5 * (0.25 + 0.75 * (4.0 / 4.0)))
+    assert(score === expected)
+  }
+
+  test("topK is deterministic with doc_id tie-break and caps rows") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("query"), topK = 2)
+      .collect()
+    assert(out.length === 2)
+    // docs 1,2,3 all have tf(query)=1 and equal dl — tie broken by doc_id.
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("scoring plan takes top-k without a global sort") {
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+}
