@@ -188,4 +188,45 @@ object SimilaritySearch {
         NativeVec.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space coarsely, then within each cluster drop every vector that
+    * has a LOWER-id neighbor above the cosine threshold. Greedy-by-id is the
+    * deterministic analog of the paper's per-cluster greedy pruning: in a
+    * similarity chain a–b–c (a~b, b~c, a≁c) only `a` survives, matching the
+    * paper's "keep one representative per tight semantic region".
+    *
+    * The quantizer here is the sign-LSH bucket (zero training, oracle-exact);
+    * swap in [[kmeansCentroids]] + [[nearestCentroid]] as the cluster column
+    * for the paper's trained k-means partitioning — the verdict logic is
+    * identical (spec-covered in PipelineOpsSpec).
+    *
+    * Output: one row per input vector — (id, cluster, keep). Scale shape: the
+    * pair search is [[embeddingNearDupPairsLsh]] (bounded blocks, no global
+    * cross join); the dropped-id set — duplicates only, tiny next to the
+    * corpus — comes back via a broadcast left join. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    planes: Seq[Seq[Double]], threshold: Double): DataFrame =
+    semanticDedupByCluster(df, vecCol, idCol,
+      signLshBucket(col(vecCol), planes), threshold)
+
+  /** [[semanticDedup]] with an arbitrary precomputed cluster column (e.g. the
+    * nearest trained k-means centroid): same greedy lower-id-neighbor verdict,
+    * quantizer supplied by the caller. */
+  def semanticDedupByCluster(df: DataFrame, vecCol: String, idCol: String,
+                             cluster: Column, threshold: Double): DataFrame = {
+    val bucketed = df.select(cluster.as("cluster"), col(idCol).as("id"),
+      col(vecCol).as("vec"))
+    val l = bucketed.select(col("cluster"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(NativeVec.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("_dup", lit(true))
+    df.select(col(idCol), cluster.as("cluster"))
+      .join(broadcast(dropped.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("_dup"), lit(false)) === false as "keep")
+  }
 }

@@ -589,6 +589,14 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q95: SemDeDup semantic dedup verdict — sign-LSH cluster + greedy
+    // lower-id-neighbor pruning at cosine >= 0.3; one row per vector with its
+    // cluster and keep/drop. The kmeans-quantizer variant is spec-covered.
+    "q95_semantic_dedup" -> ((s, dir) =>
+      SimilaritySearch.semanticDedup(t(s, dir, "embeddings"), "embedding",
+        "vec_id", LshPlanes, threshold = 0.3)
+        .orderBy(col("vec_id"))),
+
     // q94: BM25 top-k retrieval (rational-idf Okapi; exact cross-engine
     // arithmetic — see Retrieval scaladoc). Ranks the whole corpus for a fixed
     // 3-term query, deterministic doc_id tie-break at the k-th boundary.
@@ -1028,6 +1036,16 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q95_semantic_dedup" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
+         |  FROM embeddings),
+         |dup AS (SELECT DISTINCT b.vec_id FROM bk a JOIN bk b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a", "b")}) /
+         |    (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) >= 0.3)
+         |SELECT k.vec_id, k.bucket AS cluster, (d.vec_id IS NULL) AS keep
+         |FROM bk k LEFT JOIN dup d ON k.vec_id = d.vec_id
+         |ORDER BY k.vec_id""".stripMargin,
     "q94_bm25_topk" ->
       s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |st AS (SELECT count(*) AS n, sum(len(t)) AS sdl,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // One plane along dim 0: cluster = sign of x(0). a~b~c chain via slight
+  // rotations; d is a's mirror image (opposite cluster, cosine -1 to a).
+  private val planes = Seq(Seq(1.0, 0.0, 0.0))
+  private def vecs: DataFrame = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),    // a
+    (2L, Seq(1.0f, 0.2f, 0.0f)),    // b ~ a
+    (3L, Seq(1.0f, 0.4f, 0.0f)),    // c ~ b, barely ~ a
+    (4L, Seq(-1.0f, 0.0f, 0.0f)),   // mirror of a, other cluster
+    (5L, Seq(0.1f, 1.0f, 0.0f))     // same cluster as a, dissimilar
+  ).toDF("vec_id", "embedding")
+
+  test("greedy lower-id pruning keeps one representative per tight region") {
+    val out = SimilaritySearch.semanticDedup(vecs, "embedding", "vec_id",
+      planes, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // cos(a,b)=0.98, cos(b,c)=0.996, cos(a,c)=0.928: chain a-b-c -> only a.
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+  }
+
+  test("cluster boundaries shield cross-cluster near-dups (recall contract)") {
+    // 4 is identical to 1 up to sign: cosine=-1 (not a dup anyway), but a
+    // TRUE near-dup in another cluster would be kept — prove the cluster
+    // column drives candidate generation.
+    val shifted = Seq((1L, Seq(1.0f, 0.01f, 0.0f)), (2L, Seq(-1.0f, -0.01f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.semanticDedup(shifted, "embedding", "vec_id",
+      Seq(Seq(0.0, 1.0, 0.0)), threshold = -2.0) // everything qualifies by cosine
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // opposite y-signs -> different clusters -> both kept despite threshold.
+    assert(out === Map(1L -> true, 2L -> true))
+  }
+
+  test("kmeans-quantizer variant gives identical verdicts to a brute-force reference") {
+    val centroids = SimilaritySearch.kmeansCentroids(vecs, "embedding", "vec_id",
+      k = 2, iters = 2)
+    val out = SimilaritySearch.semanticDedupByCluster(vecs, "embedding", "vec_id",
+      SimilaritySearch.nearestCentroid(col("embedding"), centroids), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+
+    // brute-force reference: same clustering, same greedy rule, local arithmetic
+    val rows = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(y.map(a => a * a).sum))
+    }
+    // mirror nearestCentroid's greatest(struct(s, i)): max cosine, max i on tie
+    def cluster(v: Seq[Double]) = centroids.zipWithIndex
+      .maxBy { case (c, i) => (cos(v, c), i) }._2
+    val expected = rows.map { case (id, v) =>
+      val c = cluster(v)
+      val dup = rows.exists { case (id2, v2) =>
+        id2 < id && cluster(v2) == c && cos(v, v2) >= 0.95 }
+      (id, c, !dup)
+    }
+    assert(out.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
+  test("dropped-id set joins back as a broadcast") {
+    val plan = SimilaritySearch.semanticDedup(vecs, "embedding", "vec_id",
+      planes, 0.95).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+}
