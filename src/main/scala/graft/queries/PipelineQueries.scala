@@ -589,6 +589,16 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q96: exact per-source token-length quantiles (p50/p90/p99) via the
+    // histogram-cumsum path — no row-level sort; type-1 quantiles are observed
+    // values, integer-exact on both engines.
+    "q96_exact_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "documents")
+          .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source"))),
+
     // q95: SemDeDup semantic dedup verdict — sign-LSH cluster + greedy
     // lower-id-neighbor pruning at cosine >= 0.3; one row per vector with its
     // cluster and keep/drop. The kmeans-quantizer variant is spec-covered.
@@ -1036,6 +1046,18 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q96_exact_quantiles" ->
+      s"""WITH v AS (SELECT source, CAST(array_length($tokensSql) AS BIGINT) AS val
+         |  FROM documents),
+         |h AS (SELECT source, val, count(*) AS c FROM v GROUP BY 1, 2),
+         |cm AS (SELECT source, val,
+         |  sum(c) OVER (PARTITION BY source ORDER BY val) AS cum,
+         |  sum(c) OVER (PARTITION BY source) AS n FROM h)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n,
+         | min(CASE WHEN cum >= ceil(0.5 * n) THEN val END) AS p50,
+         | min(CASE WHEN cum >= ceil(0.9 * n) THEN val END) AS p90,
+         | min(CASE WHEN cum >= ceil(0.99 * n) THEN val END) AS p99
+         |FROM cm GROUP BY source ORDER BY source""".stripMargin,
     "q95_semantic_dedup" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
          |  FROM embeddings),
