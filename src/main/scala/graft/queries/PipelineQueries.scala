@@ -589,6 +589,20 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q97: bloom-pruned semi join — lineitem ⋉ (urgent finished orders). The
+    // bloom pre-filter drops non-matching lineitem rows in-scan before the
+    // exact join; no false negatives ⇒ result ≡ the plain semi join the
+    // oracle runs. FPR/merge properties are spec-covered (BloomFilterSpec).
+    "q97_bloom_semijoin" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin.semiJoinPruned(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+        numBits = 1 << 16, numHashes = 5)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // q96: exact per-source token-length quantiles (p50/p90/p99) via the
     // histogram-cumsum path — no row-level sort; type-1 quantiles are observed
     // values, integer-exact on both engines.
@@ -1046,6 +1060,11 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q97_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q96_exact_quantiles" ->
       s"""WITH v AS (SELECT source, CAST(array_length($tokensSql) AS BIGINT) AS val
          |  FROM documents),
