@@ -227,6 +227,35 @@ object TextFunctions {
   def registrableDomain(host: Column): Column =
     regexp_extract(host, "[^.]+\\.[^.]+$", 0)
 
+  /** Canonical form of a URL — the dedup key for URL-level corpus dedup
+    * (crawl pipelines fetch the same page under fragment/tracking/case/port
+    * variants; CCNet & friends dedup on a normalized URL before content dedup):
+    *
+    *  1. fragment dropped;
+    *  2. tracking params removed (`utm_*`, `gclid`, `fbclid`), separators
+    *     re-normalized, trailing `?`/`&` dropped;
+    *  3. scheme and host lower-cased (path/query stay case-sensitive),
+    *     leading `www.` and default ports `:80`/`:443` stripped;
+    *  4. trailing `/` removed.
+    *
+    * Pure regex pipeline in the java/RE2 shared subset — the oracle runs the
+    * identical steps (with the `g` flag; Spark's regexp_replace is global by
+    * default). Malformed URLs (no `scheme://`) canonicalize to the same
+    * cleaned string on both engines rather than erroring. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(
+      regexp_replace(noFrag, "(utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*&?", ""),
+      "[?&]$", "")
+    val scheme = lower(regexp_extract(noTrack, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noTrack, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostPort, "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_replace(
+      regexp_extract(noTrack, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+      "/$", "")
+    when(scheme === "", noTrack).otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
   /** Word n-gram shingles from an ALREADY-BOUND tokens column (e.g. n=3 →
     * "w1 w2 w3" strings). Pass an attribute reference, not a raw `tokens(text)`
     * expression: higher-order lambdas re-evaluate their child tree per element, so

@@ -589,6 +589,27 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q98: URL-level dedup — canonicalization (fragment/tracking/case/port/
+    // slash variants collapse) + min-id survivor per canonical key. URLs are
+    // derived (corpus has none): canonical key reduces to doc_id % 20 by
+    // construction, so every class provably has variants of all five kinds.
+    "q98_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("HTTP://WWW.EXAMPLE"))
+          .otherwise(lit("http://example")),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":80")).otherwise(lit("")),
+        lit("/page/"), pmod(col("doc_id"), lit(20)).cast("string"),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_source=feed&gclid=abc"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+      graft.operators.UrlDedup.dedupByCanonicalUrl(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+
     // q97: bloom-pruned semi join — lineitem ⋉ (urgent finished orders). The
     // bloom pre-filter drops non-matching lineitem rows in-scan before the
     // exact join; no false negatives ⇒ result ≡ the plain semi join the
@@ -1060,6 +1081,33 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q98_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 11 = 0 THEN 'HTTP://WWW.EXAMPLE' ELSE 'http://example' END)
+        |  || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        |  || (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
+        |  || '/page/' || CAST(doc_id % 20 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&gclid=abc' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+        | FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s FROM u),
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |  '(utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*&?', '', 'g'), '[?&]$', '', 'g') AS s
+        | FROM n1),
+        |p AS (SELECT doc_id, s,
+        |  lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+        |    '^www\.', '', 'g'), ':(80|443)$', '', 'g') AS host,
+        |  regexp_replace(regexp_extract(s,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '/$', '', 'g') AS rest
+        | FROM n2),
+        |c AS (SELECT doc_id, CASE WHEN scheme = '' THEN s
+        |  ELSE scheme || '://' || host || rest END AS canonical_url FROM p)
+        |SELECT doc_id, canonical_url,
+        | (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q97_bloom_semijoin" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
