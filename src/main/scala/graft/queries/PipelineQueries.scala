@@ -589,6 +589,14 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q99: epoch-deterministic corpus shuffle into shards — md5(id:epoch)
+    // deals shard + in-shard position; rerunning reproduces it exactly,
+    // changing the epoch re-deals everything.
+    "q99_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Sharding.epochShuffle(t(s, dir, "documents"), "doc_id",
+        epoch = 3, numShards = 8)
+        .orderBy(col("doc_id"))),
+
     // q98: URL-level dedup — canonicalization (fragment/tracking/case/port/
     // slash variants collapse) + min-id survivor per canonical key. URLs are
     // derived (corpus has none): canonical key reduces to doc_id % 20 by
@@ -1081,6 +1089,14 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q99_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':3') AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |  CAST(('0x' || substr(h, 1, 8))::BIGINT % 8 AS BIGINT) AS shard FROM k)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q98_url_dedup" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 11 = 0 THEN 'HTTP://WWW.EXAMPLE' ELSE 'http://example' END)
