@@ -589,6 +589,11 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q100: BPE merge-candidate counting (tokenizer-training pass 1): adjacent
+    // char pairs over the pre-token FREQUENCY table, top-40 by weighted count.
+    "q100_bpe_pairs" -> ((s, dir) =>
+      graft.operators.BpeTrainer.topPairs(t(s, dir, "documents"), "text", k = 40)),
+
     // q99: epoch-deterministic corpus shuffle into shards — md5(id:epoch)
     // deals shard + in-shard position; rerunning reproduces it exactly,
     // changing the epoch re-deals everything.
@@ -1089,6 +1094,16 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q100_bpe_pairs" ->
+      s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
+         | FROM documents),
+         |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1),
+         |pr AS (SELECT substr(p, CAST(i AS INT), 2) AS pair, freq
+         |  FROM f, LATERAL unnest(generate_series(1, length(p) - 1)) AS g(i)
+         |  WHERE length(p) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q99_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':3') AS h
         |  FROM documents),
