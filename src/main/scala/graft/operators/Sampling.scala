@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,4 +96,26 @@ object Sampling {
       .filter(col("_rn") <= lit(k) * ceil(sqrt(col("_gn").cast("double"))))
       .drop("_rn", "_gn")
   }
+
+  /** Deterministic uniform draw in [0, 1) keyed on (id, seed): the first 32
+    * md5 bits scaled by 2⁻³² — a power-of-two scaling, so the double is exact
+    * and engine-identical. */
+  def uniformDraw(id: Column, seed: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Score-weighted rejection sampling (the DSIR / CCNet-style importance
+    * downsample): keep a row iff its deterministic uniform draw falls under
+    * `acceptProb` (a column in [0,1] — a quality score, an importance weight
+    * ratio, a per-domain target rate). E[kept | row] = acceptProb, but unlike
+    * `rand()`-based sampling the verdict is a pure function of (id, seed), so
+    * reruns, audits, and incremental regeneration agree row-for-row.
+    *
+    * Zero shuffle: draw, score, and verdict are scan-side expressions.
+    * Output: input columns + (accept_u, accept_p, keep). */
+  def rejectionSample(df: DataFrame, idCol: String, acceptProb: Column,
+                      seed: String = "0"): DataFrame =
+    df.withColumn("accept_u", uniformDraw(col(idCol), seed))
+      .withColumn("accept_p", acceptProb)
+      .withColumn("keep", col("accept_u") < col("accept_p"))
 }

@@ -589,6 +589,15 @@ object PipelineQueries {
         linedDocs(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // q101: quality-weighted rejection sampling — deterministic md5 draw vs
+    // the quality score as acceptance probability; keep-verdict per doc.
+    "q101_rejection_sample" -> ((s, dir) =>
+      graft.operators.Sampling.rejectionSample(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextFunctions.qualityScore(col("text")), seed = "s1")
+        .select(col("doc_id"), col("accept_u"), col("accept_p"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // q100: BPE merge-candidate counting (tokenizer-training pass 1): adjacent
     // char pairs over the pre-token FREQUENCY table, top-40 by weighted count.
     "q100_bpe_pairs" -> ((s, dir) =>
@@ -1093,6 +1102,14 @@ object PipelineQueries {
          | CAST(coalesce(nc.n_removed, 0) AS BIGINT) AS n_removed,
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q101_rejection_sample" ->
+      s"""SELECT doc_id, accept_u, accept_p, (accept_u < accept_p) AS keep FROM (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8))::BIGINT
+         |      AS DOUBLE) / 4294967296.0 AS accept_u,
+         |    ($qualitySql) AS accept_p
+         |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "q100_bpe_pairs" ->
       s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
