@@ -165,6 +165,24 @@ object EventPipeline {
       .drop("_toks", "_grams")
   }
 
+  /** Streaming twin of [[graft.operators.LineDedup.removeRepeatedLines]]'s
+    * rewrite pass: strip a STATIC boilerplate-line set (mined from the
+    * historical corpus by `LineDedup.repeatedLines`, refreshed out-of-band)
+    * from every arriving document. The offending set is collected once at
+    * query-build time and applied as a per-row HOF filter — STATELESS like
+    * [[streamingDecontaminate]]: no watermark, no state store, any output
+    * mode. Discovering NEW boilerplate needs corpus-wide counts, which is
+    * inherently a batch job; the streaming path applies the latest mined set. */
+  def streamingLineFilter(docs: DataFrame, textCol: String,
+                          repeatedLines: Seq[String]): DataFrame = {
+    val bad = typedlit(repeatedLines)
+    docs
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn(textCol,
+        array_join(filter(col("_lines"), l => !array_contains(bad, l)), "\n"))
+      .drop("_lines")
+  }
+
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                             tsCol: String, watermark: String = "1 hour",
                             windowLen: String = "10 minutes",

@@ -168,6 +168,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line filter strips the mined boilerplate set, stateless, every batch") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventPipeline.streamingLineFilter(docs, "text",
+      repeatedLines = Seq("subscribe now", "cookie notice"))
+      .writeStream.format("memory").queryName("lf").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "real content\nsubscribe now\nmore content"))
+      q.processAllAvailable()
+      input.addData((2L, "cookie notice"), (3L, "untouched\ndoc"))
+      q.processAllAvailable()
+      val out = spark.table("lf").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) === "real content\nmore content")
+      assert(out(2L) === "") // boilerplate-only doc survives as empty, caller's policy
+      assert(out(3L) === "untouched\ndoc")
+    } finally q.stop()
+  }
+
   test("stateless text ops (PII redaction, chunking) run unmodified on streams") {
     implicit val sc = spark.sqlContext
     import graft.functions.TextFunctions
