@@ -19,7 +19,9 @@ object Explain {
         "q69_curation", "q73_text_repetition", "q74_length_trim",
         "q75_stratified_sample", "q76_incremental_dedup", "q77_tfidf_topterms",
         "q79_decontamination", "q81_domain_blocklist", "q82_chunk_overlap",
-        "q83_unigram_freq")
+        "q83_unigram_freq", "q87_passage_dedup", "q92_line_dedup",
+        "q94_bm25_topk", "q95_semantic_dedup", "q96_exact_quantiles",
+        "q97_bloom_semijoin", "q98_url_dedup", "q100_bpe_pairs")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
