@@ -54,7 +54,16 @@ object Bench {
     "q81_domain_blocklist" -> 0.60, "q82_chunk_overlap" -> 1.00,
     "q83_unigram_freq" -> 1.50,
     "q84_dedup_containment" -> 1.60, "q85_sqrt_cap_sample" -> 0.35,
-    "q86_curated_decontaminated" -> 3.20)
+    "q86_curated_decontaminated" -> 3.20,
+    // late-round-4 additions (provisional, scaled from sf0.001 timings)
+    "q87_passage_dedup" -> 4.50, "q88_langid_multi" -> 0.60,
+    "q89_kmv_distinct" -> 0.50, "q90_inverted_index" -> 0.90,
+    "q91_linear_classifier" -> 0.45, "q92_line_dedup" -> 1.60,
+    "q93_line_dedup_intradoc" -> 0.80, "q94_bm25_topk" -> 0.80,
+    "q95_semantic_dedup" -> 0.60, "q96_exact_quantiles" -> 0.60,
+    "q97_bloom_semijoin" -> 0.50, "q98_url_dedup" -> 0.60,
+    "q99_epoch_shuffle" -> 0.50, "q100_bpe_pairs" -> 1.50,
+    "q101_rejection_sample" -> 0.50)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

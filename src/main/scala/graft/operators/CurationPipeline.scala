@@ -35,6 +35,11 @@ object CurationPipeline {
 
   /** The FULL training-data prep composition, corpus in → sharded parquet out:
     *
+    *   0. (optional) C4-style boilerplate-line removal
+    *      ([[LineDedup.removeRepeatedLines]], `lineDedupMaxDocs`) — run FIRST,
+    *      as in C4: repeated nav/footer lines would otherwise drag quality
+    *      scores and manufacture false near-dup pairs downstream; docs
+    *      emptied by the strip are dropped,
     *   1. [[curate]] (quality gate → language filter → near-dup canonicals),
     *   2. benchmark decontamination against `evalDocs`
     *      ([[Decontamination.decontaminate]] — broadcast eval shingles),
@@ -45,8 +50,8 @@ object CurationPipeline {
     *      partitioned, record-capped parquet write
     *      ([[graft.io.Sinks.writePartitionedParquet]]).
     *
-    * Stage ORDER is the scale argument: the scan-side filters and the
-    * broadcast decontamination shrink the corpus before the only expensive
+    * Stage ORDER is the scale argument: the line strip, scan-side filters and
+    * the broadcast decontamination shrink the corpus before the only expensive
     * shuffles (LSH dedup); redaction and chunking are zero-shuffle column
     * work on survivors; the final write is the only wide output. Returns the
     * chunk frame it wrote. */
@@ -54,9 +59,15 @@ object CurationPipeline {
                         idCol: String = "doc_id", textCol: String = "text",
                         minQuality: Double = 0.5, decontaminationGrams: Int = 3,
                         chunkSize: Int = 256, stride: Int = 192,
-                        numShards: Int = 16): DataFrame = {
+                        numShards: Int = 16,
+                        lineDedupMaxDocs: Option[Int] = None): DataFrame = {
+    val cleaned = lineDedupMaxDocs.fold(docs) { maxDocs =>
+      LineDedup.removeRepeatedLines(docs, idCol, textCol, maxDocs)
+        .filter(col("clean_text") =!= "")
+        .select(col(idCol), col("clean_text").as(textCol))
+    }
     val kept = Decontamination.decontaminate(
-      curate(docs, idCol, textCol), evalDocs, idCol, textCol, decontaminationGrams)
+      curate(cleaned, idCol, textCol), evalDocs, idCol, textCol, decontaminationGrams)
     val redacted = kept.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
     val chunks = Chunker.chunkByTokens(redacted, idCol, textCol, chunkSize, stride)
       .withColumn("shard", TextFunctions.hashBucket(col(idCol), numShards))

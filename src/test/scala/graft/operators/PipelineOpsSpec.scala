@@ -615,6 +615,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(written.columns.contains("shard"))
   }
 
+  test("curateForTraining: optional C4 line strip runs first and drops emptied docs") {
+    val boiler = "subscribe to our newsletter today"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+        + "\n" + boiler),                            // boiler stripped, doc survives
+      (2L, "a small cat sat on the warm mat and then it went to sleep in the sun " * 3
+        + "\n" + boiler),                            // boiler stripped, doc survives
+      (3L, boiler),                                  // boilerplate-only → dropped
+      (4L, "many users of the community write long detailed notes for their tools " * 3
+        + "\n" + boiler))                            // boiler stripped, doc survives
+      .toDF("doc_id", "text")
+    val evalSet = Seq((90L, "zz held out zz")).toDF("doc_id", "text")
+    val out = tempDir().resolve("chunks2").toString
+    val chunks = graft.operators.CurationPipeline.curateForTraining(
+      docs, evalSet, out, minQuality = 0.5, chunkSize = 16, stride = 12,
+      numShards = 4, lineDedupMaxDocs = Some(2))
+    val ids = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"survivors: $ids")
+    assert(chunks.filter(col("chunk").contains("subscribe to our newsletter")).count() == 0)
+  }
+
   // ── unigram frequency scoring ───────────────────────────────────────────────
 
   test("unigramFrequencyScore: common-token docs outscore rare-token docs; exact sums") {
