@@ -53,6 +53,22 @@ object Sinks {
     publishSingleFile(tmpDir, outFile)
   }
 
+  /** JSONL (one JSON object per line) sink — the lingua-franca interchange
+    * format of training-data pipelines. Field order is pinned by the caller's
+    * column order (to_json preserves struct field order), so output is
+    * byte-deterministic given deterministic row content; JSON escaping of
+    * quotes/tabs/newlines is the writer's, proven by the q103 round-trip.
+    * Atomic single-file publish like the TSV sinks — for sharded corpus-scale
+    * output use [[writePartitionedParquet]]-style partitioned `df.write.json`
+    * instead. */
+  def writeJsonl(df: DataFrame, outFile: String): Unit = {
+    val tmpDir = outFile + ".tmp"
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)).as("line"))
+      .coalesce(1)
+      .write.mode("overwrite").option("quote", "").text(tmpDir)
+    publishSingleFile(tmpDir, outFile)
+  }
+
   /** Large-data parquet sink with file-count discipline — the opposite regime
     * from the single-file report sinks above. At 100 TB the failure mode is
     * SMALL FILES: a shuffle with thousands of tasks writing into hundreds of

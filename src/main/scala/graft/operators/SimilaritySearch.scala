@@ -189,6 +189,36 @@ object SimilaritySearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Batch kNN JOIN — every left row retrieves its top-k right-side neighbors
+    * by exact cosine among candidates sharing its full sign-LSH bucket: the
+    * two-table ANN primitive behind retrieval-augmented data selection
+    * ("for each eval doc, its nearest training docs") and embedding-side
+    * cross-corpus linking. Self-pairs (equal ids) are excluded so the join is
+    * usable within one table.
+    *
+    * Scale shape: both sides bucket in-scan; the candidate join is a bounded
+    * equi-join on the 2^planes-bucket key (never a cross join); ranking is a
+    * per-query-id window over candidates only. Recall is LSH-approximate like
+    * [[embeddingNearDupPairsLsh]] — union rotated plane sets for more.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k. */
+  def knnJoinLsh(left: DataFrame, right: DataFrame, vecCol: String,
+                 leftId: String, rightId: String,
+                 planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val l = left.select(signLshBucket(col(vecCol), planes).as("bucket"),
+      col(leftId).as("query_id"), col(vecCol).as("_qv"))
+    val r = right.select(signLshBucket(col(vecCol), planes).as("bucket"),
+      col(rightId).as("neighbor_id"), col(vecCol).as("_nv"))
+    l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        NativeVec.cosine(col("_qv"), col("_nv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
     * embedding space coarsely, then within each cluster drop every vector that
     * has a LOWER-id neighbor above the cosine threshold. Greedy-by-id is the

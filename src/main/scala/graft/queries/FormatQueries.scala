@@ -466,6 +466,22 @@ object FormatQueries {
       val out = s"${fixDir("q58")}/regions.bed"
       Sinks.writeBed(bed, out)
       TsvSources.readBed(s, out).orderBy(col("chrom"), col("start"))
+    }),
+
+    // ─── q103: JSONL sink round-trip — the training-data interchange format.
+    //     Text carries quote/tab/newline to prove the writer's JSON escaping;
+    //     the reader parses back with an explicit schema; the oracle recomputes
+    //     the same rows from the nation parquet (never reads the fixture). ───
+    "q103_jsonl_roundtrip" -> ((s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("doc_id"),
+          concat(col("n_name"), lit(" \"quoted\"\ttabbed\nnewline")).as("text"),
+          (col("n_nationkey").cast("double") / lit(8.0)).as("score"))
+        .orderBy(col("doc_id"))
+      val out = s"${fixDir("q103")}/docs.jsonl"
+      Sinks.writeJsonl(rows, out)
+      s.read.schema("doc_id BIGINT, text STRING, score DOUBLE").json(out)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -640,6 +656,11 @@ object FormatQueries {
         | CAST(256*(2 + n_nationkey % 4) AS BIGINT) AS n_frames,
         | -CAST(n_nationkey + 1 AS DOUBLE)/2.0 AS mean_amp
         |FROM nation ORDER BY media_id""".stripMargin,
+    "q103_jsonl_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+        | n_name || ' "quoted"' || chr(9) || 'tabbed' || chr(10) || 'newline' AS text,
+        | CAST(n_nationkey AS DOUBLE) / 8.0 AS score
+        |FROM nation ORDER BY doc_id""".stripMargin,
     "q58_bed_roundtrip" ->
       """SELECT 'chr' || (n_nationkey % 3 + 1) AS chrom,
         | CAST(n_nationkey*1000 AS BIGINT) AS start,

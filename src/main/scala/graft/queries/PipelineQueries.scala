@@ -632,6 +632,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q102: batch kNN join — 20 query vectors (vec_id % 25 == 0) each retrieve
+    // their top-5 neighbors from the full table among same-LSH-bucket
+    // candidates; exact cosine, deterministic (cosine desc, id) ranking.
+    "q102_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.knnJoinLsh(
+        emb.filter(pmod(col("vec_id"), lit(25)) === 0), emb, "embedding",
+        "vec_id", "vec_id", LshPlanes, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q97: bloom-pruned semi join — lineitem ⋉ (urgent finished orders). The
     // bloom pre-filter drops non-matching lineitem rows in-scan before the
     // exact join; no false negatives ⇒ result ≡ the plain semi join the
@@ -1103,6 +1114,19 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q102_knn_join" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
+         |  FROM embeddings),
+         |sc AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  (${dotSql("q", "b")}) /
+         |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("b", "b")})) AS cosine
+         | FROM bk q JOIN bk b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+         | WHERE q.vec_id % 25 = 0),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q101_rejection_sample" ->
       s"""SELECT doc_id, accept_u, accept_p, (accept_u < accept_p) AS keep FROM (
          |  SELECT doc_id,

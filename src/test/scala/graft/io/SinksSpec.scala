@@ -7,6 +7,22 @@ import graft.ops.MatrixBuilder
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("JSONL sink: one object per line, pinned field order, escaping round-trips") {
+    val df = Seq(
+      (1L, "plain text", 0.5),
+      (2L, "tricky \"quote\"\ttab\nnewline", 0.25))
+      .toDF("doc_id", "text", "score")
+    val out = tempDir().resolve("docs.jsonl").toString
+    Sinks.writeJsonl(df.orderBy("doc_id"), out)
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.size() === 2) // newline in content stays escaped on one line
+    assert(lines.get(0).startsWith("{\"doc_id\":1,\"text\":")) // field order pinned
+    val back = spark.read.schema("doc_id BIGINT, text STRING, score DOUBLE")
+      .json(out).orderBy("doc_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "plain text", 0.5), (2L, "tricky \"quote\"\ttab\nnewline", 0.25)))
+  }
+
   test("TSV report sink: single file, header, NA for nulls, atomic publish (S9)") {
     val df = Seq(
       ("GSM1", Some(24776293L), Some(4.84), "PASS"),

@@ -66,6 +66,22 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
   }
 
+  test("knnJoinLsh: per-query top-k by cosine, self-pairs excluded, bucket-bounded") {
+    val out = SimilaritySearch.knnJoinLsh(vecs, vecs, "embedding", "vec_id",
+      "vec_id", planes, k = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // vector 4 sits alone in the negative-x bucket: no candidates, no rows.
+    assert(!out.exists(_._1 == 4L))
+    assert(!out.exists(t => t._1 == t._2)) // no self-pairs
+    // query 1's nearest same-bucket neighbor is 2 (cos .98) then 3 (.93)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq(2L, 3L))
+    // ranks are 1..k per query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("dropped-id set joins back as a broadcast") {
     val plan = SimilaritySearch.semanticDedup(vecs, "embedding", "vec_id",
       planes, 0.95).queryExecution.executedPlan.toString
