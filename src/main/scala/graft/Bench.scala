@@ -63,7 +63,8 @@ object Bench {
     "q95_semantic_dedup" -> 0.60, "q96_exact_quantiles" -> 0.60,
     "q97_bloom_semijoin" -> 0.50, "q98_url_dedup" -> 0.60,
     "q99_epoch_shuffle" -> 0.50, "q100_bpe_pairs" -> 1.50,
-    "q101_rejection_sample" -> 0.50)
+    "q101_rejection_sample" -> 0.50, "q102_knn_join" -> 0.70,
+    "q103_jsonl_roundtrip" -> 0.40)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
