@@ -632,6 +632,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q104: deterministic span corruption (BART text-infilling shape) — 15%
+    // md5-decided token masking, masked runs collapsed to one <mask> sentinel.
+    "q104_span_corruption" -> ((s, dir) =>
+      graft.operators.SpanCorruption.corrupt(t(s, dir, "documents"),
+        "doc_id", "text", maskPercent = 15)
+        .orderBy(col("doc_id"))),
+
     // q102: batch kNN join — 20 query vectors (vec_id % 25 == 0) each retrieve
     // their top-5 neighbors from the full table among same-LSH-bucket
     // candidates; exact cosine, deterministic (cosine desc, id) ranking.
@@ -1114,6 +1121,22 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q104_span_corruption" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |m0 AS (SELECT doc_id, t,
+         |  [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+         |     1, 8))::BIGINT % 100 < 15
+         |   FOR i IN generate_series(1, len(t))] AS m FROM t0)
+         |SELECT doc_id,
+         | CAST(len(t) AS BIGINT) AS n_tokens,
+         | CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+         | CAST(len([1 FOR i IN generate_series(1, len(t))
+         |           IF m[i] AND (i = 1 OR NOT m[i-1])]) AS BIGINT) AS n_spans,
+         | array_to_string(
+         |   [CASE WHEN NOT m[i] THEN t[i] ELSE '<mask>' END
+         |    FOR i IN generate_series(1, len(t))
+         |    IF (NOT m[i]) OR (i = 1 OR NOT m[i-1])], ' ') AS corrupted
+         |FROM m0 ORDER BY doc_id""".stripMargin,
     "q102_knn_join" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
          |  FROM embeddings),
