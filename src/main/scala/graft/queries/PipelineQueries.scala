@@ -632,6 +632,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q105: per-source corpus report — the curation dashboard panel: doc/token
+    // counts, BPE token estimate, language mix, token-length extremes, and an
+    // EXACT mean quality via micro-quantized LONG sums (floor(q·1e6) — double
+    // sums would be partial-agg-order-dependent, integer sums are not).
+    "q105_corpus_report" -> ((s, dir) => {
+      val q = TextFunctions.qualityScore(col("text"))
+      t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("_nt"),
+        TextFunctions.bpeTokenCount(col("text")).as("_nb"),
+        when(TextFunctions.langIdEn(col("text")) === "en", 1L).otherwise(0L).as("_en"),
+        floor(q * lit(1000000.0)).cast("long").as("_qm"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          sum(col("_nb")).as("n_bpe_tokens"),
+          sum(col("_en")).as("n_en"),
+          min(col("_nt")).as("min_tokens"),
+          max(col("_nt")).as("max_tokens"),
+          sum(col("_qm")).as("quality_micro_sum"))
+        .withColumn("mean_quality_micro",
+          col("quality_micro_sum").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // q104: deterministic span corruption (BART text-infilling shape) — 15%
     // md5-decided token masking, masked runs collapsed to one <mask> sentinel.
     "q104_span_corruption" -> ((s, dir) =>
@@ -1121,6 +1145,25 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q105_corpus_report" ->
+      s"""WITH d AS (SELECT source,
+         |  CAST(array_length($tokensSql) AS BIGINT) AS nt,
+         |  CAST(len(regexp_extract_all(text,
+         |    '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS nb,
+         |  CASE WHEN CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05
+         |  THEN 1 ELSE 0 END AS en,
+         |  CAST(floor(($qualitySql) * 1000000.0) AS BIGINT) AS qm
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(nt) AS BIGINT) AS n_tokens,
+         | CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         | CAST(sum(en) AS BIGINT) AS n_en,
+         | min(nt) AS min_tokens, max(nt) AS max_tokens,
+         | CAST(sum(qm) AS BIGINT) AS quality_micro_sum,
+         | CAST(sum(qm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_quality_micro
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q104_span_corruption" ->
       s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
          |m0 AS (SELECT doc_id, t,
