@@ -130,8 +130,16 @@ object TextFunctions {
     * SQL-expressible; the arithmetic is engine-identical. */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    md5Bits32(key) % buckets
   }
+
+  /** First 32 md5 bits of the stringified key as a non-negative long — THE
+    * shared deterministic-hash primitive behind split assignment, shard
+    * dealing, rejection-sampling draws and span-mask decisions. One definition
+    * keeps every operator in sync with its oracle twin
+    * (`('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT`). */
+  def md5Bits32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Named split from bucket thresholds: bucket < trainUpTo → "train",
     * < valUpTo → "val", else "test" (out of `buckets`). */
@@ -232,20 +240,26 @@ object TextFunctions {
     * variants; CCNet & friends dedup on a normalized URL before content dedup):
     *
     *  1. fragment dropped;
-    *  2. tracking params removed (`utm_*`, `gclid`, `fbclid`), separators
-    *     re-normalized, trailing `?`/`&` dropped;
+    *  2. tracking params removed (`utm_*`, `gclid`, `fbclid`) — anchored on a
+    *     preceding `?`/`&` so a param or path segment merely CONTAINING one of
+    *     those names is untouched; separators re-normalized, trailing `?`/`&`
+    *     dropped;
     *  3. scheme and host lower-cased (path/query stay case-sensitive),
     *     leading `www.` and default ports `:80`/`:443` stripped;
     *  4. trailing `/` removed.
     *
     * Pure regex pipeline in the java/RE2 shared subset — the oracle runs the
-    * identical steps (with the `g` flag; Spark's regexp_replace is global by
-    * default). Malformed URLs (no `scheme://`) canonicalize to the same
-    * cleaned string on both engines rather than erroring. */
+    * identical steps (with the `g` flag and `\1` backreferences; Spark's
+    * regexp_replace is global by default and uses `$1`). Malformed URLs (no
+    * `scheme://`) canonicalize to the same cleaned string on both engines
+    * rather than erroring. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(
-      regexp_replace(noFrag, "(utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*&?", ""),
+      regexp_replace(
+        regexp_replace(noFrag,
+          "([?&])(?:utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*", "$1"),
+        "([?&])&+", "$1"),
       "[?&]$", "")
     val scheme = lower(regexp_extract(noTrack, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(noTrack, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))

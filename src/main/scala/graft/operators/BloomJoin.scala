@@ -21,15 +21,27 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** `big ⋉ small` on `bigKey = smallKey`, bloom-pruned. Defaults size the
-    * filter at 8M bits / 5 hashes ≈ 1MB for ~1M keys at ~3% FPR. */
+    * filter at 8M bits / 5 hashes ≈ 1MB for ~1M keys at ~3% FPR.
+    *
+    * The key columns must have the SAME data type: xxhash64 is type-sensitive
+    * (hash(5: int) != hash(5L: bigint)), so a type mismatch that the exact
+    * equi-join would paper over with an implicit cast would silently empty the
+    * bloom pre-filter — guarded by a require instead. */
   def semiJoinPruned(big: DataFrame, bigKey: String,
                      small: DataFrame, smallKey: String,
                      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"join key types must match for hash-identical bloom probes: " +
+        s"$bigKey is $bigType, $smallKey is $smallType — cast one side first")
     val bytes = small
       .agg(BloomFilters.bloomAgg(xxhash64(col(smallKey)), numBits, numHashes).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
+    // reserved-name projection keeps the join unambiguous when bigKey == smallKey
+    val keys = small.select(col(smallKey).as("__bloom_join_key"))
     big
       .filter(BloomFilters.mightContain(lit(bytes), xxhash64(col(bigKey))))
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey), "left_semi")
+      .join(keys, col(bigKey) === col("__bloom_join_key"), "left_semi")
   }
 }

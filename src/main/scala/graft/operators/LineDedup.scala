@@ -48,12 +48,15 @@ object LineDedup {
     * clean_text = "" (dropping whole docs is a policy the caller applies).
     *
     * `broadcastRebuild = true` collects the offending set to the driver and
-    * rewrites per-row (zero extra shuffle; guarded by `maxBadLines`);
-    * `false` stays fully distributed: posexplode → broadcast anti-join →
+    * rewrites per-row (zero extra shuffle) — the per-line membership check is
+    * a LINEAR scan of the literal array, so `maxBadLines` caps it at a size
+    * where boilerplate sets stay cheap (64k × short strings); `false` stays
+    * fully distributed with no driver materialization at all: posexplode →
+    * anti-join (AQE picks broadcast vs shuffle from the actual set size) →
     * positional re-assembly (one extra shuffle keyed on the doc id). */
   def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
                           maxDocs: Int, broadcastRebuild: Boolean = true,
-                          maxBadLines: Int = 1 << 20): DataFrame = {
+                          maxBadLines: Int = 1 << 16): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
     val staged = docs.select(col(idCol), linesOf(col(textCol)).as("_lines"))
     val bad = repeatedLines(docs, textCol, maxDocs).select(col("line"))
@@ -72,7 +75,7 @@ object LineDedup {
       val exploded = staged
         .select(col(idCol), posexplode(col("_lines")).as(Seq("pos", "line")))
       val keptAgg = exploded
-        .join(broadcast(bad), Seq("line"), "left_anti")
+        .join(bad, Seq("line"), "left_anti")
         .groupBy(col(idCol))
         .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("_kept"))
       staged

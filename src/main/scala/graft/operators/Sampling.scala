@@ -101,7 +101,7 @@ object Sampling {
     * md5 bits scaled by 2⁻³² — a power-of-two scaling, so the double is exact
     * and engine-identical. */
   def uniformDraw(id: Column, seed: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+    graft.functions.TextFunctions.md5Bits32(concat(id.cast("string"), lit(":" + seed)))
       .cast("double") / 4294967296.0
 
   /** Score-weighted rejection sampling (the DSIR / CCNet-style importance

@@ -30,6 +30,8 @@ object Sharding {
     val key = md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString)))
     val staged = docs.select(col(idCol), key.as("_k"))
       .select(col(idCol), col("_k"),
+        // shard = first-32-md5-bits(key) mod shards — the md5Bits32 primitive,
+        // inlined on the staged digest so the hash is computed once
         pmod(conv(substring(col("_k"), 1, 8), 16, 10).cast("long"),
           lit(numShards.toLong)).as("shard"))
     staged.select(col(idCol), col("shard"),

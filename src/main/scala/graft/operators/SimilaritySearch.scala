@@ -193,8 +193,12 @@ object SimilaritySearch {
     * by exact cosine among candidates sharing its full sign-LSH bucket: the
     * two-table ANN primitive behind retrieval-augmented data selection
     * ("for each eval doc, its nearest training docs") and embedding-side
-    * cross-corpus linking. Self-pairs (equal ids) are excluded so the join is
-    * usable within one table.
+    * cross-corpus linking.
+    *
+    * `excludeSelf` (default true) drops equal-id pairs — REQUIRED when left
+    * and right are the same table, but set it false for two-table joins over
+    * unrelated id spaces: an eval doc with id 17 must still be allowed to
+    * retrieve the training doc that happens to carry id 17.
     *
     * Scale shape: both sides bucket in-scan; the candidate join is a bounded
     * equi-join on the 2^planes-bucket key (never a cross join); ranking is a
@@ -203,14 +207,15 @@ object SimilaritySearch {
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k. */
   def knnJoinLsh(left: DataFrame, right: DataFrame, vecCol: String,
                  leftId: String, rightId: String,
-                 planes: Seq[Seq[Double]], k: Int): DataFrame = {
+                 planes: Seq[Seq[Double]], k: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val l = left.select(signLshBucket(col(vecCol), planes).as("bucket"),
       col(leftId).as("query_id"), col(vecCol).as("_qv"))
     val r = right.select(signLshBucket(col(vecCol), planes).as("bucket"),
       col(rightId).as("neighbor_id"), col(vecCol).as("_nv"))
     l.join(r, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         NativeVec.cosine(col("_qv"), col("_nv")).as("cosine"))
       .withColumn("rank", row_number().over(
@@ -254,8 +259,11 @@ object SimilaritySearch {
       .filter(NativeVec.cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("_dup", lit(true))
+    // no broadcast hint: at SemDeDup operating points the dropped set can be
+    // a large fraction of the corpus — AQE picks broadcast vs shuffle from
+    // its actual size instead of forcing a driver collect
     df.select(col(idCol), cluster.as("cluster"))
-      .join(broadcast(dropped.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+      .join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("_dup"), lit(false)) === false as "keep")
   }

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object SpanCorruption {
 
-  /** Per-position mask decision for 1-based position column `i`. */
+  /** Per-position mask decision for 1-based position column `i` — the shared
+    * [[TextFunctions.md5Bits32]] primitive on the "id:pos" key. */
   private def maskedAt(id: Column, i: Column, maskPercent: Int): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(":"), i.cast("string"))),
-      1, 8), 16, 10).cast("long"), lit(100L)) < maskPercent
+    TextFunctions.md5Bits32(concat(id.cast("string"), lit(":"), i.cast("string"))) %
+      100L < maskPercent
 
   /** (id, n_tokens, n_masked, n_spans, corrupted) — masked runs replaced by
     * one `sentinel` each, surviving tokens in order. */

@@ -1230,8 +1230,9 @@ object PipelineQueries {
         |  || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
         | FROM documents),
         |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s FROM u),
-        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-        |  '(utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*&?', '', 'g'), '[?&]$', '', 'g') AS s
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+        |  '([?&])(?:utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*', '\1', 'g'),
+        |  '([?&])&+', '\1', 'g'), '[?&]$', '', 'g') AS s
         | FROM n1),
         |p AS (SELECT doc_id, s,
         |  lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,

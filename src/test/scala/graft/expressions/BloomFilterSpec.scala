@@ -65,6 +65,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(pruned.toSeq === exact.toSeq)
   }
 
+  test("same-named keys join unambiguously; mismatched key types are refused") {
+    val big = (1L to 100L).toSeq.toDF("k")
+    val small = Seq(7L, 8L).toDF("k") // same column name on both sides
+    val out = BloomJoin.semiJoinPruned(big, "k", small, "k", 1 << 10, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(7L, 8L))
+    val intSmall = Seq(7, 8).toDF("sk") // INT vs BIGINT: xxhash64 would disagree
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinPruned(big, "k", intSmall, "sk", 1 << 10, 3)
+    }
+  }
+
   test("null keys on either side neither crash nor leak through the exact join") {
     val big = Seq(Some(1L), None, Some(2L)).toDF("k")
     val small = Seq(Some(2L), None).toDF("sk")

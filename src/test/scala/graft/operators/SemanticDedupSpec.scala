@@ -82,9 +82,23 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
-  test("dropped-id set joins back as a broadcast") {
-    val plan = SimilaritySearch.semanticDedup(vecs, "embedding", "vec_id",
-      planes, 0.95).queryExecution.executedPlan.toString
+  test("small dropped-id sets come back as an AQE-chosen broadcast join") {
+    val df = SimilaritySearch.semanticDedup(vecs, "embedding", "vec_id",
+      planes, 0.95)
+    df.collect() // let AQE finalize from runtime stats (no forced hint anymore)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("knnJoinLsh excludeSelf=false keeps equal-id cross-table neighbors") {
+    val leftQ = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rightT = Seq((1L, Seq(1.0f, 0.1f, 0.0f)), (9L, Seq(1.0f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val incl = SimilaritySearch.knnJoinLsh(leftQ, rightT, "embedding", "vec_id",
+      "vec_id", planes, k = 2, excludeSelf = false).collect().map(_.getLong(1)).toSet
+    assert(incl === Set(1L, 9L)) // id-17-style coincidence retrievable
+    val excl = SimilaritySearch.knnJoinLsh(leftQ, rightT, "embedding", "vec_id",
+      "vec_id", planes, k = 2).collect().map(_.getLong(1)).toSet
+    assert(excl === Set(9L))
   }
 }

@@ -28,6 +28,17 @@ class UrlDedupSpec extends SparkSpec {
     assert(canon("http://host.com:8080/x") === "http://host.com:8080/x") // non-default port
   }
 
+  test("tracking removal is anchored: containing-names and path segments untouched") {
+    // a param whose NAME merely contains "utm_" is not a tracking param
+    assert(canon("https://a.com/p?page_utm_x=1&id=2") ===
+      "https://a.com/p?page_utm_x=1&id=2")
+    // a path segment containing "gclid=" is not a query param
+    assert(canon("https://a.com/gclid=5/article") === "https://a.com/gclid=5/article")
+    // interior tracking param leaves exactly one separator behind
+    assert(canon("https://a.com/p?a=1&utm_x=2&b=3") === "https://a.com/p?a=1&b=3")
+    assert(canon("https://a.com/p?utm_a=1&utm_b=2&id=3") === "https://a.com/p?id=3")
+  }
+
   test("malformed URLs pass through cleaned, not erroring") {
     assert(canon("not a url#frag") === "not a url")
   }
