@@ -518,4 +518,21 @@ object DedupSuite {
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("component")
   }
+
+  /** SOFT dedup — [[canonicalByCluster]] plus a `weight` column carrying the
+    * duplicate-cluster size (1 for singletons): count-preserving dedup for
+    * loss re-weighting ("this document was seen n times in the crawl"), the
+    * middle ground between keeping duplicates (skews training) and discarding
+    * multiplicity entirely (loses the popularity signal). Canonical = min-id
+    * member, as everywhere in the dedup family. Weights come from a
+    * component-keyed count — candidate-pair-sized, not corpus-sized. */
+  def canonicalWithWeight(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val weights = comp.groupBy(col("component")).agg(count(lit(1)).as("_csize"))
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .join(weights, Seq("component"), "left")
+      .withColumn("weight", coalesce(col("_csize"), lit(1L)))
+      .drop("component", "_csize")
+  }
 }

@@ -97,6 +97,21 @@ object Sampling {
       .drop("_rn", "_gn")
   }
 
+  /** Keep the top-m rows per group under an explicit SCORE ordering — the
+    * "best documents per source" curation cut (quality ceiling), as opposed to
+    * [[stratifiedLimit]]'s unbiased md5-ordered cap. `tieBreak` must be a
+    * deterministic unique column (the id) so equal scores at the cut line
+    * resolve identically on every engine and rerun. Same one-shuffle
+    * windowed-rank plan shape as the other samplers. */
+  def topMByScore(df: DataFrame, groupCol: String, m: Int,
+                  score: Column, tieBreak: Column): DataFrame = {
+    require(m > 0, s"m must be positive: $m")
+    val w = Window.partitionBy(col(groupCol)).orderBy(score.desc, tieBreak)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= m)
+      .drop("_rn")
+  }
+
   /** Deterministic uniform draw in [0, 1) keyed on (id, seed): the first 32
     * md5 bits scaled by 2⁻³² — a power-of-two scaling, so the double is exact
     * and engine-identical. */

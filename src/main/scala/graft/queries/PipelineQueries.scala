@@ -632,6 +632,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q106: per-source quality ceiling — keep the 10 best docs per source by
+    // quality score, deterministic doc_id tie-break at the cut line.
+    "q106_quality_topm" -> ((s, dir) =>
+      graft.operators.Sampling.topMByScore(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality")),
+        "source", m = 10, score = col("quality"), tieBreak = col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // q107: SOFT dedup — near-dup cluster canonicals keep a weight = cluster
+    // size (count-preserving dedup for loss re-weighting); singletons weigh 1.
+    "q107_soft_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupSuite.minHashLshPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 8, bands = 4)
+        .select(col("id_a"), col("id_b"))
+      DedupSuite.canonicalWithWeight(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q105: per-source corpus report — the curation dashboard panel: doc/token
     // counts, BPE token estimate, language mix, token-length extremes, and an
     // EXACT mean quality via micro-quantized LONG sums (floor(q·1e6) — double
@@ -1145,6 +1167,23 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q106_quality_topm" ->
+      s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rn FROM q)
+         |SELECT source, doc_id, quality FROM r WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin,
+    "q107_soft_dedup" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |$componentsCtes,
+         |wt AS (SELECT component, count(*) AS c FROM comp GROUP BY 1),
+         |surv AS (SELECT d.doc_id, comp.component FROM documents d
+         |  LEFT JOIN comp ON d.doc_id = comp.id
+         |  WHERE comp.id IS NULL OR comp.component = d.doc_id)
+         |SELECT s.doc_id, CAST(coalesce(wt.c, 1) AS BIGINT) AS weight
+         |FROM surv s LEFT JOIN wt ON s.component = wt.component
+         |ORDER BY s.doc_id""".stripMargin,
     "q105_corpus_report" ->
       s"""WITH d AS (SELECT source,
          |  CAST(array_length($tokensSql) AS BIGINT) AS nt,

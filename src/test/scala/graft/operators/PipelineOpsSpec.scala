@@ -636,6 +636,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chunks.filter(col("chunk").contains("subscribe to our newsletter")).count() == 0)
   }
 
+  test("topMByScore keeps the m best per group with deterministic tie-break") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 5L, 0.3)).toDF("g", "id", "score")
+    val out = Sampling.topMByScore(df, "g", 2, col("score"), col("id"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(1L, 3L, 5L)) // ties at 0.9 resolve by id; b keeps its 1 row
+  }
+
+  test("canonicalWithWeight: cluster size rides the canonical; singletons weigh 1") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // chain {1,2,3}
+    val out = DedupSuite.canonicalWithWeight(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 4L -> 1L))
+  }
+
   // ── unigram frequency scoring ───────────────────────────────────────────────
 
   test("unigramFrequencyScore: common-token docs outscore rare-token docs; exact sums") {
