@@ -112,6 +112,26 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Deterministic weighted UPSAMPLING — the other half of mixture
+    * temperature: rare sources get REPEATED (multilingual/multi-domain
+    * training repeats small corpora 2–5×) while [[sqrtCapSample]] trims big
+    * ones. Each row emits floor(w) copies plus one more iff its deterministic
+    * draw falls under frac(w) — E[copies] = w exactly, and the copy set is a
+    * pure function of (id, seed), so regeneration is idempotent. Output: input
+    * columns + copy_idx (1-based). Zero shuffle: the copy count and the
+    * per-row explode happen in-scan; downstream shuffles see the upsampled
+    * cardinality, which is the semantics, not overhead. */
+  def upsampleByWeight(df: DataFrame, idCol: String, weight: Column,
+                       seed: String = "0"): DataFrame = {
+    val copies = (floor(weight) +
+      when(uniformDraw(col(idCol), seed) < (weight - floor(weight)), 1L)
+        .otherwise(0L)).cast("long")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Deterministic uniform draw in [0, 1) keyed on (id, seed): the first 32
     * md5 bits scaled by 2⁻³² — a power-of-two scaling, so the double is exact
     * and engine-identical. */

@@ -632,6 +632,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q108: deterministic weighted upsampling — w = 1 + (doc_id%3)·0.75
+    // (1.0 / 1.75 / 2.5): floor(w) copies + one more iff the md5 draw falls
+    // under frac(w); E[copies] = w, regeneration-idempotent.
+    "q108_weighted_upsample" -> ((s, dir) =>
+      graft.operators.Sampling.upsampleByWeight(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        lit(1.0) + pmod(col("doc_id"), lit(3)).cast("double") * lit(0.75),
+        seed = "up1")
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
     // q106: per-source quality ceiling — keep the 10 best docs per source by
     // quality score, deterministic doc_id tie-break at the cut line.
     "q106_quality_topm" -> ((s, dir) =>
@@ -1167,6 +1178,18 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q108_weighted_upsample" ->
+      """WITH w AS (SELECT doc_id,
+        |  1.0 + CAST(doc_id % 3 AS DOUBLE) * 0.75 AS wt,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up1'), 1, 8))::BIGINT
+        |    AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents),
+        |n AS (SELECT doc_id, CAST(floor(wt) +
+        |  (CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END) AS BIGINT) AS copies
+        | FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS copy_idx
+        |FROM n, LATERAL unnest(generate_series(1, copies)) AS g(i)
+        |WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
     "q106_quality_topm" ->
       s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
          |r AS (SELECT source, doc_id, quality,
