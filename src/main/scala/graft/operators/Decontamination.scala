@@ -47,6 +47,35 @@ object Decontamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** The REVERSE-direction report: per EVAL doc, how much of it leaks into the
+    * training corpus — (eval id, n_grams, n_hit, hit_frac). This is the number
+    * benchmark maintainers publish ("X% of eval items are ≥50% contaminated")
+    * and the triage signal for which eval items to retire, where
+    * [[contaminationReport]] answers the corpus-side question (which TRAINING
+    * docs to drop).
+    *
+    * Same broadcast discipline: the eval gram set rides to every corpus scan
+    * task; only MATCHING (eval_id, gram) pairs shuffle, deduplicated before
+    * the per-eval count so a gram repeated across a million corpus docs
+    * counts once. */
+  def evalContaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String, n: Int): DataFrame = {
+    val ev = docGrams(evalDocs, idCol, textCol, n)
+    val corpusGrams = docs
+      .select(TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(explode(array_distinct(
+        TextFunctions.wordShinglesOf(col("_toks"), n))).as("gram"))
+    val hits = corpusGrams.join(broadcast(ev), Seq("gram"))
+      .select(col(idCol), col("gram")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    ev.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("hit_frac"))
+  }
+
   /** Corpus minus every doc overlapping the eval set in >= minHits distinct
     * shingles. The contaminated-id set is small — broadcast left-anti join. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,

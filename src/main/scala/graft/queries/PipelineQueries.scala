@@ -632,6 +632,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q109: reverse-direction contamination report — per EVAL doc (doc_id %
+    // 101 == 0), the fraction of its distinct 3-gram shingles found anywhere
+    // in the training corpus (the benchmark-integrity number).
+    "q109_eval_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.evalContaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(101)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // q108: deterministic weighted upsampling — w = 1 + (doc_id%3)·0.75
     // (1.0 / 1.75 / 2.5): floor(w) copies + one more iff the md5 draw falls
     // under frac(w); E[copies] = w, regeneration-idempotent.
@@ -1178,6 +1190,21 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q109_eval_contamination" ->
+      s"""WITH evsh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+         |ev AS (SELECT DISTINCT doc_id, unnest(sh) AS gram FROM evsh),
+         |csh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 <> 0)),
+         |cg AS (SELECT DISTINCT unnest(sh) AS gram FROM csh),
+         |hits AS (SELECT e.doc_id, count(*) AS n_hit
+         |  FROM ev e JOIN cg ON e.gram = cg.gram GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS hit_frac
+         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q108_weighted_upsample" ->
       """WITH w AS (SELECT doc_id,
         |  1.0 + CAST(doc_id % 3 AS DOUBLE) * 0.75 AS wt,

@@ -636,6 +636,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chunks.filter(col("chunk").contains("subscribe to our newsletter")).count() == 0)
   }
 
+  test("evalContaminationReport: per-eval leak fraction, corpus-side repeats count once") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other words"), // repeats the leaked shingle
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma zz yy"),  // 1 of 3 shingles leaked
+      (200L, "nothing shared at all")).toDF("doc_id", "text")
+    val out = Decontamination.evalContaminationReport(corpus, eval_, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((100L, 3L, 1L, 1.0 / 3.0))) // repeat in docs 1+2 counted once
+    assert(out(1) === ((200L, 2L, 0L, 0.0)))
+  }
+
   test("topMByScore keeps the m best per group with deterministic tie-break") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.1),
