@@ -66,7 +66,8 @@ object Bench {
     "q101_rejection_sample" -> 0.50, "q102_knn_join" -> 0.70,
     "q103_jsonl_roundtrip" -> 0.40, "q104_span_corruption" -> 1.20,
     "q105_corpus_report" -> 0.70, "q106_quality_topm" -> 0.50,
-    "q107_soft_dedup" -> 2.50)
+    "q107_soft_dedup" -> 2.50, "q108_weighted_upsample" -> 0.30,
+    "q109_eval_contamination" -> 0.80)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
