@@ -55,19 +55,19 @@ object Bench {
     "q83_unigram_freq" -> 1.50,
     "q84_dedup_containment" -> 1.60, "q85_sqrt_cap_sample" -> 0.35,
     "q86_curated_decontaminated" -> 3.20,
-    // late-round-4 additions (provisional, scaled from sf0.001 timings)
-    "q87_passage_dedup" -> 4.50, "q88_langid_multi" -> 0.60,
-    "q89_kmv_distinct" -> 0.50, "q90_inverted_index" -> 0.90,
-    "q91_linear_classifier" -> 0.45, "q92_line_dedup" -> 1.60,
-    "q93_line_dedup_intradoc" -> 0.80, "q94_bm25_topk" -> 0.80,
-    "q95_semantic_dedup" -> 0.60, "q96_exact_quantiles" -> 0.60,
-    "q97_bloom_semijoin" -> 0.50, "q98_url_dedup" -> 0.60,
-    "q99_epoch_shuffle" -> 0.50, "q100_bpe_pairs" -> 1.50,
-    "q101_rejection_sample" -> 0.50, "q102_knn_join" -> 0.70,
-    "q103_jsonl_roundtrip" -> 0.40, "q104_span_corruption" -> 1.20,
-    "q105_corpus_report" -> 0.70, "q106_quality_topm" -> 0.50,
-    "q107_soft_dedup" -> 2.50, "q108_weighted_upsample" -> 0.30,
-    "q109_eval_contamination" -> 0.80)
+    // late-round-4 additions (r4_sf0.1_run{13..18} medians)
+    "q87_passage_dedup" -> 2.46, "q88_langid_multi" -> 0.47,
+    "q89_kmv_distinct" -> 0.52, "q90_inverted_index" -> 0.45,
+    "q91_linear_classifier" -> 0.42, "q92_line_dedup" -> 0.99,
+    "q93_line_dedup_intradoc" -> 0.33, "q94_bm25_topk" -> 0.52,
+    "q95_semantic_dedup" -> 0.75, "q96_exact_quantiles" -> 0.52,
+    "q97_bloom_semijoin" -> 0.56, "q98_url_dedup" -> 0.32,
+    "q99_epoch_shuffle" -> 0.26, "q100_bpe_pairs" -> 0.51,
+    "q101_rejection_sample" -> 0.33, "q102_knn_join" -> 0.65,
+    "q103_jsonl_roundtrip" -> 0.70, "q104_span_corruption" -> 0.68,
+    "q105_corpus_report" -> 0.58, "q106_quality_topm" -> 0.46,
+    "q107_soft_dedup" -> 1.92, "q108_weighted_upsample" -> 0.16,
+    "q109_eval_contamination" -> 0.98)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
