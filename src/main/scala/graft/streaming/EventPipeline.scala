@@ -113,6 +113,22 @@ object EventPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming URL frontier dedup — the crawl-ingest twin of
+    * [[graft.operators.UrlDedup.dedupByCanonicalUrl]]: canonicalize in-scan
+    * ([[graft.functions.TextFunctions.canonicalUrl]], pure column work), keep
+    * the FIRST arrival per canonical URL within the watermark horizon. State
+    * is one canonical key per live URL, bounded by the watermark — refetches
+    * of the same page under tracking/fragment/case variants are dropped at
+    * the frontier before any fetch/parse cost is paid downstream. */
+  def streamingUrlDedup(docs: DataFrame, urlCol: String,
+                        tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("canonical_url", TextFunctions.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+  }
+
   /** Streaming NEAR-dup ingest dedup — the streaming twin of
     * `DedupSuite.incrementalDedup`, with each event-time window as the
     * dedup scope. Two chained stateful windowed aggregations (Append mode):

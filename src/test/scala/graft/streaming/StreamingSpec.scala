@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL frontier dedup drops canonical-variant refetches across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("fetch_id", "url", "ts")
+    val q = EventPipeline.streamingUrlDedup(docs, "url", "ts", "1 hour")
+      .writeStream.format("memory").queryName("ud").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "https://a.com/p?utm_source=x", ts(0)),
+        (2L, "HTTPS://WWW.A.COM/p", ts(1)),       // same canonical as 1
+        (3L, "https://b.com/q", ts(2)))
+      q.processAllAvailable()
+      input.addData((4L, "https://a.com/p/", ts(3))) // later-batch variant, still dropped
+      q.processAllAvailable()
+      val ids = spark.table("ud").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      assert(ids.intersect(Set(1L, 2L, 4L)).size == 1) // one survivor per canonical
+      assert(!ids.contains(4L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup: band collision with an earlier doc drops the arrival") {
     implicit val sc = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
