@@ -30,8 +30,10 @@ object BloomJoin {
   def semiJoinPruned(big: DataFrame, bigKey: String,
                      small: DataFrame, smallKey: String,
                      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
-    val bigType = big.schema(bigKey).dataType
-    val smallType = small.schema(smallKey).dataType
+    // resolve through the analyzer (col()), not StructType.apply — key lookup
+    // must follow Spark's case-insensitive resolution
+    val bigType = big.select(col(bigKey)).schema.head.dataType
+    val smallType = small.select(col(smallKey)).schema.head.dataType
     require(bigType == smallType,
       s"join key types must match for hash-identical bloom probes: " +
         s"$bigKey is $bigType, $smallKey is $smallType — cast one side first")

@@ -60,7 +60,10 @@ object Decontamination {
     * counts once. */
   def evalContaminationReport(docs: DataFrame, evalDocs: DataFrame,
                               idCol: String, textCol: String, n: Int): DataFrame = {
-    val ev = docGrams(evalDocs, idCol, textCol, n)
+    // materialized once: the gram frame feeds BOTH the hits join and the
+    // n_grams totals — without this the eval set tokenizes+shingles twice
+    // (the incrementalDedup inKeys discipline)
+    val ev = docGrams(evalDocs, idCol, textCol, n).localCheckpoint(true)
     val corpusGrams = docs
       .select(TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(explode(array_distinct(

@@ -512,12 +512,16 @@ object DedupSuite {
   /** Keep one canonical document per duplicate cluster: docs in the pair graph
     * survive only if they ARE their cluster's min id; docs in no pair survive
     * as their own singletons. Output: the canonical subset of `df`. */
-  def canonicalByCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+  /** Canonical-member selection against an already-computed component frame —
+    * the shared core of the two canonicalization variants below (takes `comp`
+    * rather than `pairs` so a caller needing components twice computes them
+    * once). Output keeps the `component` column. */
+  private def canonicalsOf(df: DataFrame, idCol: String, comp: DataFrame): DataFrame =
     df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
-      .drop("component")
-  }
+
+  def canonicalByCluster(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    canonicalsOf(df, idCol, connectedComponents(pairs)).drop("component")
 
   /** SOFT dedup — [[canonicalByCluster]] plus a `weight` column carrying the
     * duplicate-cluster size (1 for singletons): count-preserving dedup for
@@ -527,10 +531,9 @@ object DedupSuite {
     * member, as everywhere in the dedup family. Weights come from a
     * component-keyed count — candidate-pair-sized, not corpus-sized. */
   def canonicalWithWeight(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs) // computed once, feeds both consumers
     val weights = comp.groupBy(col("component")).agg(count(lit(1)).as("_csize"))
-    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .filter(col("component").isNull || col("component") === col(idCol))
+    canonicalsOf(df, idCol, comp)
       .join(weights, Seq("component"), "left")
       .withColumn("weight", coalesce(col("_csize"), lit(1L)))
       .drop("component", "_csize")

@@ -49,29 +49,38 @@ object LineDedup {
     *
     * `broadcastRebuild = true` collects the offending set to the driver and
     * rewrites per-row (zero extra shuffle) — the per-line membership check is
-    * a LINEAR scan of the literal array, so `maxBadLines` caps it at a size
-    * where boilerplate sets stay cheap (64k × short strings); `false` stays
-    * fully distributed with no driver materialization at all: posexplode →
-    * anti-join (AQE picks broadcast vs shuffle from the actual set size) →
-    * positional re-assembly (one extra shuffle keyed on the doc id). */
+    * a LINEAR scan of the literal array, so sets larger than `maxBadLines`
+    * (where that scan stops being cheap) automatically fall through to the
+    * distributed path instead of failing. `false` skips the driver
+    * materialization entirely: posexplode → anti-join (AQE picks broadcast vs
+    * shuffle from the actual set size) → positional re-assembly (one extra
+    * shuffle keyed on the doc id). Both paths are spec-proven identical. */
   def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
                           maxDocs: Int, broadcastRebuild: Boolean = true,
                           maxBadLines: Int = 1 << 16): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
     val staged = docs.select(col(idCol), linesOf(col(textCol)).as("_lines"))
     val bad = repeatedLines(docs, textCol, maxDocs).select(col("line"))
-    if (broadcastRebuild) {
-      val badLines = bad.collect().map(_.getString(0))
-      require(badLines.length <= maxBadLines,
-        s"repeated-line set ${badLines.length} exceeds maxBadLines=$maxBadLines; " +
-          "rerun with broadcastRebuild=false")
-      val badLit = typedLit(badLines.toSeq)
-      val kept = filter(col("_lines"), l => !array_contains(badLit, l))
-      staged.select(col(idCol),
-        size(col("_lines")).cast("long").as("n_lines"),
-        (size(col("_lines")) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, "\n").as("clean_text"))
-    } else {
+    val badLines: Option[Array[String]] =
+      if (broadcastRebuild) {
+        val collected = bad.limit(maxBadLines + 1).collect().map(_.getString(0))
+        if (collected.length <= maxBadLines) Some(collected) else None // fall through
+      } else None
+    badLines match {
+      case Some(lines) =>
+        val badLit = typedLit(lines.toSeq)
+        val kept = filter(col("_lines"), l => !array_contains(badLit, l))
+        staged.select(col(idCol),
+          size(col("_lines")).cast("long").as("n_lines"),
+          (size(col("_lines")) - size(kept)).cast("long").as("n_removed"),
+          array_join(kept, "\n").as("clean_text"))
+      case None =>
+        rebuildDistributed(staged, bad, idCol)
+    }
+  }
+
+  private def rebuildDistributed(staged: DataFrame, bad: DataFrame,
+                                 idCol: String): DataFrame = {
       val exploded = staged
         .select(col(idCol), posexplode(col("_lines")).as(Seq("pos", "line")))
       val keptAgg = exploded
@@ -86,7 +95,6 @@ object LineDedup {
             coalesce(size(col("_kept")), lit(0))).cast("long").as("n_removed"),
           coalesce(array_join(transform(col("_kept"), s => s("line")), "\n"),
             lit("")).as("clean_text"))
-    }
   }
 
   /** Within-document line dedup: keep the FIRST occurrence of every line,

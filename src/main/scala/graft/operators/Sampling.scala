@@ -122,7 +122,7 @@ object Sampling {
     * per-row explode happen in-scan; downstream shuffles see the upsampled
     * cardinality, which is the semantics, not overhead. */
   def upsampleByWeight(df: DataFrame, idCol: String, weight: Column,
-                       seed: String = "0"): DataFrame = {
+                       seed: String = "upsample"): DataFrame = {
     val copies = (floor(weight) +
       when(uniformDraw(col(idCol), seed) < (weight - floor(weight)), 1L)
         .otherwise(0L)).cast("long")
@@ -134,7 +134,14 @@ object Sampling {
 
   /** Deterministic uniform draw in [0, 1) keyed on (id, seed): the first 32
     * md5 bits scaled by 2⁻³² — a power-of-two scaling, so the double is exact
-    * and engine-identical. */
+    * and engine-identical.
+    *
+    * DOMAIN SEPARATION: two random decisions about the same ids must use
+    * DIFFERENT seeds or their draws are bit-identical and the decisions
+    * correlate perfectly (e.g. a rejection pass and an upsample pass sharing a
+    * seed would give every survivor of p=0.5 the fractional extra copy at
+    * w=1.5 — E[copies] = 2.0, not 1.5). The operator defaults here are
+    * distinct for exactly that reason. */
   def uniformDraw(id: Column, seed: String): Column =
     graft.functions.TextFunctions.md5Bits32(concat(id.cast("string"), lit(":" + seed)))
       .cast("double") / 4294967296.0

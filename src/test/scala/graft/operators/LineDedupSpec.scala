@@ -41,11 +41,13 @@ class LineDedupSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("maxBadLines guard refuses oversized broadcast sets") {
-    intercept[IllegalArgumentException] {
-      LineDedup.removeRepeatedLines(corpus, "doc_id", "text", maxDocs = 4,
-        maxBadLines = 0)
-    }
+  test("oversized broadcast sets fall through to the distributed rebuild, same result") {
+    val fallback = LineDedup.removeRepeatedLines(corpus, "doc_id", "text",
+      maxDocs = 4, maxBadLines = 0) // any non-empty set exceeds the cap
+      .orderBy("doc_id").collect().toSeq
+    val direct = LineDedup.removeRepeatedLines(corpus, "doc_id", "text", 4,
+      broadcastRebuild = false).orderBy("doc_id").collect().toSeq
+    assert(fallback === direct)
   }
 
   test("within-doc dedup keeps first occurrence in order, leaves cross-doc repeats") {
