@@ -97,6 +97,18 @@ object Sampling {
       .drop("_rn", "_gn")
   }
 
+  /** Uniform EXACT-k corpus sample: the k rows with the smallest
+    * md5(id:seed) — deterministic and regeneration-stable where
+    * `df.sample()` seeds are not, executing as TakeOrderedAndProject (k rows
+    * per partition, no global sort materialization). The eval-set-carving
+    * primitive. */
+  def uniformExactK(df: DataFrame, idCol: String, k: Int,
+                    seed: String = "sample"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+      .limit(k)
+  }
+
   /** Keep the top-m rows per group under an explicit SCORE ordering — the
     * "best documents per source" curation cut (quality ceiling), as opposed to
     * [[stratifiedLimit]]'s unbiased md5-ordered cap. `tieBreak` must be a

@@ -632,6 +632,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q110: Count-Min sketch point-frequency estimates for the en-profile
+    // probe words vs their exact counts. Cell indexes are md5-derived per row
+    // (visible in the plan, replayed relationally by the oracle); estimates
+    // are deterministic because merge is cell-wise addition.
+    "q110_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val (depth, width) = (4, 1024)
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val idxArr = array((0 until depth).map(d =>
+        pmod(TextFunctions.md5Bits32(concat(lit(d + ":"), col("tok"))),
+          lit(width.toLong))): _*)
+      val cells = toks.agg(graft.expressions.CountMinSketch
+          .cmsAgg(idxArr, depth, width))
+        .collect()(0).getSeq[Long](0).toArray
+      def rowIdxs(p: String): Seq[Long] = (0 until depth).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d:$p".getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % width
+      }
+      val est = langProfile("en").map(p =>
+        (p, graft.expressions.CountMinSketch.estimate(cells, width, rowIdxs(p))))
+      val exact = toks.groupBy(col("tok").as("token")).agg(count(lit(1)).as("n_exact"))
+      est.toDF("token", "estimate")
+        .join(exact, Seq("token"), "left")
+        .select(col("token"), col("estimate"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("token"))
+    }),
+
+    // q111: uniform exact-k corpus sample — global md5 order, deterministic
+    // and regeneration-stable (eval-set carving); TakeOrderedAndProject, no
+    // global sort materialization.
+    "q111_exact_k_sample" -> ((s, dir) =>
+      graft.operators.Sampling.uniformExactK(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 100,
+        seed = "s2")
+        .orderBy(col("doc_id"))),
+
     // q109: reverse-direction contamination report — per EVAL doc (doc_id %
     // 101 == 0), the fraction of its distinct 3-gram shingles found anywhere
     // in the training corpus (the benchmark-integrity number).
@@ -1190,6 +1229,25 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q110_cms_counts" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
+         |f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |probes(p) AS (VALUES ${langProfile("en").map(w => s"('$w')").mkString(", ")}),
+         |hits AS (SELECT pr.p, dd.d, sum(f.c) AS cell
+         |  FROM probes pr CROSS JOIN (VALUES (0), (1), (2), (3)) AS dd(d) JOIN f
+         |  ON ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || f.t), 1, 8))::BIGINT % 1024
+         |   = ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || pr.p), 1, 8))::BIGINT % 1024
+         |  GROUP BY 1, 2),
+         |est AS (SELECT p, min(cell) AS estimate FROM hits GROUP BY 1)
+         |SELECT pr.p AS token, CAST(coalesce(est.estimate, 0) AS BIGINT) AS estimate,
+         | CAST(coalesce(f.c, 0) AS BIGINT) AS n_exact
+         |FROM probes pr LEFT JOIN est ON pr.p = est.p LEFT JOIN f ON pr.p = f.t
+         |ORDER BY token""".stripMargin,
+    "q111_exact_k_sample" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s2'), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "q109_eval_contamination" ->
       s"""WITH evsh AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
