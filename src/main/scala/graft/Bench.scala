@@ -68,7 +68,7 @@ object Bench {
     "q105_corpus_report" -> 0.58, "q106_quality_topm" -> 0.46,
     "q107_soft_dedup" -> 1.92, "q108_weighted_upsample" -> 0.16,
     "q109_eval_contamination" -> 0.98, "q110_cms_counts" -> 1.00,
-    "q111_exact_k_sample" -> 0.25)
+    "q111_exact_k_sample" -> 0.25, "q112_group_topk_plan" -> 0.55)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it

@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Grouped top-k as a WHOLE-OPERATOR custom plan — logical node → planner
+  * strategy → two physical stages — the missing rung between
+  * `TakeOrderedAndProject` (global top-k, no groups) and window `row_number`
+  * (grouped, but SORTS every row of every group).
+  *
+  * Why an operator and not a window: at 100 TB, "best k docs per source" via
+  * `row_number().over(partitionBy(g).orderBy(o))` shuffles the WHOLE corpus
+  * and sorts each group just to discard all but k rows. This operator keeps a
+  * bounded heap per group on each input partition (partial stage), so at most
+  * k rows per (partition, group) reach the exchange, and the final stage —
+  * fed by a Catalyst-inserted hash exchange on the group keys, requested
+  * through `requiredChildDistribution` exactly like partial/final aggregation
+  * — re-selects the true top-k per group. Shuffle bytes drop from corpus-size
+  * to partitions × groups × k; no sort appears anywhere in the plan
+  * (plan-asserted in GroupTopKSpec, equivalence with the window formulation
+  * oracle-checked by q112 and property-tested).
+  *
+  * State per task is groups-on-that-partition × k rows — the same working-set
+  * bound hash aggregation already accepts. Ties: make the sort orders total
+  * (include the id) or the kept set at the boundary is undefined, as with any
+  * top-k.
+  */
+case class GroupTopKPlan(groupCols: Seq[Expression], order: Seq[SortOrder],
+                         k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive: $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKPlan =
+    copy(child = newChild)
+}
+
+/** Shared bounded-selection routine: one pass, a ≤k-row heap per group key. */
+private[plans] object BoundedGroupHeaps {
+  def select(iter: Iterator[InternalRow], groupCols: Seq[Expression],
+             order: Seq[SortOrder], k: Int,
+             output: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupCols, output)
+    val ord = RowOrdering.create(order, output) // compare < 0 → ranks earlier
+    // PriorityQueue dequeues the MAX of its Ordering; with `ord` directly the
+    // max is the row ranking LAST among the kept — the eviction candidate.
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.getOrElseUpdate(key.copy(),
+        mutable.PriorityQueue.empty[InternalRow](ord.asInstanceOf[Ordering[InternalRow]]))
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+}
+
+/** Partial stage: bounded selection per input partition, no distribution
+  * requirement — runs where the data already is. */
+case class GroupTopKPartialExec(groupCols: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      BoundedGroupHeaps.select(_, groupCols, order, k, child.output))
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKPartialExec =
+    copy(child = newChild)
+}
+
+/** Final stage: demands co-location by group key (EnsureRequirements inserts
+  * the hash exchange), then re-runs the same bounded selection — now over at
+  * most partitions × k candidates per group. */
+case class GroupTopKFinalExec(groupCols: Seq[Expression], order: Seq[SortOrder],
+                              k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupCols.isEmpty) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupCols))
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      BoundedGroupHeaps.select(_, groupCols, order, k, child.output))
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKFinalExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: logical GroupTopKPlan → final(partial(child)). */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKPlan(g, o, k, child) =>
+      GroupTopKFinalExec(g, o, k,
+        GroupTopKPartialExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupTopK {
+  /** Top-k rows per group, ordered by `orderBy` specs of (column, ascending) —
+    * include a unique tie-break column for a deterministic boundary. Column
+    * names resolve against `df`'s analyzed output directly (the node carries
+    * only RESOLVED, serializable catalyst expressions — no analyzer round
+    * trip). Output columns = input columns; row order within the result is
+    * unspecified. */
+  def topK(df: DataFrame, groupCols: Seq[String],
+           orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    val output = ColumnBridge.logicalPlan(df).output
+    def attr(name: String): Attribute =
+      output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${output.map(_.name).mkString(", ")}"))
+    val sortOrders = orderBy.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    ColumnBridge.ofRows(spark,
+      GroupTopKPlan(groupCols.map(attr), sortOrders, k,
+        ColumnBridge.logicalPlan(df)))
+  }
+}

@@ -632,6 +632,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q112: the custom GroupTopK WHOLE-OPERATOR (logical node → strategy →
+    // partial/final SparkPlan with bounded per-group heaps, hash exchange in
+    // between, no sort) — per-source top-3 by quality; the oracle replays the
+    // equivalent window formulation.
+    "q112_group_topk_plan" -> ((s, dir) =>
+      graft.plans.GroupTopK.topK(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        Seq("source"), Seq("quality" -> false, "doc_id" -> true), k = 3)
+        .orderBy(col("source"), col("doc_id"))),
+
     // q110: Count-Min sketch point-frequency estimates for the en-profile
     // probe words vs their exact counts. Cell indexes are md5-derived per row
     // (visible in the plan, replayed relationally by the oracle); estimates
@@ -1229,6 +1240,13 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q112_group_topk_plan" ->
+      s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rn FROM q)
+         |SELECT source, doc_id, quality FROM r WHERE rn <= 3
+         |ORDER BY source, doc_id""".stripMargin,
     "q110_cms_counts" ->
       s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
          |f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),

@@ -1,0 +1,72 @@
+package graft.plans
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the window row_number formulation on random data, any partitioning") {
+    val rnd = new Random(5)
+    (1 to 8).foreach { round =>
+      val rows = (1 to 300).map(i =>
+        (s"g${rnd.nextInt(6)}", i.toLong, rnd.nextInt(40).toDouble))
+      Seq(1, 4, 13).foreach { parts =>
+        val df = rows.toDF("g", "id", "score").repartition(parts)
+        val got = GroupTopK.topK(df, Seq("g"), Seq("score" -> false, "id" -> true), 5)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val want = df.withColumn("rn", row_number().over(
+            Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+          .filter($"rn" <= 5)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(got === want, s"round $round parts $parts")
+      }
+    }
+  }
+
+  test("plan is partial → exchange → final, with no Sort and no Window") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+      .repartition(4)
+    val out = GroupTopK.topK(df, Seq("g"), Seq("id" -> true), 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopKPartial"), s"plan:\n$plan")
+    assert(plan.contains("GroupTopKFinal"), s"plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!"\\bSort\\b".r.findFirstIn(plan).isDefined, s"unexpected sort:\n$plan")
+    // the final stage consumes the hash exchange, the partial feeds it
+    assert(plan.indexOf("GroupTopKFinal") < plan.indexOf("Exchange hashpartitioning"))
+    assert(plan.indexOf("Exchange hashpartitioning") < plan.indexOf("GroupTopKPartial"))
+  }
+
+  test("groups smaller than k keep all rows; k=1 keeps the single best") {
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 3.0), ("b", 3L, 5.0)).toDF("g", "id", "s")
+    val all = GroupTopK.topK(df, Seq("g"), Seq("s" -> false, "id" -> true), 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(all === Set(1L, 2L, 3L))
+    val best = GroupTopK.topK(df, Seq("g"), Seq("s" -> false, "id" -> true), 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(best === Set(1L, 3L))
+  }
+
+  test("total tie-break keeps the deterministic boundary row") {
+    // two rows tie on score at the k-boundary; id tie-break must pick min id
+    val df = Seq(("a", 10L, 1.0), ("a", 7L, 1.0), ("a", 3L, 2.0)).toDF("g", "id", "s")
+    val kept = GroupTopK.topK(df, Seq("g"), Seq("s" -> false, "id" -> true), 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept === Set(3L, 7L))
+  }
+
+  test("ascending order and multi-column groups work") {
+    val df = Seq(
+      ("a", "x", 1L, 5.0), ("a", "x", 2L, 1.0), ("a", "y", 3L, 9.0),
+      ("b", "x", 4L, 2.0), ("b", "x", 5L, 7.0)).toDF("g1", "g2", "id", "s")
+    val kept = GroupTopK.topK(df, Seq("g1", "g2"), Seq("s" -> true, "id" -> true), 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+}
