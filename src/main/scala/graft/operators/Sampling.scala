@@ -114,7 +114,10 @@ object Sampling {
     * [[stratifiedLimit]]'s unbiased md5-ordered cap. `tieBreak` must be a
     * deterministic unique column (the id) so equal scores at the cut line
     * resolve identically on every engine and rerun. Same one-shuffle
-    * windowed-rank plan shape as the other samplers. */
+    * windowed-rank plan shape as the other samplers — which sorts every group
+    * row; when the cut is deep relative to k, [[graft.plans.GroupTopK]] is the
+    * operator-shaped alternative (bounded heaps, pre-exchange pruning, no
+    * sort; q112 proves the equivalence). */
   def topMByScore(df: DataFrame, groupCol: String, m: Int,
                   score: Column, tieBreak: Column): DataFrame = {
     require(m > 0, s"m must be positive: $m")
