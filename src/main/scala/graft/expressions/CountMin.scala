@@ -100,4 +100,15 @@ object CountMinSketch {
     * cell (driver-side — probes are a handful of keys). */
   def estimate(cells: Array[Long], width: Int, rowIdxs: Seq[Long]): Long =
     rowIdxs.zipWithIndex.map { case (idx, d) => cells(d * width + idx.toInt) }.min
+
+  /** Driver-side twin of the scan-side index derivation
+    * (`md5Bits32(concat(lit(d + ":"), key)) % width`): first 32 md5 bits of
+    * "d:key" modulo width, per row d. ONE definition keeps probes, the q110
+    * query, its oracle SQL and the spec bit-identical. */
+  def probeIdxs(key: String, depth: Int, width: Int): Seq[Long] =
+    (0 until depth).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$key".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % width
+    }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -52,9 +52,15 @@ private[plans] object BoundedGroupHeaps {
     // max is the row ranking LAST among the kept — the eviction candidate.
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
-      val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[InternalRow](ord.asInstanceOf[Ordering[InternalRow]]))
+      val key = keyProj(row) // reused buffer — copy ONLY on first insertion
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](
+            ord.asInstanceOf[Ordering[InternalRow]])
+          heaps.put(key.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
     }
@@ -67,9 +73,10 @@ private[plans] object BoundedGroupHeaps {
 case class GroupTopKPartialExec(groupCols: Seq[Expression], order: Seq[SortOrder],
                                 k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
-  override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(
-      BoundedGroupHeaps.select(_, groupCols, order, k, child.output))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (groupCols, order, k, child.output) // don't capture `this`
+    child.execute().mapPartitions(BoundedGroupHeaps.select(_, g, o, kk, out))
+  }
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKPartialExec =
     copy(child = newChild)
 }
@@ -81,11 +88,14 @@ case class GroupTopKFinalExec(groupCols: Seq[Expression], order: Seq[SortOrder],
                               k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupCols.isEmpty) Seq(UnspecifiedDistribution)
+    // empty groups = GLOBAL top-k: all partial candidates must meet in one
+    // place or the final stage would emit top-k per partition
+    if (groupCols.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupCols))
-  override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(
-      BoundedGroupHeaps.select(_, groupCols, order, k, child.output))
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (groupCols, order, k, child.output) // don't capture `this`
+    child.execute().mapPartitions(BoundedGroupHeaps.select(_, g, o, kk, out))
+  }
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKFinalExec =
     copy(child = newChild)
 }

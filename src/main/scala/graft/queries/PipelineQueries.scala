@@ -658,13 +658,9 @@ object PipelineQueries {
       val cells = toks.agg(graft.expressions.CountMinSketch
           .cmsAgg(idxArr, depth, width))
         .collect()(0).getSeq[Long](0).toArray
-      def rowIdxs(p: String): Seq[Long] = (0 until depth).map { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$d:$p".getBytes("UTF-8"))
-        java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % width
-      }
       val est = langProfile("en").map(p =>
-        (p, graft.expressions.CountMinSketch.estimate(cells, width, rowIdxs(p))))
+        (p, graft.expressions.CountMinSketch.estimate(cells, width,
+          graft.expressions.CountMinSketch.probeIdxs(p, depth, width))))
       val exact = toks.groupBy(col("tok").as("token")).agg(count(lit(1)).as("n_exact"))
       est.toDF("token", "estimate")
         .join(exact, Seq("token"), "left")
@@ -1251,8 +1247,8 @@ object PipelineQueries {
       s"""WITH tok AS (SELECT unnest($tokensSql) AS t FROM documents),
          |f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
          |probes(p) AS (VALUES ${langProfile("en").map(w => s"('$w')").mkString(", ")}),
-         |hits AS (SELECT pr.p, dd.d, sum(f.c) AS cell
-         |  FROM probes pr CROSS JOIN (VALUES (0), (1), (2), (3)) AS dd(d) JOIN f
+         |hits AS (SELECT pr.p, dd.d, coalesce(sum(f.c), 0) AS cell
+         |  FROM probes pr CROSS JOIN (VALUES (0), (1), (2), (3)) AS dd(d) LEFT JOIN f
          |  ON ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || f.t), 1, 8))::BIGINT % 1024
          |   = ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || pr.p), 1, 8))::BIGINT % 1024
          |  GROUP BY 1, 2),

@@ -20,21 +20,26 @@ class CountMinSpec extends SparkSpec {
       .agg(CountMinSketch.cmsAgg(idxArr, depth, width))
       .collect()(0).getSeq[Long](0).toArray
 
-  private def rowIdxs(p: String): Seq[Long] = (0 until depth).map { d =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d:$p".getBytes("UTF-8"))
-    java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % width
-  }
+  private def rowIdxs(p: String): Seq[Long] =
+    CountMinSketch.probeIdxs(p, depth, width)
 
-  private val corpus =
-    (Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++
-      ('a' to 'z').map("w" + _)).toDF("tok")
+  private val corpusTokens =
+    Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++ ('a' to 'z').map("w" + _)
+  private val corpus = corpusTokens.toDF("tok")
 
-  test("estimates never undercount; exact for keys without collisions elsewhere") {
+  /** Local reference: the exact collision mass of each probe cell. */
+  private def refEstimate(p: String): Long =
+    rowIdxs(p).zipWithIndex.map { case (idx, d) =>
+      corpusTokens.count(t => rowIdxs(t)(d) == idx).toLong
+    }.min
+
+  test("estimates equal the exact collision mass — never undercount, absent keys included") {
     val cells = cellsOf(corpus)
+    Seq("alpha", "beta", "absent", "wq").foreach { p =>
+      assert(CountMinSketch.estimate(cells, width, rowIdxs(p)) === refEstimate(p), p)
+    }
     assert(CountMinSketch.estimate(cells, width, rowIdxs("alpha")) >= 50L)
     assert(CountMinSketch.estimate(cells, width, rowIdxs("beta")) >= 7L)
-    assert(CountMinSketch.estimate(cells, width, rowIdxs("absent")) >= 0L)
   }
 
   test("merge is cell-wise addition: partitioning never changes the sketch") {

@@ -43,6 +43,13 @@ class GroupTopKSpec extends SparkSpec {
     assert(plan.indexOf("Exchange hashpartitioning") < plan.indexOf("GroupTopKPartial"))
   }
 
+  test("empty groupCols means GLOBAL top-k, not top-k per partition") {
+    val df = (1L to 1000L).toDF("id").repartition(8)
+    val out = GroupTopK.topK(df, Seq.empty, Seq("id" -> true), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L)) // 8 partitions must still yield exactly 3 rows
+  }
+
   test("groups smaller than k keep all rows; k=1 keeps the single best") {
     val df = Seq(("a", 1L, 9.0), ("a", 2L, 3.0), ("b", 3L, 5.0)).toDF("g", "id", "s")
     val all = GroupTopK.topK(df, Seq("g"), Seq("s" -> false, "id" -> true), 10)
