@@ -37,11 +37,17 @@ object BloomJoin {
     require(bigType == smallType,
       s"join key types must match for hash-identical bloom probes: " +
         s"$bigKey is $bigType, $smallKey is $smallType — cast one side first")
-    val bytes = small
-      .agg(BloomFilters.bloomAgg(xxhash64(col(smallKey)), numBits, numHashes).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
     // reserved-name projection keeps the join unambiguous when bigKey == smallKey
-    val keys = small.select(col(smallKey).as("__bloom_join_key"))
+    // — which requires the BIG side not to carry that name itself
+    require(!big.columns.exists(_.equalsIgnoreCase("__bloom_join_key")),
+      "big side must not contain the reserved column __bloom_join_key")
+    // the small side is consumed TWICE (bloom aggregate now, semi-join build
+    // later): materialize once so an expensive upstream (a filtered scan, a
+    // prior join) isn't recomputed — small by contract, so the checkpoint is cheap
+    val keys = small.select(col(smallKey).as("__bloom_join_key")).localCheckpoint()
+    val bytes = keys
+      .agg(BloomFilters.bloomAgg(xxhash64(col("__bloom_join_key")), numBits, numHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
     big
       .filter(BloomFilters.mightContain(lit(bytes), xxhash64(col(bigKey))))
       .join(keys, col(bigKey) === col("__bloom_join_key"), "left_semi")

@@ -46,6 +46,7 @@ object Retrieval {
       }
     val stats = staged.agg(statCols.head, statCols.tail: _*).collect()(0)
     val n = stats.getAs[Long]("n")
+    require(n > 0, "bm25Scores: empty corpus (avgdl undefined — every score would be NaN)")
     val avgdl = stats.getAs[Long]("sdl").toDouble / n.toDouble
 
     // Pass 2: scan-side scoring; fixed-order term sum keeps doubles exact.

@@ -44,18 +44,22 @@ object Sampling {
   /** Deterministic stratified downsample: keep at most `m` rows per `groupCol`
     * value, selected by md5 of the row id (a fixed pseudo-random order that
     * survives corpus regeneration, unlike `sample()` seeds which are
-    * partition-layout-dependent). One partitioned window — shuffles by group,
-    * no global sort, no skew beyond the group sizes themselves. This is the
-    * source-mixing primitive: cap an over-represented crawl so it can't drown
-    * the mixture. */
+    * partition-layout-dependent). Executes through [[graft.plans.GroupTopK]]:
+    * bounded per-group heaps prune to ≤m rows per (partition, group) BEFORE
+    * the hash exchange and no sort appears in the plan — at corpus scale the
+    * shuffle carries groups × m rows, not the whole table (the window
+    * `row_number` formulation this replaced shuffles and sorts everything).
+    * This is the source-mixing primitive: cap an over-represented crawl so it
+    * can't drown the mixture. */
   def stratifiedLimit(df: DataFrame, groupCol: String, idCol: String,
                       m: Int): DataFrame = {
     require(m > 0, s"m must be positive: $m")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= m)
-      .drop("_rn")
+    val ord = "__strat_ord"
+    require(!df.columns.contains(ord), s"reserved column name in input: $ord")
+    graft.plans.GroupTopK.topK(
+      df.withColumn(ord, md5(col(idCol).cast("string"))),
+      Seq(groupCol), Seq(ord -> true, idCol -> true), m)
+      .drop(ord)
   }
 
   /** Fractional variant of [[stratifiedLimit]]: keep ceil(frac·|group|) rows
@@ -113,18 +117,21 @@ object Sampling {
     * "best documents per source" curation cut (quality ceiling), as opposed to
     * [[stratifiedLimit]]'s unbiased md5-ordered cap. `tieBreak` must be a
     * deterministic unique column (the id) so equal scores at the cut line
-    * resolve identically on every engine and rerun. Same one-shuffle
-    * windowed-rank plan shape as the other samplers — which sorts every group
-    * row; when the cut is deep relative to k, [[graft.plans.GroupTopK]] is the
-    * operator-shaped alternative (bounded heaps, pre-exchange pruning, no
-    * sort; q112 proves the equivalence). */
+    * resolve identically on every engine and rerun. Executes through
+    * [[graft.plans.GroupTopK]] (bounded heaps, pre-exchange pruning, no sort —
+    * q112 ≡ q106 proves equivalence with the window formulation it replaced);
+    * the shuffle carries at most partitions × groups × m rows instead of the
+    * full corpus. */
   def topMByScore(df: DataFrame, groupCol: String, m: Int,
                   score: Column, tieBreak: Column): DataFrame = {
     require(m > 0, s"m must be positive: $m")
-    val w = Window.partitionBy(col(groupCol)).orderBy(score.desc, tieBreak)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= m)
-      .drop("_rn")
+    val (s, t) = ("__topm_score", "__topm_tb")
+    require(!df.columns.contains(s) && !df.columns.contains(t),
+      s"reserved column names in input: $s/$t")
+    graft.plans.GroupTopK.topK(
+      df.withColumn(s, score).withColumn(t, tieBreak),
+      Seq(groupCol), Seq(s -> false, t -> true), m)
+      .drop(s, t)
   }
 
   /** Deterministic weighted UPSAMPLING — the other half of mixture

@@ -49,27 +49,46 @@ object SimilaritySearch {
     * buckets become (block, lsh-bits), so every bucket is bounded by
     * n_b / 2^planes in expectation and the block-locality contract is preserved.
     * Results are exact below the cap and LSH-recall above it — never silently
-    * empty. Passing `overCapPlanes = Nil` restores the drop-oversized-blocks
-    * behavior for callers that prefer exclusion over approximation. The default
-    * planes assume 64-dim embeddings (the corpus convention) — pass planes of
-    * your own dimensionality otherwise. */
+    * empty. `overCapPlanes = None` (the default) derives the hyperplane
+    * dimensionality FROM THE DATA (one `limit 1` probe job) and uses 12
+    * deterministic planes — a fixed-dims default would silently degrade LSH
+    * recall for any other embedding width (every dot product would ignore or
+    * zero-pad dimensions). `Some(planes)` supplies explicit hyperplanes (their
+    * width is validated against the data); `Some(Nil)` restores the
+    * drop-oversized-blocks behavior for callers that prefer exclusion over
+    * approximation. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             partCol: String, threshold: Double,
                             maxBlock: Long = 100000L,
-                            overCapPlanes: Seq[Seq[Double]] = deterministicPlanes(12, 64)): DataFrame = {
+                            overCapPlanes: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val tagged = df.select(col(partCol).as("block"), col(idCol), col(vecCol))
+    // One-row probe for the embedding width: drives the derived-planes default
+    // and validates explicit planes — recall degradation from a width mismatch
+    // is otherwise invisible (fewer pairs, no error). Empty frame → no planes
+    // needed (no over-cap block can exist).
+    lazy val dataDims: Option[Int] =
+      df.select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0))
+    val planes: Seq[Seq[Double]] = overCapPlanes match {
+      case Some(explicit) =>
+        for (p <- explicit; d <- dataDims) require(p.size == d,
+          s"overCapPlanes are ${p.size}-dim but $vecCol embeddings are $d-dim — " +
+            "mismatched planes silently degrade over-cap LSH recall")
+        explicit
+      case None => dataDims.map(deterministicPlanes(12, _)).getOrElse(Nil)
+    }
     val counts = tagged.groupBy(col("block")).agg(count(lit(1)).as("_block_n"))
     // Both regimes share ONE self-join: the join key is (block, sub), where sub
     // is empty below the cap (exact all-pairs within the block) and the row's
     // sign-LSH bits above it (bounded sub-buckets). No union, no second scan.
     val withN = tagged.join(counts, Seq("block"))
     val keyed =
-      if (overCapPlanes.isEmpty) // documented exclusion mode
+      if (planes.isEmpty) // documented exclusion mode (or empty input)
         withN.filter(col("_block_n") <= maxBlock).withColumn("_sub", lit(""))
       else
         withN.withColumn("_sub",
           when(col("_block_n") <= maxBlock, lit(""))
-            .otherwise(signLshBucket(col(vecCol), overCapPlanes)))
+            .otherwise(signLshBucket(col(vecCol), planes)))
     val keys = Seq("block", "_sub")
     val l = keyed.select((keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("vec_a")): _*)
     val r = keyed.select((keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("vec_b")): _*)

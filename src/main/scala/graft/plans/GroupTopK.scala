@@ -2,6 +2,8 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.TaskContext
+import org.apache.spark.memory.{MemoryConsumer, MemoryMode, TaskMemoryManager}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -28,8 +30,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * (plan-asserted in GroupTopKSpec, equivalence with the window formulation
   * oracle-checked by q112 and property-tested).
   *
-  * State per task is groups-on-that-partition × k rows — the same working-set
-  * bound hash aggregation already accepts. Ties: make the sort orders total
+  * State per task is groups-on-that-partition × k rows. Unlike hash
+  * aggregation the heaps DO NOT SPILL — the state is registered with the
+  * TaskMemoryManager (a non-spillable [[MemoryConsumer]], so memory pressure
+  * is visible to Spark and other consumers spill first) and the task fails
+  * with an explicit message, not an opaque executor OOM, if group cardinality
+  * × k outgrows its share of execution memory. For genuinely unbounded group
+  * cardinality with large k, the window `row_number` formulation (which sorts
+  * and therefore spills) is the fallback. Ties: make the sort orders total
   * (include the id) or the kept set at the boundary is undefined, as with any
   * top-k.
   */
@@ -41,16 +49,55 @@ case class GroupTopKPlan(groupCols: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Shared bounded-selection routine: one pass, a ≤k-row heap per group key. */
+/** Shared bounded-selection routine: one pass, a ≤k-row heap per group key.
+  *
+  * Heap state is accounted against the task's execution-memory pool through a
+  * non-spillable [[MemoryConsumer]]: every retained row/key acquires its size,
+  * Spark asks OTHER (spillable) consumers to spill under pressure, and if the
+  * pool still can't cover the heaps the task fails with an explicit
+  * group-cardinality message instead of an untracked executor OOM. Evicted
+  * rows return their bytes to the local budget (reservation is high-water,
+  * released at task end). */
 private[plans] object BoundedGroupHeaps {
+  /** Cannot free anything on demand (bounded heaps have no spill format) —
+    * registering still makes the memory visible to the manager. */
+  private final class HeapConsumer(tmm: TaskMemoryManager)
+    extends MemoryConsumer(tmm, tmm.pageSizeBytes(), MemoryMode.ON_HEAP) {
+    override def spill(size: Long, trigger: MemoryConsumer): Long = 0L
+  }
+
+  private def rowBytes(row: InternalRow, fields: Int): Long = row match {
+    case u: UnsafeRow => u.getSizeInBytes.toLong + 16L
+    case _ => 32L + 16L * fields // conservative JVM-object estimate
+  }
+
   def select(iter: Iterator[InternalRow], groupCols: Seq[Expression],
              order: Seq[SortOrder], k: Int,
              output: Seq[Attribute]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(groupCols, output)
     val ord = RowOrdering.create(order, output) // compare < 0 → ranks earlier
+    val ctx = TaskContext.get()
+    val consumer = if (ctx == null) null
+      else new HeapConsumer(org.apache.spark.graftbridge.MemoryBridge.taskMemoryManager(ctx))
+    var reserved = 0L // acquired from the pool (high-water, freed at task end)
+    var used = 0L     // currently held by live heap entries
+    if (consumer != null)
+      ctx.addTaskCompletionListener[Unit](_ => consumer.freeMemory(reserved))
+    def retain(bytes: Long): Unit = { // acquire in ≥1 MiB strides
+      used += bytes
+      if (consumer != null && used > reserved) {
+        reserved += consumer.acquireMemory(math.max(used - reserved, 1L << 20))
+        if (reserved < used) throw new org.apache.spark.SparkException(
+          s"GroupTopK: per-task top-$k heaps exceeded execution memory " +
+            s"($used bytes needed). Group cardinality on this partition is too " +
+            "high for the bounded-heap operator — use the window row_number " +
+            "formulation (which spills) or raise executor memory.")
+      }
+    }
     // PriorityQueue dequeues the MAX of its Ordering; with `ord` directly the
     // max is the row ranking LAST among the kept — the eviction candidate.
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    val nFields = output.size
     iter.foreach { row =>
       val key = keyProj(row) // reused buffer — copy ONLY on first insertion
       val heap = heaps.get(key) match {
@@ -58,11 +105,17 @@ private[plans] object BoundedGroupHeaps {
         case None =>
           val h = mutable.PriorityQueue.empty[InternalRow](
             ord.asInstanceOf[Ordering[InternalRow]])
-          heaps.put(key.copy(), h)
+          val kc = key.copy()
+          retain(rowBytes(kc, groupCols.size) + 64L) // key + map-entry overhead
+          heaps.put(kc, h)
           h
       }
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
+      if (heap.size < k) {
+        val rc = row.copy(); retain(rowBytes(rc, nFields)); heap.enqueue(rc)
+      } else if (ord.compare(row, heap.head) < 0) {
+        used -= rowBytes(heap.dequeue(), nFields)
+        val rc = row.copy(); retain(rowBytes(rc, nFields)); heap.enqueue(rc)
+      }
     }
     heaps.valuesIterator.flatMap(_.iterator)
   }
@@ -111,23 +164,39 @@ object GroupTopKStrategy extends SparkStrategy {
 }
 
 object GroupTopK {
+  /** Guards the check-then-append on `experimental.extraStrategies` —
+    * concurrent first calls must not register the strategy twice (a duplicate
+    * is harmless to correctness but plans every query's strategy pass twice). */
+  private val registrationLock = new Object
+
   /** Top-k rows per group, ordered by `orderBy` specs of (column, ascending) —
     * include a unique tie-break column for a deterministic boundary. Column
     * names resolve against `df`'s analyzed output directly (the node carries
     * only RESOLVED, serializable catalyst expressions — no analyzer round
-    * trip). Output columns = input columns; row order within the result is
-    * unspecified. */
+    * trip); resolution is case-insensitive like Spark's default, and FAILS on
+    * a case-colliding ambiguity instead of picking one silently. Output
+    * columns = input columns; row order within the result is unspecified. */
   def topK(df: DataFrame, groupCols: Seq[String],
            orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupTopKStrategy
+    }
     val output = ColumnBridge.logicalPlan(df).output
     def attr(name: String): Attribute =
-      output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${output.map(_.name).mkString(", ")}"))
+      output.filter(_.name.equalsIgnoreCase(name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${output.map(_.name).mkString(", ")}")
+        case many => many.filter(_.name == name) match {
+          case Seq(exact) => exact // exact case disambiguates
+          case _ => throw new IllegalArgumentException(
+            s"column $name is ambiguous under case-insensitive resolution: " +
+              many.map(_.name).mkString(", "))
+        }
+      }
     val sortOrders = orderBy.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

@@ -49,10 +49,15 @@ object PipelineQueries {
     val emptyArr = typedLit(Seq.empty[String])
     val chunked = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), transform(
-        sequence(lit(1L), floor((size(col("_toks")) - 1).cast("double") / 12.0) + 1L),
-        i => array_join(slice(col("_toks"), ((i - lit(1L)) * 12L + 1L).cast("int"),
-          lit(12)), " ")).as("_ls"))
+      // empty-token guard: sequence(1, 0) defaults to step -1 and yields
+      // [1, 0] (two phantom lines) where DuckDB's generate_series(1, 0) is
+      // empty — a latent cross-engine divergence even though the fixture has
+      // no empty docs
+      .select(col("doc_id"), when(size(col("_toks")) === 0, emptyArr).otherwise(
+        transform(
+          sequence(lit(1L), floor((size(col("_toks")) - 1).cast("double") / 12.0) + 1L),
+          i => array_join(slice(col("_toks"), ((i - lit(1L)) * 12L + 1L).cast("int"),
+            lit(12)), " "))).as("_ls"))
     val planted = Boiler.foldLeft(chunked) { case (df, (m, line)) =>
       df.withColumn("_ls", concat(col("_ls"),
         when(pmod(col("doc_id"), lit(m)) === 0, array(lit(line))).otherwise(emptyArr)))

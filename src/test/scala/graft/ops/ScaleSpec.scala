@@ -54,11 +54,35 @@ class ScaleSpec extends SparkSpec {
     // identical vectors always share the full LSH bucket → all 50·49/2 big pairs
     assert(routed.size == 50 * 49 / 2 + 1)
 
-    // overCapPlanes = Nil restores the documented drop-oversized-blocks behavior
+    // overCapPlanes = Some(Nil) restores the documented drop-oversized-blocks behavior
     val excluded = SimilaritySearch.embeddingNearDupPairs(df, "embedding", "vec_id",
-      "label", threshold = 0.9, maxBlock = 10, overCapPlanes = Nil)
+      "label", threshold = 0.9, maxBlock = 10, overCapPlanes = Some(Nil))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(excluded == Set((100L, 101L)))
+  }
+
+  test("over-cap planes derive their dimensionality from the data (32-dim recall)") {
+    import graft.operators.SimilaritySearch
+    // 30 near-identical 32-dim vectors in one over-cap block: with planes derived
+    // at 32 dims every pair lands in the same LSH sub-bucket and is recovered;
+    // a fixed 64-dim default would dot only the first 32 plane components against
+    // 32-dim data — recall would silently depend on truncated planes.
+    val base = Array.tabulate(32)(d => math.cos(d * 0.37).toFloat)
+    val rows = (1 to 30).map { i =>
+      val v = base.clone(); v(i % 32) = v(i % 32) + 0.001f * (i % 3)
+      (i.toLong, v, "blk")
+    }
+    val pairs = SimilaritySearch.embeddingNearDupPairs(rows.toDF("vec_id", "embedding", "label"),
+      "embedding", "vec_id", "label", threshold = 0.999, maxBlock = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 30 * 29 / 2, s"expected full recall, got ${pairs.size}")
+    // explicit planes of the WRONG width are rejected, not silently degraded
+    val err = intercept[IllegalArgumentException] {
+      SimilaritySearch.embeddingNearDupPairs(rows.toDF("vec_id", "embedding", "label"),
+        "embedding", "vec_id", "label", threshold = 0.999, maxBlock = 5,
+        overCapPlanes = Some(SimilaritySearch.deterministicPlanes(12, 64)))
+    }
+    assert(err.getMessage.contains("64-dim") && err.getMessage.contains("32-dim"))
   }
 
   test("over-cap LSH route stays block-local: same lsh bucket, different block → no pair") {

@@ -68,6 +68,51 @@ class GroupTopKSpec extends SparkSpec {
     assert(kept === Set(3L, 7L))
   }
 
+  test("Sampling.topMByScore and stratifiedLimit route through the operator — no Window/Sort") {
+    import graft.operators.Sampling
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}", (i % 17).toDouble))
+      .toDF("id", "g", "score").repartition(4)
+    val top = Sampling.topMByScore(df, "g", 3, col("score"), col("id"))
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("GroupTopKFinal") && topPlan.contains("GroupTopKPartial"),
+      s"topMByScore must plan through GroupTopK:\n$topPlan")
+    assert(!topPlan.contains("Window") && !"\\bSort\\b".r.findFirstIn(topPlan).isDefined,
+      s"no window/sort expected:\n$topPlan")
+    // values identical to the window formulation it replaced
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(top.collect().map(r => (r.getLong(0), r.getString(1))).toSet === want)
+    assert(top.columns.toSeq === Seq("id", "g", "score")) // helpers dropped
+
+    val strat = Sampling.stratifiedLimit(df, "g", "id", m = 5)
+    val stratPlan = strat.queryExecution.executedPlan.toString
+    assert(stratPlan.contains("GroupTopKFinal"),
+      s"stratifiedLimit must plan through GroupTopK:\n$stratPlan")
+    assert(!stratPlan.contains("Window"), s"no window expected:\n$stratPlan")
+    val wantStrat = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy(md5($"id".cast("string")), $"id")))
+      .filter($"rn" <= 5).drop("rn")
+      .collect().map(_.getLong(0)).toSet
+    assert(strat.collect().map(_.getLong(0)).toSet === wantStrat)
+    assert(strat.columns.toSeq === Seq("id", "g", "score"))
+  }
+
+  test("reserved helper names are rejected, ambiguous case-colliding columns fail") {
+    import graft.operators.Sampling
+    val bad = Seq((1L, "g", 0.5)).toDF("id", "g", "__topm_score")
+    intercept[IllegalArgumentException] {
+      Sampling.topMByScore(bad, "g", 1, col("id").cast("double"), col("id"))
+    }
+    val dup = Seq((1L, 2L)).toDF("ID", "id")
+    intercept[IllegalArgumentException] {
+      GroupTopK.topK(dup, Seq.empty, Seq("Id" -> true), 1)
+    }
+    // exact case still disambiguates
+    assert(GroupTopK.topK(dup, Seq.empty, Seq("id" -> true), 1).count() == 1L)
+  }
+
   test("ascending order and multi-column groups work") {
     val df = Seq(
       ("a", "x", 1L, 5.0), ("a", "x", 2L, 1.0), ("a", "y", 3L, 9.0),
