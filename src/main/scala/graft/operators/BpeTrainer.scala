@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** BPE merge-candidate counting — the corpus-scale half of tokenizer training
   * (Sennrich et al. 2016): rank adjacent symbol pairs by frequency; the top
@@ -38,5 +39,79 @@ object BpeTrainer {
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+  }
+
+  /** The FULL iterative BPE training loop (Sennrich et al. 2016 alg. 1):
+    * `rounds` times, count adjacent SYMBOL pairs over the frequency table,
+    * take the argmax, fuse that pair everywhere (greedy left-to-right,
+    * non-overlapping — the reference algorithm's scan order), recount.
+    * Output: the learned merge table (merge_idx, left_sym, right_sym, merged,
+    * cnt), merge_idx 1..rounds — inherently tiny (it IS the tokenizer model).
+    *
+    * Ties rank (cnt desc, left_sym asc, right_sym asc) — binary UTF-8 order on
+    * both engine sides, so merge order is deterministic and oracle-exact.
+    *
+    * Scale shape: every iteration touches only the VOCABULARY-sized symbol
+    * table, never the corpus — pass 1 ([[preTokenFrequencies]]) is the single
+    * corpus-wide job. Per round: one map-side-combined pair aggregate feeding
+    * a 1-row TakeOrderedAndProject (the argmax), one scan-shaped fold applying
+    * the merge, and a `localCheckpoint` to stop the per-round lineage from
+    * compounding (same pattern as the connected-components rounds). The fold
+    * is the textbook left-to-right pass: a merged symbol `left+right` can
+    * never re-match `left` within the same round (`right` is non-empty), so
+    * accumulator-last matching IS non-overlapping greedy application.
+    *
+    * Single-character pre-tokens are dropped up front: they can never
+    * participate in a pair and merges only grow symbols, so they contribute
+    * nothing in any round. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val spark = docs.sparkSession
+    val toSyms = transform(sequence(lit(1), length(col("pre_token"))),
+      i => col("pre_token").substr(i, lit(1)))
+    var table = preTokenFrequencies(docs, textCol)
+      .filter(length(col("pre_token")) >= 2)
+      .select(toSyms.as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Row]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val best = table
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(round.toLong, l, r, l + r, cnt)
+        // greedy L2R fuse: append, or replace a trailing `l` when `r` arrives.
+        // get() (0-based) returns NULL on the empty accumulator — no ANSI
+        // out-of-bounds, and NULL === l is null → otherwise-branch.
+        val fused = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+        val prev = table
+        table = table.select(fused.as("syms"), col("freq")).localCheckpoint()
+        prev.unpersist()
+        round += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("merge_idx", LongType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(merges.result().asJava, schema)
   }
 }

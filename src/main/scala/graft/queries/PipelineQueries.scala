@@ -87,6 +87,57 @@ object PipelineQueries {
   /** q94's fixed retrieval query (terms from the corpus vocabulary). */
   private val Bm25Terms = Seq("spark", "window", "table")
 
+  /** q113's merge-round count (shared by the query and the unrolled oracle). */
+  private val BpeTrainRounds = 6
+
+  /** Unrolled DuckDB replay of `BpeTrainRounds` BPE merge rounds — the oracle
+    * twin of [[graft.operators.BpeTrainer.trainMerges]]. State between rounds
+    * is the EXPLODED symbol table t{r}(word, freq, i, s); each round:
+    *   c: pair view via lead();  b: the argmax merge (cnt desc, pair asc);
+    *   d-g: greedy L2R selection — within a run of CONSECUTIVE candidate
+    *        positions (only possible when left=right) keep odd run offsets,
+    *        which IS non-overlapping left-to-right application;
+    *   h-t: fuse selected starts (s || next), drop absorbed successors,
+    *        re-index.
+    * All counts are integer sums; tie-break is binary string order on both
+    * engines. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val t0 =
+      s"""pt AS (SELECT unnest(regexp_extract_all(text,
+         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
+         | FROM documents),
+         |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1),
+         |t0 AS (SELECT p AS word, freq, CAST(i AS INT) AS i,
+         |    substr(p, CAST(i AS INT), 1) AS s
+         |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS g(i)
+         |  WHERE length(p) >= 2)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT word, freq, i, s,
+         |    lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM t${r - 1}),
+         |b$r AS (SELECT s AS lft, nxt AS rgt, sum(freq) AS cnt FROM c$r
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |d$r AS (SELECT word, freq, i, s, nxt,
+         |    coalesce(s = (SELECT lft FROM b$r) AND nxt = (SELECT rgt FROM b$r),
+         |      false) AS cand FROM c$r),
+         |e$r AS (SELECT *, CASE WHEN cand THEN row_number() OVER
+         |    (PARTITION BY word, cand ORDER BY i) END AS cseq FROM d$r),
+         |f$r AS (SELECT *, CASE WHEN cand THEN row_number() OVER
+         |    (PARTITION BY word, (i - cseq) ORDER BY i) END AS runpos FROM e$r),
+         |g$r AS (SELECT *, coalesce(cand AND runpos % 2 = 1, false) AS sel FROM f$r),
+         |h$r AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i),
+         |    false) AS absorbed FROM g$r),
+         |t$r AS (SELECT word, freq,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY i) AS INT) AS i,
+         |    CASE WHEN sel THEN s || nxt ELSE s END AS s
+         |  FROM h$r WHERE NOT absorbed)""".stripMargin
+    }
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_idx, lft AS left_sym, rgt AS right_sym,
+         |  lft || rgt AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"WITH $t0,\n${roundCtes.mkString(",\n")}$unions ORDER BY merge_idx"
+  }
+
   /** One BM25 term's score expression in DuckDB SQL — the exact arithmetic
     * twin of [[graft.operators.Retrieval.bm25Scores]]: rational idf from in-SQL
     * (n, df_i), k1=1.5 / b=0.75 literals (exact binary doubles), identical
@@ -607,6 +658,15 @@ object PipelineQueries {
     // char pairs over the pre-token FREQUENCY table, top-40 by weighted count.
     "q100_bpe_pairs" -> ((s, dir) =>
       graft.operators.BpeTrainer.topPairs(t(s, dir, "documents"), "text", k = 40)),
+
+    // q113: the FULL iterative BPE training loop — 6 merge rounds over the
+    // pre-token frequency table, greedy L2R fusion, (cnt desc, pair asc)
+    // tie-break. The oracle replays every round with unrolled window-function
+    // CTEs (run-parity selection = non-overlapping greedy application).
+    "q113_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrainer.trainMerges(t(s, dir, "documents"), "text",
+        rounds = BpeTrainRounds)
+        .orderBy(col("merge_idx"))),
 
     // q99: epoch-deterministic corpus shuffle into shards — md5(id:epoch)
     // deals shard + in-shard position; rerunning reproduces it exactly,
@@ -1377,6 +1437,7 @@ object PipelineQueries {
          |  WHERE length(p) >= 2)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+    "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
     "q99_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':3') AS h
         |  FROM documents),

@@ -42,4 +42,86 @@ class BpeTrainerSpec extends SparkSpec {
     assert(freq(" the") === 2L)
     assert(freq(" cat") === 2L)
   }
+
+  // ── trainMerges: the full iterative loop ──────────────────────────────────
+
+  /** Reference BPE (Sennrich alg. 1) on a word-frequency map — plain Scala,
+    * independently written: pair argmax with (cnt desc, left, right) ties,
+    * greedy L2R non-overlapping fusion. */
+  private def referenceBpe(freqs: Map[String, Long],
+                           rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var table: Map[Vector[String], Long] =
+      freqs.collect { case (w, f) if w.length >= 2 =>
+        w.map(_.toString).toVector -> f
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = table.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Vector(a, b) => (a, b) -> f }.toSeq
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.nonEmpty) {
+        val ((l, rt), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r.toLong, l, rt, l + rt, cnt))
+        table = table.toSeq.map { case (syms, f) =>
+          val fused = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+              fused += (l + rt); i += 2
+            } else { fused += syms(i); i += 1 }
+          }
+          fused.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("trainMerges matches an independent reference BPE, multiple rounds") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new new"),
+      (3L, "low lowest newer")).toDF("doc_id", "text")
+    val got = BpeTrainer.trainMerges(docs, "text", rounds = 8)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // reference runs on the same pre-token frequency table
+    val freqs = BpeTrainer.preTokenFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.toSeq === referenceBpe(freqs, 8))
+    assert(got.length === 8)
+  }
+
+  test("trainMerges tie-break is deterministic: (cnt desc, left asc, right asc)") {
+    // pre-tokens: "xy"×1, " xy"×1, " xz"×2 → round 1 argmax (" ","x") cnt 3;
+    // later rounds tie on cnt — every round must agree with the reference
+    // exactly, and rerunning must reproduce it bit-for-bit
+    val docs = Seq((1L, "xy xy xz xz")).toDF("doc_id", "text")
+    val first = BpeTrainer.trainMerges(docs, "text", rounds = 1).collect()(0)
+    assert((first.getString(1), first.getString(2), first.getLong(4)) === (" ", "x", 3L))
+    val freqs = BpeTrainer.preTokenFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(freqs, 4)
+    (1 to 2).foreach { _ =>
+      val got = BpeTrainer.trainMerges(docs, "text", rounds = 4)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("greedy L2R fusion is non-overlapping: aaaa fuses to two aa, aaa to aa+a") {
+    // single pre-token docs: "aaaa" (freq 1), "aaa" (freq 1) → round-1 pair (a,a)
+    val docs = Seq((1L, "aaaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val m = BpeTrainer.trainMerges(docs, "text", rounds = 2)
+      .orderBy("merge_idx").collect()
+    // round 1: (a,a) cnt = 3 (aaaa) + 2 (aaa) = 5
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) === ("a", "a", 5L))
+    // round 2 sees [aa,aa] and [aa,a]: pair (aa,aa) cnt 1, (aa,a) cnt 1 →
+    // tie broken by right asc: ("aa","a") wins
+    assert((m(1).getString(1), m(1).getString(2)) === ("aa", "a"))
+    // exhaustion: more rounds than merges available stops cleanly
+    val all = BpeTrainer.trainMerges(docs, "text", rounds = 50).collect()
+    assert(all.length < 50)
+  }
 }
