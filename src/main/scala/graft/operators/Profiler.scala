@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,5 +39,37 @@ object Profiler {
           .mkString(", ") +
         ") as (col_name, n_non_null, n_distinct, min_str, max_str)"
     wide.selectExpr(stackExpr)
+  }
+
+  /** Per-source corpus report — the curation dashboard panel: doc/token
+    * counts, BPE token estimate, English-language mix, token-length extremes,
+    * and an EXACT mean quality score. Output one row per `sourceCol` value:
+    * (source, n_docs, n_tokens, n_bpe_tokens, n_en, min_tokens, max_tokens,
+    * quality_micro_sum, mean_quality_micro).
+    *
+    * Quality is summed micro-quantized (`floor(q·1e6)` as LONG): double sums
+    * depend on partial-aggregation order, integer sums do not — the mean is
+    * bit-identical on any cluster layout (and in the DuckDB oracle). All
+    * per-doc features are scan-side column expressions; the single shuffle is
+    * the source-keyed aggregate, map-side combined — at 100 TB the report
+    * costs one pass. */
+  def corpusReport(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val q = TextFunctions.qualityScore(text)
+    docs.select(col(sourceCol).as("source"),
+      TextFunctions.tokenCount(text).as("_nt"),
+      TextFunctions.bpeTokenCount(text).as("_nb"),
+      when(TextFunctions.langIdEn(text) === "en", 1L).otherwise(0L).as("_en"),
+      floor(q * lit(1000000.0)).cast("long").as("_qm"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nb")).as("n_bpe_tokens"),
+        sum(col("_en")).as("n_en"),
+        min(col("_nt")).as("min_tokens"),
+        max(col("_nt")).as("max_tokens"),
+        sum(col("_qm")).as("quality_micro_sum"))
+      .withColumn("mean_quality_micro",
+        col("quality_micro_sum").cast("double") / col("n_docs").cast("double"))
   }
 }

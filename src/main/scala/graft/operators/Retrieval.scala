@@ -71,4 +71,32 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Inverted-index build (retrieval prep, the producer side of [[bm25Scores]]'
+    * document frequencies): one row per distinct term — (term, df,
+    * postings_head). `df` is the EXACT document frequency; `postings_head` is
+    * the first `headPostings` doc ids of the id-sorted postings list,
+    * comma-joined.
+    *
+    * The head cap is the scale contract: a stopword-class term's full postings
+    * list is corpus-sized, so materializing it whole in one row would bottom
+    * out in a single straggler task (and a 2 GB array limit) at 100 TB. The
+    * verified surface is (exact df, bounded head); full lists shard by term —
+    * the same relation keyed (term, doc_id) without the collect_list.
+    *
+    * Plan shape: distinct terms in-scan (array_distinct before the explode,
+    * so a doc contributes each term once), one hash aggregate by term;
+    * collect_list is bounded post-sort by `slice`. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    headPostings: Int = 32): DataFrame = {
+    require(headPostings > 0, s"headPostings must be positive: $headPostings")
+    docs
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col(idCol))), 1, headPostings),
+          x => x.cast("string"))).as("postings_head"))
+  }
 }

@@ -595,20 +595,12 @@ object PipelineQueries {
     }),
 
     // q90: inverted index build (retrieval prep) — term -> document frequency +
-    // head of the sorted postings list. The head cap is the scale contract:
-    // full postings for stopword-class terms are corpus-sized, so the verified
-    // surface is (df exact, first 32 postings); full lists shard by term.
-    "q90_inverted_index" -> ((s, dir) => {
-      val posts = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(
-          TextFunctions.tokens(col("text")))).as("term"))
-      posts.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          concat_ws(",", transform(
-            slice(array_sort(collect_list(col("doc_id"))), 1, 32),
-            x => x.cast("string"))).as("postings_head"))
-        .orderBy(col("term"))
-    }),
+    // head of the sorted postings list (exact df, bounded head — the scale
+    // contract; see Retrieval.invertedIndex scaladoc).
+    "q90_inverted_index" -> ((s, dir) =>
+      graft.operators.Retrieval.invertedIndex(
+        t(s, dir, "documents"), "doc_id", "text", headPostings = 32)
+        .orderBy(col("term"))),
 
     // q91: linear quality-classifier inference over hashed bag-of-words
     // features (fastText shape; see TextFunctions.hashedFeatureScore — the
@@ -658,6 +650,19 @@ object PipelineQueries {
     // char pairs over the pre-token FREQUENCY table, top-40 by weighted count.
     "q100_bpe_pairs" -> ((s, dir) =>
       graft.operators.BpeTrainer.topPairs(t(s, dir, "documents"), "text", k = 40)),
+
+    // q115: bucket capping (the LSH/blocking anti-skew gate) — a planted
+    // non-discriminative bucket holding ~80% of the corpus is dropped whole;
+    // the long tail of small buckets survives intact.
+    "q115_capped_buckets" -> ((s, dir) => {
+      val bucketed = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("big"))
+          .otherwise(concat(lit("b"), pmod(col("doc_id"), lit(50)).cast("string")))
+          .as("bucket"))
+      graft.ops.Skew.capBuckets(bucketed, Seq("bucket"), maxBucket = 100L)
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
 
     // q113: the FULL iterative BPE training loop — 6 merge rounds over the
     // pre-token frequency table, greedy L2R fusion, (cnt desc, pair asc)
@@ -788,29 +793,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // q105: per-source corpus report — the curation dashboard panel: doc/token
-    // counts, BPE token estimate, language mix, token-length extremes, and an
-    // EXACT mean quality via micro-quantized LONG sums (floor(q·1e6) — double
-    // sums would be partial-agg-order-dependent, integer sums are not).
-    "q105_corpus_report" -> ((s, dir) => {
-      val q = TextFunctions.qualityScore(col("text"))
-      t(s, dir, "documents").select(col("source"),
-        TextFunctions.tokenCount(col("text")).as("_nt"),
-        TextFunctions.bpeTokenCount(col("text")).as("_nb"),
-        when(TextFunctions.langIdEn(col("text")) === "en", 1L).otherwise(0L).as("_en"),
-        floor(q * lit(1000000.0)).cast("long").as("_qm"))
-        .groupBy(col("source")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("_nt")).as("n_tokens"),
-          sum(col("_nb")).as("n_bpe_tokens"),
-          sum(col("_en")).as("n_en"),
-          min(col("_nt")).as("min_tokens"),
-          max(col("_nt")).as("max_tokens"),
-          sum(col("_qm")).as("quality_micro_sum"))
-        .withColumn("mean_quality_micro",
-          col("quality_micro_sum").cast("double") / col("n_docs").cast("double"))
-        .orderBy(col("source"))
-    }),
+    // q105: per-source corpus report — the curation dashboard panel (exact
+    // mean quality via micro-quantized LONG sums; see Profiler.corpusReport).
+    "q105_corpus_report" -> ((s, dir) =>
+      graft.operators.Profiler.corpusReport(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
 
     // q104: deterministic span corruption (BART text-infilling shape) — 15%
     // md5-decided token masking, masked runs collapsed to one <mask> sentinel.
@@ -1438,6 +1425,14 @@ object PipelineQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
+    "q115_capped_buckets" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'big'
+        |       ELSE 'b' || CAST(doc_id % 50 AS VARCHAR) END AS bucket
+        | FROM documents),
+        |n AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 100)
+        |SELECT doc_id, bucket FROM b WHERE bucket IN (SELECT bucket FROM n)
+        |ORDER BY doc_id""".stripMargin,
     "q99_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':3') AS h
         |  FROM documents),

@@ -399,6 +399,18 @@ object RelationalQueries {
         payloadCols = Seq("event_id", "ts_ms"), payloadPrefix = "view_")
         .filter(col("view_event_id").isNotNull)
         .orderBy(col("event_id"))
+    }),
+
+    // ─── Salted join ≡ plain join (the skew-mitigation identity): the salt
+    //     fans hot probe keys across reducers, the replicated build side makes
+    //     (key, salt) equi-join semantics identical to the unsalted join. ────
+    "q114_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val build = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      graft.ops.Skew.saltedJoin(probe, build, "custkey", buckets = 8)
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -602,6 +614,10 @@ object RelationalQueries {
         |v AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE event_type='view')
         |SELECT c.event_id, c.user_id, c.ts_ms, v.event_id AS view_event_id, v.ts_ms AS view_ts_ms
         |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts_ms <= c.ts_ms
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+    "q114_salted_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -407,6 +407,78 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.operators.Profiler.profile(df, Seq("nope")))
   }
 
+  test("Profiler.corpusReport: one row per source, exact integer sums, micro-quantized mean") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "srcA", "the cat sat on the mat for a while and that was it really"),
+      (2L, "srcA", "zz xx"),
+      (3L, "srcB", "the quick brown fox is in the pen and the dog was out there")
+    ).toDF("doc_id", "source", "text")
+    val rep = graft.operators.Profiler.corpusReport(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet === Set("srcA", "srcB"))
+    val a = rep("srcA")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_tokens") === 16L) // 14 + 2
+    assert(a.getAs[Long]("min_tokens") === 2L && a.getAs[Long]("max_tokens") === 14L)
+    // micro-sum is the exact LONG sum of per-doc floor(q*1e6)
+    val micro = docs.filter($"source" === "srcA")
+      .select(floor(TextFunctions.qualityScore($"text") * 1000000.0).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(a.getAs[Long]("quality_micro_sum") === micro)
+    assert(a.getAs[Double]("mean_quality_micro") === micro.toDouble / 2.0)
+    // single aggregate job: exactly one exchange in the plan
+    val plan = graft.operators.Profiler.corpusReport(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"one shuffle expected:\n$plan")
+  }
+
+  test("uniformExactK: exact k, deterministic, regeneration-stable, seed-sensitive") {
+    import graft.operators.Sampling
+    val df = (1L to 500L).toDF("id")
+    val s1 = Sampling.uniformExactK(df, "id", k = 50, seed = "a")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size === 50)
+    // rerun identical; a REGENERATED (differently partitioned) corpus too
+    val s1again = Sampling.uniformExactK(df.repartition(13), "id", k = 50, seed = "a")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1again === s1)
+    // different seed re-deals the sample
+    val s2 = Sampling.uniformExactK(df, "id", k = 50, seed = "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 !== s1)
+    // k >= n keeps everything; TakeOrderedAndProject, no global sort materialization
+    assert(Sampling.uniformExactK(df, "id", 600).count() === 500L)
+    val plan = Sampling.uniformExactK(df, "id", 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("qualityScore: hand-computed component blend, bounded in [0,1]") {
+    import graft.functions.TextFunctions
+    // 60 chars, alpha-only + spaces, no punctuation:
+    // lengthOk=1.0, punctOk=1.0, alphaFrac=alpha/chars
+    val text = "abcdefghij " * 5 + "abcdefghi" // 5*11 + 9 = 64 chars, 59 alpha
+    val df = Seq((1L, text)).toDF("id", "text")
+    val q = df.select(TextFunctions.qualityScore($"text")).collect()(0).getDouble(0)
+    assert(q === 0.2 + 0.3 + 0.5 * (59.0 / 64.0))
+    // saturated punctuation (>=10% punct chars) zeroes the punct component
+    val punctHeavy = "a.b.c.d.e.f.g.h.i.j." * 5 // 100 chars, 50 punct
+    val qp = Seq((1L, punctHeavy)).toDF("id", "text")
+      .select(TextFunctions.qualityScore($"text")).collect()(0).getDouble(0)
+    assert(qp === 0.2 * 1.0 + 0.0 + 0.5 * 0.5)
+    // short text halves the length component; empty text scores only lengthOk branch
+    val qe = Seq((1L, "")).toDF("id", "text")
+      .select(TextFunctions.qualityScore($"text")).collect()(0).getDouble(0)
+    assert(qe === 0.5 * 0.2)
+    // random corpus stays in [0,1]
+    val rnd = new scala.util.Random(7)
+    val corpus = (1 to 100).map(i =>
+      (i.toLong, rnd.alphanumeric.take(rnd.nextInt(200)).mkString(" "))).toDF("id", "text")
+    val bounds = corpus.select(min(TextFunctions.qualityScore($"text")),
+      max(TextFunctions.qualityScore($"text"))).collect()(0)
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+
   // ── multimodal ──────────────────────────────────────────────────────────────
 
   test("multimodal plumbing: binary payloads through per-partition extraction") {

@@ -62,4 +62,24 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("invertedIndex: exact df, doc counted once per term, bounded sorted postings head") {
+    val docs = Seq(
+      (3L, "alpha beta alpha alpha"), // 'alpha' ×3 in one doc → df contribution 1
+      (1L, "alpha gamma"),
+      (2L, "beta beta")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("alpha") === ((2L, "1,3")))  // df=2 despite 4 occurrences; head id-sorted
+    assert(idx("beta") === ((2L, "2,3")))
+    assert(idx("gamma") === ((1L, "1")))
+    // head cap: many docs share a term → postings_head is bounded, df stays exact
+    val big = (1L to 50L).map(i => (i, "common")).toDF("doc_id", "text")
+    val capped = Retrieval.invertedIndex(big, "doc_id", "text", headPostings = 5)
+      .collect()(0)
+    assert(capped.getLong(1) === 50L)
+    assert(capped.getString(2) === "1,2,3,4,5") // numeric doc-id sort, first 5
+    intercept[IllegalArgumentException](
+      Retrieval.invertedIndex(docs, "doc_id", "text", headPostings = 0))
+  }
 }
