@@ -126,6 +126,10 @@ private[plans] object BoundedGroupHeaps {
 case class GroupTopKPartialExec(groupCols: Seq[Expression], order: Seq[SortOrder],
                                 k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // row-preserving per partition — keep the child's partitioning visible so
+  // downstream operators clustered on the same keys don't re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, out) = (groupCols, order, k, child.output) // don't capture `this`
     child.execute().mapPartitions(BoundedGroupHeaps.select(_, g, o, kk, out))
@@ -145,6 +149,11 @@ case class GroupTopKFinalExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     // place or the final stage would emit top-k per partition
     if (groupCols.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupCols))
+  // row-preserving on the exchanged child: expose the hash partitioning the
+  // exchange established, so e.g. a rank window over the same group keys
+  // (the ≤ groups×k survivors) plans WITHOUT a second exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, out) = (groupCols, order, k, child.output) // don't capture `this`
     child.execute().mapPartitions(BoundedGroupHeaps.select(_, g, o, kk, out))

@@ -373,6 +373,18 @@ object RelationalQueries {
           col("user_id"), col("n"), col("total_value"))
         .orderBy(col("user_id"), col("session_start_ms"))),
 
+    // ─── Streaming batch shadow: windowed grouped top-k — the batch branch of
+    //     EventPipeline.streamingGroupTopK routes through the GroupTopK
+    //     bounded-heap operator on (window, group); the oracle replays it as
+    //     row_number over the same 10-min buckets. ──────────────────────────────
+    "q116_windowed_topk" -> ((s, dir) =>
+      graft.streaming.EventPipeline.streamingGroupTopK(
+        events(s, dir), "event_type", "user_id", "value", "ts", k = 5,
+        windowLen = "10 minutes")
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("group").as("grp"), col("id"), col("score"), col("rank"))
+        .orderBy(col("window_start_ms"), col("grp"), col("rank"))),
+
     // ─── Interval-overlap (range) join, binned — SURVEY §2.3's "natural
     //     genomic extension": same-type events whose [ts, ts+6·value sec]
     //     windows intersect, joined via fixed 300 s bins, one row per pair. ───
@@ -615,6 +627,14 @@ object RelationalQueries {
         |SELECT c.event_id, c.user_id, c.ts_ms, v.event_id AS view_event_id, v.ts_ms AS view_ts_ms
         |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts_ms <= c.ts_ms
         |ORDER BY c.event_id""".stripMargin,
+    "q116_windowed_topk" ->
+      """SELECT window_start_ms, grp, id, score, rank FROM (
+        |  SELECT (epoch_ms(ts) // 600000) * 600000 AS window_start_ms,
+        |    event_type AS grp, user_id AS id, value AS score,
+        |    row_number() OVER (PARTITION BY epoch_ms(ts) // 600000, event_type
+        |                       ORDER BY value DESC, user_id) AS rank
+        |  FROM events) WHERE rank <= 5
+        |ORDER BY window_start_ms, grp, rank""".stripMargin,
     "q114_salted_join" ->
       """SELECT o_custkey AS custkey, o_orderkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -199,6 +199,97 @@ object EventPipeline {
       .drop("_lines")
   }
 
+  /** One retained entry of a windowed grouped top-k — state per live
+    * (window, group) is a ≤k list of these, nothing else. */
+  final case class TopKEntry(id: Long, score: Double)
+  private[streaming] final case class TopKState(entries: List[TopKEntry])
+
+  /** Emitted once per (closed window, group, kept row). */
+  final case class WindowGroupTopK(window_start: Timestamp, group: String,
+                                   id: Long, score: Double, rank: Int)
+
+  /** Per-(window, group) bounded top-k selection: merge the batch into the ≤k
+    * kept entries (descending score, id tie-break — a TOTAL order, so the
+    * boundary is deterministic), re-arm the event-time timeout at the window
+    * end, and emit nothing until the watermark closes the window — then rank
+    * and flush. State never exceeds k entries per live (window, group). */
+  private[streaming] def topKStateMachine(k: Int)(
+      key: (Long, Long, String),
+      rows: Iterator[((Timestamp, Timestamp), String, Long, Double)],
+      state: GroupState[TopKState]): Iterator[WindowGroupTopK] = {
+    val (wsMs, weMs, group) = key
+    if (state.hasTimedOut) {
+      val entries = state.get.entries
+      state.remove()
+      entries.sortBy(e => (-e.score, e.id)).zipWithIndex.iterator.map {
+        case (e, i) => WindowGroupTopK(new Timestamp(wsMs), group, e.id, e.score, i + 1)
+      }
+    } else {
+      val prev = state.getOption.map(_.entries).getOrElse(Nil)
+      val merged = (prev ++ rows.map(r => TopKEntry(r._3, r._4)))
+        .sortBy(e => (-e.score, e.id)).take(k)
+      state.update(TopKState(merged))
+      // the window closes when the event-time watermark passes its end; the
+      // max() guards the (late-but-allowed data) case where the end is already
+      // behind the watermark — Spark rejects a timeout in the past
+      state.setTimeoutTimestamp(math.max(weMs, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming twin of the [[graft.plans.GroupTopK]] bounded-heap operator —
+    * the one batch operator family that had no streaming analog: top-k rows
+    * per (event-time window, group) by score.
+    *
+    * On a STREAMING frame: `flatMapGroupsWithState` keyed by (window, group)
+    * with an event-time timeout. State per live key is the ≤k best entries so
+    * far (the same bounded-selection invariant as the batch operator's heaps —
+    * nothing proportional to window row count is ever stored), and results
+    * emit in Append mode exactly once, when the watermark closes the window.
+    *
+    * On a BATCH frame the same call routes through the batch operator itself
+    * ([[graft.plans.GroupTopK.topK]] on (window_start, group), ranks assigned
+    * over the ≤ groups×k survivors) — the twin identity the spec asserts and
+    * q116 oracle-checks.
+    *
+    * Output: (window_start, group: string, id: long, score: double, rank 1..k)
+    * ordered by (-score, id) within each (window, group). */
+  def streamingGroupTopK(events: DataFrame, groupCol: String, idCol: String,
+                         scoreCol: String, tsCol: String, k: Int,
+                         windowLen: String = "10 minutes",
+                         watermark: String = "1 hour"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // keep the watermarked `window` STRUCT intact into groupByKey — the
+    // watermark delay tag lives on that column's metadata, and projecting
+    // `_w.start` would strip it, failing the event-time-timeout analysis check
+    val windowed = events
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowLen).as("_w"),
+        col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"))
+    if (events.isStreaming) {
+      windowed.as[((Timestamp, Timestamp), String, Long, Double)]
+        .groupByKey { case ((ws, we), g, _, _) => (ws.getTime, we.getTime, g) }
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(topKStateMachine(k))
+        .toDF()
+    } else {
+      val kept = graft.plans.GroupTopK.topK(
+        windowed.select(col("_w.start").as("window_start"),
+          col("group"), col("id"), col("score")),
+        Seq("window_start", "group"), Seq(("score", false), ("id", true)), k)
+      // ranking runs over at most groups × k survivors — the full-corpus sort
+      // the operator exists to avoid never happens
+      kept.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"), col("group"))
+          .orderBy(col("score").desc, col("id"))).cast("int"))
+    }
+  }
+
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                             tsCol: String, watermark: String = "1 hour",
                             windowLen: String = "10 minutes",

@@ -237,4 +237,53 @@ class StreamingSpec extends SparkSpec {
     val out = EventPipeline.windowedCounts(df).collect()
     assert(out.length == 1 && out.head.getLong(2) == 2L && out.head.getDouble(3) == 3.0)
   }
+
+  test("streamingGroupTopK: bounded state, Append-on-window-close, equals the batch twin") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = input.toDF().toDF("ts", "etype", "uid", "v")
+    val q = EventPipeline.streamingGroupTopK(events, "etype", "uid", "v", "ts",
+      k = 2, windowLen = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wtk").outputMode(OutputMode.Append()).start()
+    try {
+      // one 10-min window, candidates split across TWO micro-batches — the
+      // state merge (not just within-batch selection) is what's under test;
+      // the 9.0 tie must break toward the smaller id (12 before 13)
+      input.addData((ts(1), "g1", 11L, 5.0), (ts(2), "g1", 12L, 9.0), (ts(3), "g2", 21L, 1.0))
+      q.processAllAvailable()
+      input.addData((ts(4), "g1", 13L, 9.0), (ts(5), "g1", 14L, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("wtk").isEmpty, "window still open — Append must emit nothing")
+      // advance the watermark past the window end, then one more batch to flush
+      input.addData((ts(45), "g9", 99L, 1.0))
+      q.processAllAvailable()
+      input.addData((ts(46), "g9", 98L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wtk").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      val ws = ts(1).getTime - (ts(1).getTime % 600000L)
+      assert(got == Set(
+        (ws, "g1", 12L, 9.0, 1), (ws, "g1", 13L, 9.0, 2), (ws, "g2", 21L, 1.0, 1)),
+        s"unexpected emissions: $got")
+      // batch-twin identity on the same closed-window events, and the batch
+      // branch must plan through the bounded-heap operator, not a window sort
+      val batchDf = Seq((ts(1), "g1", 11L, 5.0), (ts(2), "g1", 12L, 9.0),
+        (ts(3), "g2", 21L, 1.0), (ts(4), "g1", 13L, 9.0), (ts(5), "g1", 14L, 7.0))
+        .toDF("ts", "etype", "uid", "v")
+      val batch = EventPipeline.streamingGroupTopK(batchDf, "etype", "uid", "v", "ts",
+        k = 2, windowLen = "10 minutes", watermark = "30 minutes")
+      val planStr = batch.queryExecution.executedPlan.toString
+      assert(planStr.contains("GroupTopKFinal"),
+        "batch branch must route through the GroupTopK operator")
+      // the final stage's exchange must be the ONLY one: the rank window
+      // reuses the operator's hash partitioning instead of re-shuffling
+      assert(planStr.sliding("Exchange".length).count(_ == "Exchange") == 1,
+        s"expected exactly one exchange in the batch-twin plan:\n$planStr")
+      val batchSet = batch.collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      assert(batchSet == got, s"batch twin diverged: $batchSet vs $got")
+    } finally q.stop()
+  }
 }
