@@ -71,7 +71,7 @@ object Bench {
     "q111_exact_k_sample" -> 0.25, "q112_group_topk_plan" -> 0.55,
     // round-5 additions (r5_sf0.1_run1 measurements)
     "q113_bpe_train" -> 1.83, "q114_salted_join" -> 0.32,
-    "q115_capped_buckets" -> 0.22)
+    "q115_capped_buckets" -> 0.22, "q116_windowed_topk" -> 0.50)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
@@ -81,6 +81,20 @@ object Bench {
     val t0 = System.nanoTime()
     spark.range(1L << 24).selectExpr("count(distinct id % 9973)").collect()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Reclaim per-query state so every measurement starts from an equal JVM.
+    * Cached plans and (crucially) `localCheckpoint` blocks accumulate in the
+    * block manager across a 100+-query suite; measured at 10× corpus scale
+    * this inflated late-suite queries up to 12× (q84 126 s inside the full
+    * suite vs 10.9 s in a fresh JVM) as storage eviction and GC thrash set
+    * in — the same mechanism behind three rounds of inflated driver-side
+    * artifacts. Blocking unpersist + an explicit GC land the reclaim cost
+    * BETWEEN measurements, not inside the next query's timing. */
+  private def resetState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 
   /** Micro-probe interleaved BETWEEN queries (~0.1 s idle): 4 explicit slices
@@ -141,7 +155,9 @@ object Bench {
         org.apache.spark.sql.graftbridge.ColumnBridge
           .dropRootSort(fn(spark, sfDir)).queryExecution.toRdd.count()
       } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      resetState(spark)
+      dt
     }
 
     val ordered = SparkEntry.queries.toSeq

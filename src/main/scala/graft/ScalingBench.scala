@@ -51,6 +51,17 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Same equal-state reset as [[Bench.resetState]]: without it,
+    * localCheckpoint blocks from earlier queries accumulate in the block
+    * manager and late-suite queries measure storage-eviction + GC thrash
+    * instead of their own plan (q84 at ×10: 126 s inside the accumulated
+    * suite, 10.9 s from a fresh JVM — the entire apparent super-linearity). */
+  private def resetState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   private def microProbe(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1L << 19, 1L, 4).selectExpr("count(distinct id % 9973)").collect()
@@ -93,7 +104,9 @@ object ScalingBench {
         org.apache.spark.sql.graftbridge.ColumnBridge
           .dropRootSort(fn(spark, sfDir)).queryExecution.toRdd.count()
       } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      resetState(spark)
+      dt
     }
 
     var rerunSpent = 0.0

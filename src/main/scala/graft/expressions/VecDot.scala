@@ -110,10 +110,13 @@ object NativeVec {
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` registers the
-  * custom expressions (`vec_dot`, `misra_gries`) for SQL users; the Column API
-  * works without registration. */
+  * custom expressions (`vec_dot`, `misra_gries`) for SQL users AND the
+  * [[graft.plans.GroupTopKStrategy]] planner strategy, so on a cluster the
+  * whole library is installed by config — no code-side session mutation
+  * (the Column/operator APIs still self-register when called directly). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

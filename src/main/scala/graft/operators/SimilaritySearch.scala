@@ -38,6 +38,23 @@ object SimilaritySearch {
                       query: Seq[Double], queryPart: Any, k: Int): DataFrame =
     bruteForceTopK(df.filter(col(partCol) === lit(queryPart)), vecCol, idCol, query, k)
 
+  /** Hyperplane count for which an even sign-LSH split of `n` rows leaves
+    * ~`target` rows per bucket: ceil(log2(n / target)), floored at `floor`.
+    * This is what keeps bucketed pair generation LINEAR as the corpus grows —
+    * fixed depth over growing data means per-bucket population grows ×N and
+    * pair work ×N² (measured: q95 at ×100 corpus ran 11× its ×10 time with a
+    * fixed 6-plane quantizer). Each extra plane costs recall (it splits some
+    * qualifying pairs), which is the standard LSH depth/recall trade; callers
+    * pin `floor` to their oracle-scale depth so small-corpus plane sets are
+    * parameter-identical to the fixed-depth formulation. */
+  def adaptiveDepth(n: Long, floor: Int = 12, target: Long = 16L): Int = {
+    require(floor >= 0 && target > 0, s"bad floor=$floor/target=$target")
+    val needed =
+      if (n <= target) 0
+      else math.ceil(math.log(n.toDouble / target) / math.log(2.0)).toInt
+    math.max(floor, needed)
+  }
+
   /** Near-duplicate embedding pairs: cosine >= threshold, compared only within the
     * same coarse partition (block). Output (id_a, id_b, cosine), id_a < id_b.
     *
@@ -49,46 +66,71 @@ object SimilaritySearch {
     * buckets become (block, lsh-bits), so every bucket is bounded by
     * n_b / 2^planes in expectation and the block-locality contract is preserved.
     * Results are exact below the cap and LSH-recall above it — never silently
-    * empty. `overCapPlanes = None` (the default) derives the hyperplane
-    * dimensionality FROM THE DATA (one `limit 1` probe job) and uses 12
-    * deterministic planes — a fixed-dims default would silently degrade LSH
-    * recall for any other embedding width (every dot product would ignore or
-    * zero-pad dimensions). `Some(planes)` supplies explicit hyperplanes (their
-    * width is validated against the data); `Some(Nil)` restores the
+    * empty.
+    *
+    * The regime is decided ON THE DRIVER from the actual per-block counts (one
+    * column-pruned aggregate over the block key, checkpointed and reused as the
+    * join's count side): when every block is under the cap the plan contains no
+    * LSH expression at all (no hyperplane codegen, no width probe — measured
+    * ~0.5 s of pure Janino compile saved at small scale), and when some block
+    * is over the cap the sub-bucket depth ADAPTS to the largest block
+    * ([[adaptiveDepth]], floor 12) so expected sub-bucket population stays
+    * ~constant and pair work stays linear at any corpus size. The default cap
+    * bounds a block's exact-path work to maxBlock²/2 ≈ 33M scored pairs —
+    * the previous 100k default allowed 5×10⁹-pair blocks, measured 174 s on a
+    * 200k-vector corpus whose 20k-row blocks all sat below it.
+    *
+    * `overCapPlanes = None` (the default) derives hyperplane dimensionality
+    * from the data (one `limit 1` probe job, over-cap regime only) — a
+    * fixed-dims default would silently degrade LSH recall for any other
+    * embedding width. `Some(planes)` supplies explicit hyperplanes (width
+    * validated against the data); `Some(Nil)` restores the
     * drop-oversized-blocks behavior for callers that prefer exclusion over
     * approximation. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             partCol: String, threshold: Double,
-                            maxBlock: Long = 100000L,
-                            overCapPlanes: Option[Seq[Seq[Double]]] = None): DataFrame = {
+                            maxBlock: Long = 8192L,
+                            overCapPlanes: Option[Seq[Seq[Double]]] = None,
+                            subBucketTarget: Long = 16L): DataFrame = {
     val tagged = df.select(col(partCol).as("block"), col(idCol), col(vecCol))
-    // One-row probe for the embedding width: drives the derived-planes default
-    // and validates explicit planes — recall degradation from a width mismatch
-    // is otherwise invisible (fewer pairs, no error). Empty frame → no planes
-    // needed (no over-cap block can exist).
-    lazy val dataDims: Option[Int] =
-      df.select(size(col(vecCol)).as("d")).limit(1).collect()
-        .headOption.map(_.getInt(0))
-    val planes: Seq[Seq[Double]] = overCapPlanes match {
-      case Some(explicit) =>
-        for (p <- explicit; d <- dataDims) require(p.size == d,
-          s"overCapPlanes are ${p.size}-dim but $vecCol embeddings are $d-dim — " +
-            "mismatched planes silently degrade over-cap LSH recall")
-        explicit
-      case None => dataDims.map(deterministicPlanes(12, _)).getOrElse(Nil)
-    }
+    // Per-block counts: block-cardinality rows, materialized once — feeds the
+    // driver-side regime decision AND the per-row sub-bucket switch without a
+    // second scan of the corpus.
     val counts = tagged.groupBy(col("block")).agg(count(lit(1)).as("_block_n"))
+      .localCheckpoint(true)
+    val maxBlockN: Long = counts.agg(max(col("_block_n"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    val withN = tagged.join(counts, Seq("block"))
     // Both regimes share ONE self-join: the join key is (block, sub), where sub
     // is empty below the cap (exact all-pairs within the block) and the row's
     // sign-LSH bits above it (bounded sub-buckets). No union, no second scan.
-    val withN = tagged.join(counts, Seq("block"))
     val keyed =
-      if (planes.isEmpty) // documented exclusion mode (or empty input)
-        withN.filter(col("_block_n") <= maxBlock).withColumn("_sub", lit(""))
-      else
-        withN.withColumn("_sub",
-          when(col("_block_n") <= maxBlock, lit(""))
-            .otherwise(signLshBucket(col(vecCol), planes)))
+      if (maxBlockN <= maxBlock) // every block exact — no LSH in the plan
+        withN.withColumn("_sub", lit(""))
+      else {
+        // One-row probe for the embedding width: drives the derived-planes
+        // default and validates explicit planes — recall degradation from a
+        // width mismatch is otherwise invisible (fewer pairs, no error).
+        val dataDims: Option[Int] =
+          df.select(size(col(vecCol)).as("d")).limit(1).collect()
+            .headOption.map(_.getInt(0))
+        val planes: Seq[Seq[Double]] = overCapPlanes match {
+          case Some(explicit) =>
+            for (p <- explicit; d <- dataDims) require(p.size == d,
+              s"overCapPlanes are ${p.size}-dim but $vecCol embeddings are $d-dim — " +
+                "mismatched planes silently degrade over-cap LSH recall")
+            explicit
+          case None =>
+            dataDims.map(deterministicPlanes(adaptiveDepth(maxBlockN, 12, subBucketTarget), _))
+              .getOrElse(Nil)
+        }
+        if (planes.isEmpty) // documented exclusion mode (or empty input)
+          withN.filter(col("_block_n") <= maxBlock).withColumn("_sub", lit(""))
+        else
+          withN.withColumn("_sub",
+            when(col("_block_n") <= maxBlock, lit(""))
+              .otherwise(signLshBucket(col(vecCol), planes)))
+      }
     val keys = Seq("block", "_sub")
     val l = keyed.select((keys.map(col) :+ col(idCol).as("id_a") :+ col(vecCol).as("vec_a")): _*)
     val r = keyed.select((keys.map(col) :+ col(idCol).as("id_b") :+ col(vecCol).as("vec_b")): _*)
@@ -263,6 +305,27 @@ object SimilaritySearch {
                     planes: Seq[Seq[Double]], threshold: Double): DataFrame =
     semanticDedupByCluster(df, vecCol, idCol,
       signLshBucket(col(vecCol), planes), threshold)
+
+  /** [[semanticDedup]] with corpus-adaptive quantizer depth — SemDeDup's own
+    * scaling discipline (the paper's cluster count grows with the corpus:
+    * 50k k-means clusters at LAION scale, not a fixed grid). A fixed plane
+    * count over growing data leaves per-cluster population growing ×N and
+    * pair work ×N² — measured 11×-per-decade growth on a fixed 6-plane
+    * quantizer at ×100 corpus scale. Depth is [[adaptiveDepth]] of the corpus
+    * count (one column-pruned count job plus a one-row width probe; callers
+    * with an expensive upstream should materialize it first). `floor` pins the
+    * small-corpus depth so results below `target · 2^floor` rows are
+    * parameter-identical to a fixed-`floor`-depth formulation — the oracle
+    * anchor. */
+  def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, floor: Int = 12,
+                        target: Long = 16L, seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val dims = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    semanticDedup(df, vecCol, idCol,
+      deterministicPlanes(adaptiveDepth(n, floor, target), dims, seed), threshold)
+  }
 
   /** [[semanticDedup]] with an arbitrary precomputed cluster column (e.g. the
     * nearest trained k-means centroid): same greedy lower-id-neighbor verdict,

@@ -844,9 +844,13 @@ object PipelineQueries {
     // q95: SemDeDup semantic dedup verdict — sign-LSH cluster + greedy
     // lower-id-neighbor pruning at cosine >= 0.3; one row per vector with its
     // cluster and keep/drop. The kmeans-quantizer variant is spec-covered.
+    // Corpus-adaptive quantizer depth (SemDeDup's own scaling discipline);
+    // floor=6/target=32 derive EXACTLY LshPlanes at both sf0.01 and sf0.1, so
+    // the static-plane oracle below stays hash-identical at correctness scale
+    // while ×10+ corpora get the deeper, linear-work bucketing.
     "q95_semantic_dedup" -> ((s, dir) =>
-      SimilaritySearch.semanticDedup(t(s, dir, "embeddings"), "embedding",
-        "vec_id", LshPlanes, threshold = 0.3)
+      SimilaritySearch.semanticDedupAuto(t(s, dir, "embeddings"), "embedding",
+        "vec_id", threshold = 0.3, floor = 6, target = 32L)
         .orderBy(col("vec_id"))),
 
     // q94: BM25 top-k retrieval (rational-idf Okapi; exact cross-engine

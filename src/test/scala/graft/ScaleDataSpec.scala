@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[ScaleData]] is the evidence generator for the scaling bench — if its
+  * structure-preservation claims are wrong, the whole series measures the
+  * wrong thing. These specs pin the three claims the scaladoc makes:
+  *
+  *   1. documents: per-replica token/gram structure is an isomorphic image of
+  *      the base corpus (same token counts), and replicas share NO tokens
+  *      (candidate pairs scale ×N, never ×N²);
+  *   2. embeddings: the per-replica shift+sign-flip is an exact isometry of
+  *      the dot product (within-replica similarity structure bit-preserved);
+  *   3. ids: globally unique across replicas (disjoint stride ranges).
+  */
+class ScaleDataSpec extends SparkSpec {
+
+  private lazy val srcDir: String = {
+    val dir = tempDir().toString
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+      (2L, "pack my box with five dozen liquor jugs", "en", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "books"),
+      (4L, "sphinx of black quartz judge my vow", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f), "a"),
+      (2L, Array(0.0f, -1.0f, 2.0f, 4.0f), "a"),
+      (3L, Array(2.0f, 2.0f, 2.0f, 2.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("scaleDocuments: row count ×N, ids globally unique, replica 0 verbatim") {
+    val out = ScaleData.scaleDocuments(spark, srcDir, 3).cache()
+    assert(out.count() === 12)
+    assert(out.select("doc_id").distinct().count() === 12)
+    val base = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(col("doc_id") < ScaleData.IdStride).collect().foreach { r =>
+      assert(r.getAs[String]("text") === base(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("scaleDocuments: per-replica token counts preserved; no cross-replica token collisions") {
+    val out = ScaleData.scaleDocuments(spark, srcDir, 3)
+    val toks = out.select(
+      (col("doc_id") / ScaleData.IdStride).cast("int").as("r"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+    // token count per replica == base token count (isomorphic image)
+    val baseTokens = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select(explode(split(col("text"), "\\s+"))).count()
+    val perReplica = toks.groupBy("r").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perReplica === Map(0 -> baseTokens, 1 -> baseTokens, 2 -> baseTokens))
+    // a token appearing in two different replicas would make dedup candidates
+    // quadratic — there must be none
+    val crossReplica = toks.groupBy("tok")
+      .agg(countDistinct(col("r")).as("nr")).filter(col("nr") > 1).count()
+    assert(crossReplica === 0)
+    // duplicate structure preserved within each replica: docs 1 and 3 are exact
+    // duplicates in the base, so each replica contains exactly one dup pair
+    val dupGroups = out.groupBy(col("text")).count().filter(col("count") === 2)
+    assert(dupGroups.count() === 3)
+  }
+
+  test("scaleEmbeddings: ×N rows, unique ids, replica 0 verbatim") {
+    val out = ScaleData.scaleEmbeddings(spark, srcDir, 4).cache()
+    assert(out.count() === 12)
+    assert(out.select("vec_id").distinct().count() === 12)
+    val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out.filter(col("vec_id") < ScaleData.IdStride).collect().foreach { r =>
+      assert(r.getAs[Seq[Float]]("embedding") === base(r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("scaleEmbeddings: within-replica dot products are EXACTLY preserved (isometry)") {
+    val out = ScaleData.scaleEmbeddings(spark, srcDir, 4)
+    val withR = out.select(
+      (col("vec_id") / ScaleData.IdStride).cast("int").as("r"),
+      pmod(col("vec_id"), lit(ScaleData.IdStride)).as("base_id"),
+      col("embedding"))
+    val pairs = withR.as("a").join(withR.as("b"),
+        col("a.r") === col("b.r") && col("a.base_id") < col("b.base_id"))
+      .select(col("a.r").as("r"), col("a.base_id").as("ia"), col("b.base_id").as("ib"),
+        aggregate(zip_with(col("a.embedding"), col("b.embedding"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v).as("dot"))
+      .collect()
+    // group by (ia, ib): every replica's dot must equal replica 0's bit-for-bit
+    val byPair = pairs.groupBy(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib")))
+    byPair.foreach { case (_, rows) =>
+      val dots = rows.map(_.getAs[Double]("dot")).distinct
+      assert(dots.size === 1, s"dot product not invariant across replicas: $rows")
+    }
+    assert(byPair.size === 3) // 3 base pairs
+  }
+}
