@@ -191,11 +191,20 @@ object EventPipeline {
     * inherently a batch job; the streaming path applies the latest mined set. */
   def streamingLineFilter(docs: DataFrame, textCol: String,
                           repeatedLines: Seq[String]): DataFrame = {
-    val bad = typedlit(repeatedLines)
+    // Same O(log B)-per-line membership as the batch twin: the set rides as a
+    // sorted xxhash64 array (hashed with catalyst's own XxHash64Function — the
+    // exact algorithm the in-plan xxhash64 call applies to each line), not as
+    // a literal string array scanned linearly per line.
+    val bad = repeatedLines.map { s =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+    }.toArray
     docs
       .withColumn("_lines", split(col(textCol), "\n"))
       .withColumn(textCol,
-        array_join(filter(col("_lines"), l => !array_contains(bad, l)), "\n"))
+        array_join(filter(col("_lines"), l =>
+          !graft.expressions.SortedLongSetContains.contains(xxhash64(l), bad)), "\n"))
       .drop("_lines")
   }
 

@@ -85,6 +85,35 @@ class ScaleSpec extends SparkSpec {
     assert(err.getMessage.contains("64-dim") && err.getMessage.contains("32-dim"))
   }
 
+  test("adaptiveDepth: floored small, log-growth large — the linear-pair-work guarantee") {
+    import graft.operators.SimilaritySearch.adaptiveDepth
+    assert(adaptiveDepth(0, 12) == 12)            // empty → floor
+    assert(adaptiveDepth(16, 12, 16) == 12)       // n <= target → floor
+    assert(adaptiveDepth(200, 6, 32) == 6)        // sf0.01 corpus pins to floor 6
+    assert(adaptiveDepth(2000, 6, 32) == 6)       // sf0.1 corpus still floor 6
+    assert(adaptiveDepth(20000, 6, 32) == 10)     // x10 corpus deepens
+    assert(adaptiveDepth(1L << 24, 12, 16) == 20) // 16M rows / 16-target → 2^20 buckets
+    // doubling n adds at most one plane → expected bucket population bounded
+    assert(adaptiveDepth(1L << 25, 12, 16) == 21)
+    intercept[IllegalArgumentException](adaptiveDepth(10, -1))
+    intercept[IllegalArgumentException](adaptiveDepth(10, 12, 0))
+  }
+
+  test("semanticDedupAuto pins to the floor depth on small corpora — oracle anchor (q95)") {
+    import graft.operators.SimilaritySearch
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat), ())
+    }.map { case (id, v, _) => (id, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val auto = SimilaritySearch.semanticDedupAuto(df, "embedding", "vec_id",
+      threshold = 0.9, floor = 6, target = 32L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val fixed = SimilaritySearch.semanticDedup(df, "embedding", "vec_id",
+      SimilaritySearch.deterministicPlanes(6, 8), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("over-cap LSH route stays block-local: same lsh bucket, different block → no pair") {
     import graft.operators.SimilaritySearch
     // two over-cap blocks of identical vectors: every vector shares the same LSH
