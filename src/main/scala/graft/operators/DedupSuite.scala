@@ -310,12 +310,81 @@ object DedupSuite {
 
   // ── n-gram Jaccard ─────────────────────────────────────────────────────────
 
+  /** Verify candidate id pairs against the materialized gram index: attach both
+    * docs' sorted hash arrays and the exact `inter` count. Shared tail of
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] (they differ only in
+    * the score computed from `inter`/`size_a`/`size_b`).
+    *
+    * The naive `cand ⋈ gramArr ⋈ gramArr` shuffles the FULL gram index — the
+    * corpus's arrays, the widest frame in the whole pipeline — twice, even
+    * when only a sliver of docs appears in any candidate pair (the common
+    * web-corpus case: near-dups are rare). When that sliver is small, the
+    * gram index is pruned IN-SCAN with a bloom filter over the candidate id
+    * set before each join (no false negatives, so pruned-join ≡ join — the
+    * same q97 identity [[BloomJoin]] rests on; false positives only cost a
+    * little pruning efficiency), and the verify shuffles carry candidate-doc
+    * arrays only.
+    *
+    * The regime is chosen DRIVER-SIDE from actual counts, not assumed: below
+    * `pruneMinDocs` docs the plain two-join tail runs untouched (zero added
+    * jobs at oracle scale); above it, one exact distinct-id count over the
+    * materialized candidate pairs measures selectivity, and the prune engages
+    * only when candidate docs cover less than a quarter of the corpus —
+    * measured on a dense near-dup corpus (×100 synthetic, candidate ids ≈
+    * every doc) the unconditional prune DOUBLED q45 (26 → 50 s: two 8 MB
+    * bloom literals in every task binary, extra driver jobs, ~zero rows
+    * pruned), while on sparse corpora it removes the dominant shuffle
+    * entirely. Results are byte-identical on every path (spec-pinned). */
+  private def verifiedIntersections(cand: DataFrame, gramArr: DataFrame,
+                                    pruneMinDocs: Long): DataFrame = {
+    import graft.expressions.BloomFilters
+    // gramArr arrives localCheckpoint'ed by both callers, so count() is a
+    // cheap re-read of materialized blocks, not a recompute of
+    // scan+tokenize+shingle+hash
+    val pruned = if (gramArr.count() >= pruneMinDocs) {
+      // candidate pairs are consumed up to four times on this path (distinct-id
+      // count, two bloom aggregates, the verify join) — materialize once;
+      // pair-count sized (ids only), far narrower than the gram index
+      val c2 = cand.localCheckpoint(true)
+      val docsN = gramArr.count()
+      val dIds = c2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count()
+      if (dIds * 4 < docsN) {
+        // ~16 bits/key at the exact candidate-id cardinality, clamped to
+        // [1 MB, 16 MB] of filter
+        val numBits = math.min(1L << 27, math.max(1L << 23,
+          java.lang.Long.highestOneBit(math.max(1L, dIds * 16)) << 1)).toInt
+        def prune(side: String) = {
+          val bytes = c2
+            .agg(BloomFilters.bloomAgg(xxhash64(col(side)), numBits, 5).as("bf"))
+            .collect()(0).getAs[Array[Byte]](0)
+          gramArr.filter(BloomFilters.mightContain(lit(bytes), xxhash64(col("id"))))
+        }
+        (c2, prune("id_a"), prune("id_b"))
+      } else (c2, gramArr, gramArr)
+    } else (cand, gramArr, gramArr)
+    val (c, ga, gb) = pruned
+    c.join(ga.select(col("id").as("id_a"), col("harr").as("harr_a"),
+        col("sz").as("size_a")), Seq("id_a"))
+      .join(gb.select(col("id").as("id_b"), col("harr").as("harr_b"),
+        col("sz").as("size_b")), Seq("id_b"))
+      .withColumn("inter",
+        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
+  }
+
+  /** Docs-count gate below which the verify tail never even measures
+    * candidate selectivity: the corpus' gram index shuffles fine as-is and
+    * the extra count jobs would be pure overhead. Above it, selectivity
+    * decides (see [[verifiedIntersections]]). */
+  private val VerifyPruneMinDocs = 200000L
+
   /** Jaccard similarity over distinct word n-grams, blocked by `blockCol` (only
     * same-block pairs are compared — at scale the block is an LSH bucket or a
     * cheap partition key; a cross join is never formed).
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard) filtered to >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                        n: Int = 1, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 1, threshold: Double = 0.8,
+                        verifyPruneMinDocs: Long = VerifyPruneMinDocs): DataFrame = {
     // Grams are carried as sorted arrays of 8-byte xxhash64 values, never as
     // strings: shuffle rows stay narrow and set intersection compares longs.
     // A cross-doc hash collision would need two DIFFERENT grams of the same
@@ -354,16 +423,11 @@ object DedupSuite {
     val cand = l.join(r, Seq("block", "gh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // Verify candidates per-row: |A∩B| via array_intersect on the two sorted
-    // hash arrays — candidates are few (near-dups + prefix collisions), so the
-    // per-pair set intersection replaces a shuffle of every co-occurrence row.
-    cand
-      .join(gramArr.select(col("id").as("id_a"), col("harr").as("harr_a"),
-        col("sz").as("size_a")), Seq("id_a"))
-      .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
-        col("sz").as("size_b")), Seq("id_b"))
-      .withColumn("inter",
-        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
+    // Verify candidates per-row: |A∩B| via sorted-array intersection —
+    // candidates are few (near-dups + prefix collisions), so the per-pair set
+    // intersection replaces a shuffle of every co-occurrence row; above the
+    // docs gate the gram index is bloom-pruned to candidate ids first.
+    verifiedIntersections(cand, gramArr, verifyPruneMinDocs)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
@@ -385,7 +449,8 @@ object DedupSuite {
     * (id_a, id_b, inter, size_a, size_b, containment) with id_a < id_b. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, n: Int = 3,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8,
+                            verifyPruneMinDocs: Long = VerifyPruneMinDocs): DataFrame = {
     // gram index materialized once for the same four-subtree reason as
     // ngramJaccardPairs (measured 7.9 s → 1.2 s at sf0.1)
     val gramArr = df
@@ -412,13 +477,7 @@ object DedupSuite {
       .select(least(col("id_pref"), col("id_other")).as("id_a"),
         greatest(col("id_pref"), col("id_other")).as("id_b"))
       .distinct()
-    cand
-      .join(gramArr.select(col("id").as("id_a"), col("harr").as("harr_a"),
-        col("sz").as("size_a")), Seq("id_a"))
-      .join(gramArr.select(col("id").as("id_b"), col("harr").as("harr_b"),
-        col("sz").as("size_b")), Seq("id_b"))
-      .withColumn("inter",
-        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
+    verifiedIntersections(cand, gramArr, verifyPruneMinDocs)
       .withColumn("containment",
         col("inter").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("containment") >= threshold)

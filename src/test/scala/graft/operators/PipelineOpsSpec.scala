@@ -648,6 +648,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("bloom-pruned verify join equals plain verify join (q45/q84 scale path)") {
+    // same docs through both verify regimes: verifyPruneMinDocs=0 forces the
+    // bloom-pruned gram-index path that replaces the full-corpus array shuffle
+    // at scale; default gate keeps the plain two-join tail at this size.
+    // A bloom filter has no false negatives and the candidate join is exact,
+    // so the two must produce identical rows.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // filler docs keep candidate selectivity under the 25% engage bar so the
+    // bloom path actually runs (near-dup ids 1/2/4/5 out of 25 docs)
+    val filler = (10L to 29L).map(i =>
+      (i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}g", "b1"))
+    val docs = (Seq(
+      (1L, base, "b1"), (2L, base + " lambda", "b1"),
+      (3L, "totally unrelated words appear in this sentence now", "b1"),
+      (4L, base, "b2"), (5L, base + " mu nu", "b2")) ++ filler)
+      .toDF("doc_id", "text", "src")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    val plainJ = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.5).collect().map(key).toSet
+    val prunedJ = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.5, verifyPruneMinDocs = 0L).collect().map(key).toSet
+    assert(prunedJ == plainJ && plainJ.nonEmpty)
+    val plainC = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.8).collect().map(key).toSet
+    val prunedC = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.8, verifyPruneMinDocs = 0L).collect().map(key).toSet
+    assert(prunedC == plainC && plainC.nonEmpty)
+    // empty candidate set through the pruned path stays empty (no NPE on the
+    // empty bloom aggregate)
+    val distinctDocs = Seq((1L, "aa bb cc", "b1"), (2L, "dd ee ff", "b1"))
+      .toDF("doc_id", "text", "src")
+    assert(DedupSuite.ngramJaccardPairs(distinctDocs, "doc_id", "text", "src",
+      n = 1, threshold = 0.9, verifyPruneMinDocs = 0L).count() == 0L)
+  }
+
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101L to 103L).map(i => (i, "small"))).toDF("doc_id", "source")
