@@ -3,7 +3,7 @@ package graft.queries
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** SURVEY §2 operator inventory expressed over the shared test corpus
   * (`TESTDATA.md` TPC-H-ish parquet), each with a DuckDB oracle.
@@ -23,12 +23,32 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark rejects by
-    * default; read nanos as long and truncate to micros (DuckDB's native
-    * timestamp resolution, so both engines see identical instants). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+  /** The events table's `ts` surfaces differently per environment: older corpora
+    * carried parquet TIMESTAMP(NANOS), readable only as a long via the legacy
+    * `nanosAsLong` conf; the current corpus writes TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 resolves to TIMESTAMP_NTZ. Branch on
+    * the RESOLVED schema — not a conf we hope applies — so the same code yields
+    * a micro-precision TimestampType instant everywhere. Contract (shared with
+    * the DuckDB oracle's `epoch_ms(ts)`): the stored wall-clock IS the UTC
+    * instant, and the session timezone is UTC (the same contract q25's
+    * shipdate→timestamp cast already relies on), so the NTZ→timestamp cast is a
+    * pure reinterpretation. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val df =
+      try t(s, dir, "events")
+      catch { case _: Exception => // TIMESTAMP(NANOS) environments reject the scan
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(s, dir, "events")
+      }
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanosAsLong: nanos since epoch → truncate to micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"events.ts resolved to unsupported type $other")
+    }
   }
 
   /** Exact sum of a double column: decimal-accumulate, emit double.
