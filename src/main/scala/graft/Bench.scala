@@ -117,6 +117,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -144,50 +145,84 @@ object Bench {
     // variance policy uses for the whole-run calibration pair.
     def hot(p: Double): Boolean = p > 2.0 * probeBase
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT masquerade as a fast success (round-5 lesson:
+    // six analysis-broken queries "ran" in 0.07 s inside a green-looking
+    // artifact). runOnce surfaces the error; the caller records it in a
+    // `failures` field and excludes the query from `queries` and `total`.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // Count the EXECUTED plan's rows, not df.count(): a count() on top lets
       // the optimizer prune every computed column, so pure-projection queries
       // (fingerprints, scores) would be timed as bare scans. The root-level
       // orderBy (determinism-only, the comparator re-sorts) is stripped —
       // top-k sorts sit under Limit and are kept.
-      try {
+      val err = try {
         org.apache.spark.sql.graftbridge.ColumnBridge
           .dropRootSort(fn(spark, sfDir)).queryExecution.toRdd.count()
-      } catch { case _: Throwable => () }
+        None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       resetState(spark)
-      dt
+      (dt, err)
     }
 
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (-expectedCost.getOrElse(name, 0.45), name) }
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
-    val results = ordered.map { case (name, fn) =>
-      val t1 = runOnce(name, fn)
-      val p1 = microProbe(spark)
-      val dt =
-        if (!hot(p1)) t1
-        else if (rerunSpent + t1 <= rerunBudget) {
-          // machine was busy around this query: one re-run, keep the best —
-          // MIN is the right statistic for a fixed-work job under external noise
-          val t2 = runOnce(name, fn)
-          rerunSpent += t2
-          val p2 = microProbe(spark)
-          if (hot(p2)) flagged += name -> (math.max(p1, p2) / probeBase)
-          math.min(t1, t2)
-        } else { flagged += name -> (p1 / probeBase); t1 }
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs  probe=${p1 / probeBase}%.2fx")
-      name -> dt
+    val failures = scala.collection.mutable.TreeMap.empty[String, String]
+    val results = ordered.flatMap { case (name, fn) =>
+      val (t1, e1) = runOnce(name, fn)
+      e1 match {
+        case Some(err) =>
+          failures(name) = err
+          System.err.println(s"[bench] $name FAILED: $err")
+          None
+        case None =>
+          val p1 = microProbe(spark)
+          val dt =
+            if (!hot(p1)) t1
+            else if (rerunSpent + t1 <= rerunBudget) {
+              // machine was busy around this query: one re-run, keep the best —
+              // MIN is the right statistic for a fixed-work job under external noise
+              val (t2, e2) = runOnce(name, fn)
+              rerunSpent += t2
+              val p2 = microProbe(spark)
+              if (hot(p2)) flagged += name -> (math.max(p1, p2) / probeBase)
+              if (e2.isDefined) t1 else math.min(t1, t2) // flaky rerun: keep the clean time
+            } else { flagged += name -> (p1 / probeBase); t1 }
+          System.err.println(f"[bench] $name%-28s $dt%8.2fs  probe=${p1 / probeBase}%.2fx")
+          Some(name -> dt)
+      }
     }
     val calibPost = calibrate(spark)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val flaggedJson = flagged.result().sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val failuresJson = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
+    println(record)
+    // First-class artifact file: BENCH_r{4,5} both carried "parsed": null
+    // because the one JSON line had to be tail-scraped out of sbt stdout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/results/bench_last.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(f.toPath, record + "\n")
+      System.err.println(s"[bench] record written to $outPath" +
+        (if (failures.nonEmpty) s"  (${failures.size} FAILED: ${failures.keys.mkString(", ")})" else ""))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

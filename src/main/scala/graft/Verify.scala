@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure is LOUD by construction (round-5 lesson: six broken queries
+  * silently shrank the driver's correctness file): a failed query still
+  * creates its output dir containing an `_ERROR` marker (so a parquet read of
+  * it fails visibly instead of the name vanishing), and `errors.json` is
+  * ALWAYS written — `{}` on a clean run — so "no errors recorded" and
+  * "error reporting broken" are distinguishable artifacts. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -17,15 +24,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,10 +36,30 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val errors = scala.collection.mutable.TreeMap.empty[String, String]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        // Leave a tombstone where the parquet dir would be: downstream readers
+        // hit it and error instead of treating the query as never-registered.
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED quer${if (errors.size == 1) "y" else "ies"}: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
