@@ -61,6 +61,32 @@ object ScaleData {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Replica-expanded events: replica `r` shifts the time axis by
+    * `r * shift`, where `shift` is the corpus span rounded UP to a whole hour
+    * plus a 2-hour margin. Because every event-time bucketing the engine uses
+    * (10-minute top-k windows, 1-hour tumbling windows) is epoch-aligned and
+    * divides one hour, an hour-multiple shift preserves each event's position
+    * within its bucket EXACTLY — each replica is an isomorphic image of the
+    * base corpus on a disjoint time range (window count ×N, per-window
+    * density unchanged — the honest shape for "the stream ran N× longer").
+    * Session windows are gap-based, hence shift-invariant; the ≥2 h margin
+    * (any margin > the 30-min session gap) plus per-replica user/event id
+    * strides keep sessions and keys from bleeding across replicas. `value`,
+    * `event_type`, `props` are untouched, so value-binned aggregations (q22)
+    * see ×N rows into the same bins. */
+  def scaleEvents(spark: SparkSession, srcDir: String, n: Int) = {
+    val ev = graft.queries.RelationalQueries.events(spark, srcDir)
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val hourMicros = 3600L * 1000000L
+    val shift = ((mm.getLong(1) - mm.getLong(0)) / hourMicros + 3) * hourMicros
+    ev.withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("r") * shift))
+      .withColumn("event_id", col("event_id") + col("r") * IdStride)
+      .withColumn("user_id", col("user_id") + col("r") * IdStride)
+      .drop("r")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** Replica-expanded embeddings: shift-and-sign-flip isometry per replica. */
   def scaleEmbeddings(spark: SparkSession, srcDir: String, n: Int) = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
@@ -79,24 +105,32 @@ object ScaleData {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <replicas>")
-    val Array(srcDir, outDir, nStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcDir> <outDir> <replicas> [tables]  (tables: comma list of documents,embeddings,events; default all)")
+    val Array(srcDir, outDir, nStr) = args.take(3)
     val n = nStr.toInt
     require(n >= 1, s"replicas must be >= 1: $n")
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "embeddings", "events"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val parts = math.min(32, math.max(4, n / 2))
-    scaleDocuments(spark, srcDir, n).repartition(parts)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    scaleEmbeddings(spark, srcDir, n).repartition(parts)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"""{"out":"$outDir","replicas":$n,"documents":$nd,"embeddings":$ne}""")
+    val counts = Seq(
+      "documents" -> (() => scaleDocuments(spark, srcDir, n)),
+      "embeddings" -> (() => scaleEmbeddings(spark, srcDir, n)),
+      "events" -> (() => scaleEvents(spark, srcDir, n)))
+      .filter { case (name, _) => tables(name) }
+      .map { case (name, gen) =>
+        gen().repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        name -> spark.read.parquet(s"$outDir/$name.parquet").count()
+      }
+    val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"out":"$outDir","replicas":$n,$countsJson}""")
     spark.stop()
   }
 }

@@ -25,8 +25,13 @@ object ScalingBench {
 
   /** The data-bound set: every heavy composite named in the round-4 verdict
     * (q45–q47, q68, q69, q76, q84, q86, q87, q95, q107, q112 vs q106) plus the
-    * exact-dedup / embedding / tf-idf / line-dedup representatives. */
+    * exact-dedup / embedding / tf-idf / line-dedup representatives, and — since
+    * round 6 — the event-time family's two data-bound members (q22 coverage
+    * binning, the reference's one big-data agg; q116 windowed grouped top-k),
+    * over [[ScaleData.scaleEvents]] time-axis-replicated corpora. */
   val DefaultQueries: Seq[String] = Seq(
+    "q22_coverage_bins",
+    "q116_windowed_topk",
     "q44_dedup_exact",
     "q45_dedup_jaccard",
     "q46_dedup_minhash",

@@ -68,6 +68,73 @@ class ScaleDataSpec extends SparkSpec {
     assert(dupGroups.count() === 3)
   }
 
+  private lazy val eventsDir: String = {
+    val dir = tempDir().toString
+    import spark.implicits._
+    Seq(
+      (1L, "2024-03-01 10:01:30", 100L, "click", 12.5, "{}"),
+      (2L, "2024-03-01 10:07:45", 100L, "view", 3.0, "{}"),
+      (3L, "2024-03-01 10:12:10", 101L, "click", 44.0, "{}"),
+      (4L, "2024-03-01 11:55:00", 101L, "view", 7.25, "{}"),
+      (5L, "2024-03-01 13:20:05", 102L, "click", 99.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("scaleEvents: ×N rows, unique ids, replica 0 verbatim, gapped disjoint time ranges") {
+    val out = ScaleData.scaleEvents(spark, eventsDir, 3).cache()
+    assert(out.count() === 15)
+    assert(out.select("event_id").distinct().count() === 15)
+    assert(out.select("user_id").distinct().count() === 9) // 3 users × 3 replicas
+    val base = spark.read.parquet(s"$eventsDir/events.parquet")
+      .select("event_id", "ts", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1), r.getDouble(2)))).toMap
+    out.filter(col("event_id") < ScaleData.IdStride).collect().foreach { r =>
+      assert((r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"))
+        === base(r.getAs[Long]("event_id")))
+    }
+    // replica time ranges must be disjoint with a gap wider than the 30-min
+    // session-window gap, so sessions can never merge across replicas
+    val ranges = out.select(
+        (col("event_id") / ScaleData.IdStride).cast("int").as("r"),
+        unix_millis(col("ts")).as("ms"))
+      .groupBy("r").agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      .orderBy("r").collect()
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("lo") - a.getAs[Long]("hi") > 30L * 60 * 1000,
+        s"replica gap too small: $a -> $b")
+    }
+  }
+
+  test("scaleEvents: epoch-aligned 10-min window structure is an isomorphic image per replica") {
+    val out = ScaleData.scaleEvents(spark, eventsDir, 3)
+    // Per replica, the histogram over 10-min buckets RELATIVE to the replica's
+    // first bucket must equal the base corpus's histogram — this is exactly the
+    // "shift is a whole multiple of every window size" alignment claim.
+    def hist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val b = df.select((unix_millis(col("ts")) / 600000L).cast("long").as("bucket"))
+      val lo = b.agg(min("bucket")).head().getLong(0)
+      b.groupBy((col("bucket") - lo).as("rel")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val baseHist = hist(spark.read.parquet(s"$eventsDir/events.parquet"))
+    (0 until 3).foreach { r =>
+      val rep = out.filter(
+        col("event_id") >= r * ScaleData.IdStride &&
+        col("event_id") < (r + 1) * ScaleData.IdStride)
+      assert(hist(rep) === baseHist, s"replica $r window histogram diverged")
+    }
+    // value/type payloads untouched: per-replica value sums equal the base sum
+    val baseSum = spark.read.parquet(s"$eventsDir/events.parquet")
+      .agg(sum("value")).head().getDouble(0)
+    val perReplica = out.groupBy((col("event_id") / ScaleData.IdStride).cast("int").as("r"))
+      .agg(sum("value").as("s")).collect().map(_.getAs[Double]("s"))
+    assert(perReplica.length === 3 && perReplica.forall(_ === baseSum))
+  }
+
   test("scaleEmbeddings: ×N rows, unique ids, replica 0 verbatim") {
     val out = ScaleData.scaleEmbeddings(spark, srcDir, 4).cache()
     assert(out.count() === 12)
