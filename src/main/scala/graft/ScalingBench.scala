@@ -81,11 +81,25 @@ object ScalingBench {
     val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(DefaultQueries)
-    val spark = SparkSession.builder()
+    // At ×1000 on one box, 32 partitions carry 1000× the per-partition shuffle
+    // bytes of the ×1 leg — the residual super-linear tails are spill, not
+    // plan shape. This override is the experiment knob: scaling partitions
+    // with data (what a real cluster does by adding executors) should return
+    // the growth rate to ≤linear. Default stays = cpus, matching Bench.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Extra confs, ';'-separated k=v pairs (e.g. the AQE initialPartitionNum
+    // deployment shape: start shuffles wide, let AQE coalesce small stages).
+    val extraConfs = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.verifyExact", "true")
     // Warm codegen + the scaled documents/embeddings scan paths (untimed).

@@ -286,4 +286,67 @@ class StreamingSpec extends SparkSpec {
       assert(batchSet == got, s"batch twin diverged: $batchSet vs $got")
     } finally q.stop()
   }
+
+  test("streamingGroupTopK: checkpoint restart recovers state and never re-emits a closed window") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = input.toDF().toDF("ts", "etype", "uid", "v")
+    val ckpt = tempDir().toString
+    // The memory sink rejects checkpoint recovery, so the restart contract is
+    // asserted on the exactly-once FILE sink: it accumulates across both query
+    // incarnations, making a duplicate emission directly visible in the output.
+    val out = tempDir().toString
+    def start() =
+      EventPipeline.streamingGroupTopK(events, "etype", "uid", "v", "ts",
+        k = 2, windowLen = "10 minutes", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    def sink(): Set[(Long, String, Long, Int)] = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(4))).toSet
+    val wA = ts(1).getTime - (ts(1).getTime % 600000L)  // window [0,10)
+    val wB = ts(21).getTime - (ts(21).getTime % 600000L) // window [20,30)
+
+    // Phase 1: window A fully arrives and CLOSES (emits); window B gets a
+    // partial top-k candidate set and stays open in state.
+    val q1 = start()
+    try {
+      input.addData((ts(1), "g1", 11L, 5.0), (ts(2), "g1", 12L, 9.0),
+        (ts(21), "g1", 31L, 4.0), (ts(23), "g1", 32L, 6.0))
+      q1.processAllAvailable()
+      // watermark → ts(45)-30m = 15 min: closes A ([0,10)), leaves B ([20,30))
+      input.addData((ts(45), "adv", 99L, 0.0))
+      q1.processAllAvailable()
+      input.addData((ts(46), "adv", 98L, 0.0))
+      q1.processAllAvailable()
+      assert(sink() == Set((wA, "g1", 12L, 1), (wA, "g1", 11L, 2)),
+        s"phase 1 must emit exactly window A's top-k: ${sink()}")
+    } finally q1.stop()
+
+    // Phase 2: resume from the SAME checkpoint. Window B's pre-restart
+    // candidates must come back from recovered state (not re-read from the
+    // source), merge with post-restart arrivals, and emit exactly once;
+    // window A — already committed to the sink — must NOT re-emit.
+    val q2 = start()
+    try {
+      input.addData((ts(24), "g1", 33L, 8.0)) // beats pre-restart 31/32 for rank 1
+      q2.processAllAvailable()
+      // watermark → ts(100)-30m = 70 min: closes B (and the adv windows)
+      input.addData((ts(100), "adv", 97L, 0.0))
+      q2.processAllAvailable()
+      input.addData((ts(101), "adv", 96L, 0.0))
+      q2.processAllAvailable()
+      val got = sink()
+      assert(got.count(_._1 == wA) == 2 && got.filter(_._1 == wA) ==
+        Set((wA, "g1", 12L, 1), (wA, "g1", 11L, 2)),
+        s"closed window A must appear EXACTLY once across the restart: $got")
+      assert(got.filter(t => t._1 == wB && t._2 == "g1")
+        == Set((wB, "g1", 33L, 1), (wB, "g1", 32L, 2)),
+        s"window B top-k must merge recovered state with post-restart rows: $got")
+      // no (window, group, id) appears twice — the global exactly-once check
+      val all = spark.read.parquet(out).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      assert(all.length == all.distinct.length, s"duplicate emissions in sink: ${all.toSeq}")
+    } finally q2.stop()
+  }
 }
