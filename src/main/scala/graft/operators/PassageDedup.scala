@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   * suffix-array method for the ≥W granularity).
   *
   * Scale shape, stage by stage:
-  *   1. gram inventory: per-row `posexplode` of W-token windows hashed to a
-  *      16-byte md5 key — shuffle carries (gram_key, doc_id, start) only, never
-  *      document text;
-  *   2. duplicated grams: one hash aggregate on gram_key with map-side partial
-  *      counts; uniform digest keys → no skew;
+  *   1. gram inventory: tokens are pre-hashed to 64-bit ONCE per token (not
+  *      once per covering window — each token sits in up to W windows), then
+  *      every W-token window keys as a PAIR of xxhash64 values over the
+  *      hashed-token slice (two seeds → an effective 128-bit key: collision
+  *      probability ≈ n²/2^129, ~1e-15 at a trillion grams, vs the 64-bit
+  *      single-key ~3% there). The shuffle carries (gk1, gk2, doc_id, start) —
+  *      16-byte key vs the 32-hex-char md5 string it replaces, and no
+  *      per-window string concatenation on the scan side (the round-6 ×1000
+  *      stage profile put ~2,900 CPU-seconds in exactly that map work);
+  *   2. duplicated grams: one hash aggregate on the key pair with map-side
+  *      partial counts; uniform hashed keys → no skew;
   *   3. span collection: duplicated occurrences aggregate per doc as START
   *      offsets only (collect_set(start), W× smaller than exploding covered
   *      positions pre-shuffle); the start→[start, start+W) expansion happens
@@ -64,23 +70,28 @@ object PassageDedup {
       .withColumn("n", size(col("toks")))
 
     // 1. Gram inventory: 1-based start positions of every W-token window.
+    //    Tokens are hashed once each; window keys hash the W-long slice (staged
+    //    so the slice is computed once for both seeds).
     val grams = toks
       .filter(col("n") >= w)
+      .withColumn("hts", transform(col("toks"), t => xxhash64(t)))
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n") - (w - 1))).as("start"),
-        col("toks"))
+        col("hts"))
       .select(col("doc_id"), col("start"),
-        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(w)))).as("gram_key"))
+        slice(col("hts"), col("start"), lit(w)).as("gh"))
+      .select(col("doc_id"), col("start"),
+        xxhash64(col("gh")).as("gk1"), xxhash64(col("gh"), lit(1)).as("gk2"))
 
     // 2. Grams occurring more than once anywhere in the corpus.
-    val dup = grams.groupBy(col("gram_key"))
+    val dup = grams.groupBy(col("gk1"), col("gk2"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
-      .select(col("gram_key"))
+      .select(col("gk1"), col("gk2"))
 
     // 3. Duplicated-window starts per doc; expand to covered positions per-row
     //    AFTER the aggregate (shuffle carries starts, not W× positions).
-    val covered = grams.join(dup, Seq("gram_key"))
+    val covered = grams.join(dup, Seq("gk1", "gk2"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("start")).as("starts"))
       .select(col("doc_id"),
