@@ -13,14 +13,13 @@ object Bench {
     "q46_dedup_minhash" -> 1.49, "q55_heavy_bigrams" -> 1.34,
     "q40_text_tokens" -> 1.30, "q01_scan_project" -> 1.20,
     "q15_group_runs" -> 1.07, "q10_pass_semijoin" -> 0.85,
-    "q53_interval_overlap" -> 0.83, "q13_lookup_default" -> 0.72,
+    "q13_lookup_default" -> 0.72,
     "q20_matrix_pivot" -> 0.72, "q04_sex_ratio_gate" -> 0.67,
     "q23_dedup_first" -> 0.63, "q41_text_quality" -> 0.62,
     "q30_color_assign" -> 0.61, "q16_duplicate_samples" -> 0.59,
-    "q32_consistency" -> 0.58, "q33_event_windows" -> 0.56,
-    "q22_coverage_bins" -> 0.56, "q50_embedding_neardup" -> 0.55,
+    "q32_consistency" -> 0.58, "q50_embedding_neardup" -> 0.55,
     "q07_zero_string_filter" -> 0.55, "q25_position_sort" -> 0.52,
-    "q52_embedding_neardup_lsh" -> 0.52, "q54_asof_join" -> 0.52,
+    "q52_embedding_neardup_lsh" -> 0.52,
     "q11_matrix_merge" -> 0.50, "q31_project_classify" -> 0.44,
     "q12_bed_tpm_broadcast" -> 0.43, "q21_frag_stats" -> 0.40,
     "q18_runs_histogram" -> 0.40, "q48_sim_bruteforce" -> 0.39,
@@ -41,7 +40,7 @@ object Bench {
     "q39_stage_protocol" -> 0.39, "q60_image_decode" -> 0.36,
     "q36_rsem_scan" -> 0.26, "q61_audio_decode" -> 0.26,
     "q57_orchestrator_outcomes" -> 0.20, "q59_input_validation" -> 0.18,
-    "q66_session_windows" -> 0.90, "q64_text_bpe_tokens" -> 0.60,
+    "q64_text_bpe_tokens" -> 0.60,
     "q65_sim_ivf_fullprobe" -> 0.50,
     "q68_dedup_clusters" -> 2.00, "q69_curation" -> 3.30,
     "q67_profile_orders" -> 2.90, "q70_video_frames" -> 0.40,
@@ -56,7 +55,7 @@ object Bench {
     "q84_dedup_containment" -> 1.60, "q85_sqrt_cap_sample" -> 0.35,
     "q86_curated_decontaminated" -> 3.20,
     // late-round-4 additions (r4_sf0.1_run{13..18} medians)
-    "q87_passage_dedup" -> 2.46, "q88_langid_multi" -> 0.47,
+    "q88_langid_multi" -> 0.47,
     "q89_kmv_distinct" -> 0.52, "q90_inverted_index" -> 0.45,
     "q91_linear_classifier" -> 0.42, "q92_line_dedup" -> 0.99,
     "q93_line_dedup_intradoc" -> 0.33, "q94_bm25_topk" -> 0.52,
@@ -71,7 +70,14 @@ object Bench {
     "q111_exact_k_sample" -> 0.25, "q112_group_topk_plan" -> 0.55,
     // round-5 additions (r5_sf0.1_run1 measurements)
     "q113_bpe_train" -> 1.83, "q114_salted_join" -> 0.32,
-    "q115_capped_buckets" -> 0.22, "q116_windowed_topk" -> 0.50)
+    "q115_capped_buckets" -> 0.22,
+    // round-6 refresh (r6_sf0.1_run{1,2,3} medians): the restored event-time
+    // family measured for the first time at sf0.1, and q87 after the
+    // xxhash64-pair gram-key change
+    "q116_windowed_topk" -> 0.58, "q22_coverage_bins" -> 0.34,
+    "q33_event_windows" -> 0.42, "q53_interval_overlap" -> 0.59,
+    "q54_asof_join" -> 0.42, "q66_session_windows" -> 0.75,
+    "q87_passage_dedup" -> 1.53)
 
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
