@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   *   1. gram inventory: tokens are pre-hashed to 64-bit ONCE per token (not
   *      once per covering window — each token sits in up to W windows), then
   *      every W-token window keys as a PAIR of xxhash64 values over the
-  *      hashed-token slice (two seeds → an effective 128-bit key: collision
-  *      probability ≈ n²/2^129, ~1e-15 at a trillion grams, vs the 64-bit
-  *      single-key ~3% there). The shuffle carries (gk1, gk2, doc_id, start) —
+  *      hashed-token slice. The second key PREPENDS a literal before the slice
+  *      (`xxhash64(1L, gh)`), which re-seeds the 64-bit chained state BEFORE
+  *      any gram data — two members of the hash family with independent
+  *      collisions, an effective 128-bit key (pair-collision ≈ n²/2^129,
+  *      ~1e-15 at a trillion grams, vs ~27k expected collisions for any
+  *      64-bit single key there). Appending the literal instead
+  *      (`xxhash64(gh, 1L)`) would NOT work: XxHash64 chains 64 bits of state
+  *      across arguments, so a trailing-salt "second" key is a pure function
+  *      of the first and adds zero entropy.
+  *      The shuffle carries (gk1, gk2, doc_id, start) —
   *      16-byte key vs the 32-hex-char md5 string it replaces, and no
   *      per-window string concatenation on the scan side (the round-6 ×1000
   *      stage profile put ~2,900 CPU-seconds in exactly that map work);
@@ -81,7 +88,7 @@ object PassageDedup {
       .select(col("doc_id"), col("start"),
         slice(col("hts"), col("start"), lit(w)).as("gh"))
       .select(col("doc_id"), col("start"),
-        xxhash64(col("gh")).as("gk1"), xxhash64(col("gh"), lit(1)).as("gk2"))
+        xxhash64(col("gh")).as("gk1"), xxhash64(lit(1L), col("gh")).as("gk2"))
 
     // 2. Grams occurring more than once anywhere in the corpus.
     val dup = grams.groupBy(col("gk1"), col("gk2"))
