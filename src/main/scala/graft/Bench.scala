@@ -79,14 +79,32 @@ object Bench {
     "q54_asof_join" -> 0.42, "q66_session_windows" -> 0.75,
     "q87_passage_dedup" -> 1.53)
 
+  /** Recorded idle-machine reference constants for the two fixed-work probes,
+    * pinned from the clean controlled series (bench/results/r6_sf0.1_run{1,2,3}:
+    * calibration_pre 0.64/0.69/0.77 s, probe_base 0.13-0.17 s). The per-query
+    * `hot()` detector compares each micro-probe to a baseline measured IN THE
+    * SAME RUN, so uniform machine-wide contention inflates the baseline and the
+    * detector self-normalizes to blindness — BENCH_r06 was a 2.6×-inflated run
+    * with `contended_queries: {}`. These absolute constants close that class:
+    * the artifact itself declares `contended_run` whenever its own probes run
+    * >2× the recorded idle values, no folklore needed to read it. */
+  private val idleCalibrationRefSec = 0.8
+  private val idleProbeRefSec = 0.15
+
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
     * proportionally — so the artifact carries its own machine-health evidence
     * (judge order, round-2 item 5). */
   private def calibrate(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    spark.range(1L << 24).selectExpr("count(distinct id % 9973)").collect()
-    (System.nanoTime() - t0) / 1e9
+    // Min of two executions: the first run of this exact plan shape pays
+    // Janino codegen + JIT (measured 1.09 s cold vs 0.55 s steady on the idle
+    // box — enough to trip the 2× contention threshold by itself). Min is the
+    // right statistic for fixed work; external load inflates BOTH executions.
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 24).selectExpr("count(distinct id % 9973)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   /** Reclaim per-query state so every measurement starts from an equal JVM.
@@ -141,8 +159,11 @@ object Bench {
       }
     }
     val calibPre = calibrate(spark)
-    // Idle micro-probe baseline: median of 5 (first is its own codegen warmup).
+    // Idle micro-probe baseline: 5 untimed warmups (probe steady-state on the
+    // idle box is ~0.15 s but the first ~5 executions run 0.2-0.4 s of JIT),
+    // then the median of 5 timed runs.
     val probeBase = {
+      (1 to 5).foreach(_ => microProbe(spark))
       val ps = (1 to 5).map(_ => microProbe(spark)).sorted
       ps(ps.size / 2)
     }
@@ -174,7 +195,12 @@ object Bench {
       (dt, err)
     }
 
+    // Optional comma-separated allowlist for targeted experiment runs (the
+    // driver never sets it, so driver artifacts always cover the full suite).
+    val onlyQueries = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => onlyQueries.forall(_.contains(name)) }
       .sortBy { case (name, _) => (-expectedCost.getOrElse(name, 0.45), name) }
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
@@ -215,7 +241,18 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val failuresJson = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
+    // Whole-run contention verdict against the PINNED idle constants (not the
+    // self-measured baseline): >2× on either fixed-work probe means the machine
+    // was loaded for this run and every per-query number is suspect. The
+    // inflation estimate is the worst probe ratio — a consumer can divide it
+    // out for a rough correction, but the real instruction is "re-run clean".
+    val inflationEstimate = math.max(
+      math.max(calibPre, calibPost) / idleCalibrationRefSec,
+      probeBase / idleProbeRefSec)
+    val contendedRun = inflationEstimate > 2.0
+    if (contendedRun)
+      System.err.println(f"[bench] WARNING: contended run — probes ran $inflationEstimate%.1fx the recorded idle constants; per-query times are inflated")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
     println(record)
     // First-class artifact file: BENCH_r{4,5} both carried "parsed": null
     // because the one JSON line had to be tail-scraped out of sbt stdout.
