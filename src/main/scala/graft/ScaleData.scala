@@ -61,6 +61,84 @@ object ScaleData {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** SPARSE variant of [[scaleDocuments]] — the near-dup-RARE corpus shape
+    * (real web crawls after upstream URL/exact dedup: most docs have no
+    * near-dup partner). The dense corpus's candidate pairs cover ~100% of
+    * docs, so the selectivity-gated verify prune in
+    * [[graft.operators.DedupSuite]] correctly stays OFF there and its win
+    * case was never measurable; this variant produces the regime it was
+    * built for.
+    *
+    * Construction: every token is suffixed with a tag. Docs with
+    * `doc_id % keepEvery == 0` ("kept", 1/keepEvery of the corpus) get the
+    * per-REPLICA tag of the dense mode, so their mutual within-replica
+    * token/gram structure — including the base corpus's planted near-dup
+    * pairs whose id deltas are ≡ 0 (mod 20), measured: 98 of sf0.01's 1506
+    * Jaccard pairs survive a keepEvery=20 selection — is preserved verbatim.
+    * Every other doc gets a per-(doc, replica) UNIQUE tag (namespaced with
+    * 'u', disjoint from the replica tags by construction), so it shares no
+    * token, hence no gram and no candidate pair, with any other doc.
+    * Candidate-doc coverage is therefore ≈ 1/keepEvery (5% at the default)
+    * — well under the 25% gate — while row count, token counts, and
+    * per-doc gram work match the dense corpus exactly. Replica 0 is
+    * sparsified too (unlike the dense mode's verbatim copy): a verbatim
+    * replica would be a dense sub-corpus and defeat the shape. */
+  def scaleDocumentsSparse(spark: SparkSession, srcDir: String, n: Int,
+                           keepEvery: Int = 20) = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val tagged = docs.withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+    val kept = pmod(col("doc_id"), lit(keepEvery.toLong)) === 0
+    val tag = when(kept, alpha26(col("r")))
+      .otherwise(concat(lit("u"), alpha26(col("doc_id") * n + col("r"))))
+    tagged
+      .withColumn("text", array_join(
+        transform(split(col("text"), "\\s+"), t => concat(t, lit("~"), tag)), " "))
+      .withColumn("doc_id", col("doc_id") + col("r") * IdStride)
+      .withColumn("n_chars", length(col("text")))
+      .drop("r")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** ZIPF-SKEWED variant of [[scaleDocuments]] — the hot-host/hot-domain
+    * corpus shape (one crawler-friendly host contributing a large share of a
+    * web corpus). Text mutation is identical to the dense mode; skew is
+    * injected into the two key spaces the skew levers operate on:
+    *
+    *   - `source`: a hash-chosen 1/hotMod of (doc, replica)s (20% at the
+    *     default) is reassigned to the single hot source `"srchot"` — any
+    *     operator keying or blocking on `source` sees one key holding 20% of
+    *     the corpus.
+    *   - `doc_id` residues: ids are renumbered `id*20` for hot docs (residue
+    *     0 mod 20) and `id*20 + 1 + (id % 19)` for the rest (residues 1–19),
+    *     keeping ids globally unique (the two branches are disjoint mod 20)
+    *     while concentrating every doc_id-modulus-derived key the synthetic
+    *     URL queries use (q98's canonical URL class is `(id%5, id%20)`) onto
+    *     one hot class holding the same 20% of docs.
+    *
+    * Everything else (lang, token structure, per-replica isolation) matches
+    * the dense mode, so a Zipf-leg measurement differs from the dense leg
+    * only by key distribution — the variable under test. */
+  def scaleDocumentsZipf(spark: SparkSession, srcDir: String, n: Int,
+                         hotMod: Int = 5) = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val tagged = docs.withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+    val mutated = array_join(
+      transform(split(col("text"), "\\s+"),
+        t => concat(t, lit("~"), alpha26(col("r")))), " ")
+    val strided = col("doc_id") + col("r") * IdStride
+    val hot = pmod(xxhash64(col("doc_id"), col("r")), lit(hotMod.toLong)) === 0
+    tagged
+      .withColumn("text",
+        when(col("r") === 0, col("text")).otherwise(mutated))
+      .withColumn("source", when(hot, lit("srchot")).otherwise(col("source")))
+      .withColumn("doc_id",
+        when(hot, strided * 20L)
+          .otherwise(strided * 20L + 1L + pmod(strided, lit(19L))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("r")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Replica-expanded events: replica `r` shifts the time axis by
     * `r * shift`, where `shift` is the corpus span rounded UP to a whole hour
     * plus a 2-hour margin. Because every event-time bucketing the engine uses
@@ -87,6 +165,26 @@ object ScaleData {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** DENSE variant of [[scaleEvents]] — "the stream ran N× DENSER", not "N×
+    * longer": replicas keep the base corpus's time axis verbatim (same 30-day
+    * range, same windows) and stride only the id spaces, so every
+    * (window, group) bucket holds N× the rows of the base corpus. This is the
+    * claimed-collapse regime for the bounded-heap grouped top-k (q116): with
+    * per-window-group density ≫ k, partial heaps cap the shuffle at
+    * k rows per (window, group) per map partition regardless of input size —
+    * the time-shifted mode can never exhibit that (its per-bucket density is
+    * constant and its window count grows instead). User ids are strided so
+    * session structure (q66) stays per-replica rather than artificially
+    * merging. */
+  def scaleEventsDense(spark: SparkSession, srcDir: String, n: Int) = {
+    graft.queries.RelationalQueries.events(spark, srcDir)
+      .withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("event_id", col("event_id") + col("r") * IdStride)
+      .withColumn("user_id", col("user_id") + col("r") * IdStride)
+      .drop("r")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** Replica-expanded embeddings: shift-and-sign-flip isometry per replica. */
   def scaleEmbeddings(spark: SparkSession, srcDir: String, n: Int) = {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
@@ -106,7 +204,9 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ScaleData <srcDir> <outDir> <replicas> [tables]  (tables: comma list of documents,embeddings,events; default all)")
+      "usage: ScaleData <srcDir> <outDir> <replicas> [tables]  (tables: comma list of " +
+        "documents,embeddings,events,documents_sparse,documents_zipf,events_dense; default " +
+        "the three dense tables; variants write the same <outDir>/<base>.parquet name)")
     val Array(srcDir, outDir, nStr) = args.take(3)
     val n = nStr.toInt
     require(n >= 1, s"replicas must be >= 1: $n")
@@ -120,14 +220,20 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val parts = math.min(32, math.max(4, n / 2))
+    // (selector, output table file, generator) — variants overwrite the base
+    // table name so downstream queries read the corpus unchanged; a corpus dir
+    // holds ONE shape per table (don't mix dense and sparse documents in one dir).
     val counts = Seq(
-      "documents" -> (() => scaleDocuments(spark, srcDir, n)),
-      "embeddings" -> (() => scaleEmbeddings(spark, srcDir, n)),
-      "events" -> (() => scaleEvents(spark, srcDir, n)))
-      .filter { case (name, _) => tables(name) }
-      .map { case (name, gen) =>
-        gen().repartition(parts).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-        name -> spark.read.parquet(s"$outDir/$name.parquet").count()
+      ("documents", "documents", () => scaleDocuments(spark, srcDir, n)),
+      ("documents_sparse", "documents", () => scaleDocumentsSparse(spark, srcDir, n)),
+      ("documents_zipf", "documents", () => scaleDocumentsZipf(spark, srcDir, n)),
+      ("embeddings", "embeddings", () => scaleEmbeddings(spark, srcDir, n)),
+      ("events", "events", () => scaleEvents(spark, srcDir, n)),
+      ("events_dense", "events", () => scaleEventsDense(spark, srcDir, n)))
+      .filter { case (sel, _, _) => tables(sel) }
+      .map { case (sel, file, gen) =>
+        gen().repartition(parts).write.mode("overwrite").parquet(s"$outDir/$file.parquet")
+        sel -> spark.read.parquet(s"$outDir/$file.parquet").count()
       }
     val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"out":"$outDir","replicas":$n,$countsJson}""")

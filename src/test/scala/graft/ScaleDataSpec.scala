@@ -135,6 +135,88 @@ class ScaleDataSpec extends SparkSpec {
     assert(perReplica.length === 3 && perReplica.forall(_ === baseSum))
   }
 
+  private lazy val sparseSrcDir: String = {
+    // ids chosen so the kept set (doc_id % 20 == 0) contains a planted exact
+    // dup pair (20, 40) — mirroring the real corpus, whose near-dup id deltas
+    // are ≡ 0 (mod 20)
+    val dir = tempDir().toString
+    import spark.implicits._
+    Seq(
+      (20L, "the quick brown fox jumps high", "en", "web"),
+      (40L, "the quick brown fox jumps high", "en", "web"),
+      (21L, "pack my box with five dozen jugs", "en", "web"),
+      (22L, "sphinx of black quartz judge my vow", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("scaleDocumentsSparse: kept docs preserve within-replica dup structure; all others are token-isolated") {
+    val n = 3
+    val out = ScaleData.scaleDocumentsSparse(spark, sparseSrcDir, n).cache()
+    assert(out.count() === 4 * n)
+    assert(out.select("doc_id").distinct().count() === 4 * n)
+    val toks = out.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+    // Non-kept docs (21, 22 in every replica) share no token with ANY other
+    // doc — each of their tokens appears in exactly one doc.
+    val nonKeptShared = toks.withColumn("base", pmod(col("doc_id"), lit(ScaleData.IdStride)))
+      .withColumn("is_kept", pmod(col("base"), lit(20)) === 0)
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("nd"), max(col("is_kept")).as("any_kept"))
+      .filter(!col("any_kept") && col("nd") > 1)
+    assert(nonKeptShared.count() === 0, "a non-kept doc shares a token")
+    // Kept docs: the planted dup pair (20, 40) survives in every replica —
+    // exactly n groups of 2 identical texts.
+    assert(out.groupBy(col("text")).count().filter(col("count") === 2).count() === n)
+    // and kept docs never share tokens ACROSS replicas (pairs scale ×N not ×N²)
+    val crossReplica = toks
+      .withColumn("r", (col("doc_id") / ScaleData.IdStride).cast("int"))
+      .groupBy("tok").agg(countDistinct(col("r")).as("nr")).filter(col("nr") > 1)
+    assert(crossReplica.count() === 0)
+    // candidate-doc coverage on this fixture = the kept half; on the real
+    // corpus keepEvery=20 puts it at ~5%, under the 25% verify-prune gate
+    val keptDocs = out.filter(pmod(pmod(col("doc_id"), lit(ScaleData.IdStride)), lit(20)) === 0)
+    assert(keptDocs.count() === 2 * n)
+  }
+
+  test("scaleDocumentsZipf: one hot source holds ~1/hotMod of docs; id residues skewed the same way; ids unique") {
+    val n = 250 // 4 docs × 250 replicas = 1000 (doc, replica) draws
+    val out = ScaleData.scaleDocumentsZipf(spark, srcDir, n).cache()
+    assert(out.count() === 4 * n)
+    assert(out.select("doc_id").distinct().count() === 4 * n)
+    val hotN = out.filter(col("source") === "srchot").count()
+    // hash-chosen at 1/5: loose band, deterministic draw
+    assert(hotN > (4 * n) * 0.12 && hotN < (4 * n) * 0.28, s"hot share off: $hotN")
+    // the hot source and the hot id-residue class are the SAME docs
+    assert(out.filter(col("source") === "srchot" &&
+      pmod(col("doc_id"), lit(20)) =!= 0).count() === 0)
+    assert(out.filter(col("source") =!= "srchot" &&
+      pmod(col("doc_id"), lit(20)) === 0).count() === 0)
+    // cold residues stay in 1..19
+    val residues = out.filter(col("source") =!= "srchot")
+      .select(pmod(col("doc_id"), lit(20)).as("m"))
+      .agg(min("m"), max("m")).head()
+    assert(residues.getLong(0) >= 1 && residues.getLong(1) <= 19)
+  }
+
+  test("scaleEventsDense: same time axis, per-bucket density ×N, ids unique") {
+    val n = 3
+    val out = ScaleData.scaleEventsDense(spark, eventsDir, n).cache()
+    val base = spark.read.parquet(s"$eventsDir/events.parquet")
+    assert(out.count() === base.count() * n)
+    assert(out.select("event_id").distinct().count() === base.count() * n)
+    assert(out.select("user_id").distinct().count() === 3 * n)
+    // time range IDENTICAL to the base (no shift): every window bucket holds
+    // exactly N× the base rows
+    val baseHist = base.select((unix_millis(col("ts")) / 600000L).cast("long").as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val outHist = out.select((unix_millis(col("ts")) / 600000L).cast("long").as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outHist === baseHist.map { case (k, v) => k -> v * n })
+  }
+
   test("scaleEmbeddings: ×N rows, unique ids, replica 0 verbatim") {
     val out = ScaleData.scaleEmbeddings(spark, srcDir, 4).cache()
     assert(out.count() === 12)
