@@ -1,0 +1,181 @@
+package graft.expressions
+
+import graft.functions.TextFunctions
+import graft.operators.DedupSuite
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** SQL surface for the operator library: every scalar/aggregate capability the
+  * Column API exposes, registered as a `graft_`-prefixed SQL function, so
+  * q40–q116-class pipelines are writable in pure `spark.sql(...)` with no
+  * Scala imports.
+  *
+  * Two kinds of entries, one registry:
+  *   - native Catalyst expressions ([[VecDot]], [[SortedIntersectSize]],
+  *     [[BloomMightContain]], the sketch aggregates) — constructed directly;
+  *   - Column-composition functions ([[TextFunctions]], [[DedupSuite]]
+  *     signatures) — the SAME builders the Scala API uses, bridged
+  *     Expression⇄Column per call, so SQL and Column results are one code
+  *     path, not a reimplementation. Compositions containing higher-order
+  *     functions resolve normally: the analyzer keeps iterating its
+  *     resolution batch after the function builder returns, binding the
+  *     lambda variables the composition introduced.
+  *
+  * Install via config (`spark.sql.extensions=graft.expressions.GraftExtensions`,
+  * see [[GraftExtensions]]) or at runtime with [[registerAll]].
+  *
+  * Sketch/blocking parameters (k, depth, bands, n, …) must be integer
+  * literals — they shape the aggregation buffer or the generated expression
+  * tree, so a per-row column value cannot supply them.
+  */
+object SqlFunctions {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  // eager: a lazy ColumnNodeExpression from a function builder survives to
+  // codegen unresolved (see ColumnBridge.eagerExpression scaladoc)
+  private def x(col: Column): Expression = ColumnBridge.eagerExpression(col)
+
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v, IntegerType) => v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def doubleLit(fn: String, arg: String, e: Expression): Double = e match {
+    case Literal(v, DoubleType) => v.asInstanceOf[Double]
+    case Literal(v, IntegerType) => v.asInstanceOf[Int].toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a DOUBLE literal, got $other")
+  }
+
+  private def arity(fn: String, n: Int, exprs: Seq[Expression]): Unit =
+    require(exprs.length == n, s"$fn expects $n arguments, got ${exprs.length}")
+
+  /** (name, implementing class for EXPLAIN/DESCRIBE, builder). */
+  val registry: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    // ── native expressions ───────────────────────────────────────────────────
+    ("vec_dot", classOf[VecDot], { exprs: Seq[Expression] =>
+      arity("vec_dot", 2, exprs); VecDot(exprs(0), exprs(1)) }),
+    ("sorted_intersect_size", classOf[SortedIntersectSize], { exprs: Seq[Expression] =>
+      arity("sorted_intersect_size", 2, exprs)
+      SortedIntersectSize(exprs(0), exprs(1)) }),
+    ("bloom_might_contain", classOf[BloomMightContain], { exprs: Seq[Expression] =>
+      arity("bloom_might_contain", 2, exprs)
+      BloomMightContain(exprs(0), exprs(1)) }),
+    // ── sketch aggregates (buffer shape from literal params) ─────────────────
+    ("misra_gries", classOf[MisraGries], { exprs: Seq[Expression] =>
+      arity("misra_gries", 2, exprs)
+      MisraGries(exprs(0), intLit("misra_gries", "k", exprs(1)))
+        .toAggregateExpression() }),
+    ("graft_kmv_sketch", classOf[KmvSketch], { exprs: Seq[Expression] =>
+      arity("graft_kmv_sketch", 2, exprs)
+      KmvSketch(exprs(0), intLit("graft_kmv_sketch", "k", exprs(1)))
+        .toAggregateExpression() }),
+    ("graft_count_min", classOf[CountMinSketch], { exprs: Seq[Expression] =>
+      arity("graft_count_min", 3, exprs)
+      CountMinSketch(exprs(0), intLit("graft_count_min", "depth", exprs(1)),
+        intLit("graft_count_min", "width", exprs(2))).toAggregateExpression() }),
+    ("graft_bloom_agg", classOf[BloomFilterAgg], { exprs: Seq[Expression] =>
+      arity("graft_bloom_agg", 3, exprs)
+      BloomFilterAgg(exprs(0), intLit("graft_bloom_agg", "numBits", exprs(1)),
+        intLit("graft_bloom_agg", "numHashes", exprs(2))).toAggregateExpression() }),
+    // ── text analysis ────────────────────────────────────────────────────────
+    ("graft_tokens", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_tokens", 1, exprs); x(TextFunctions.tokens(c(exprs(0)))) }),
+    ("graft_token_count", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_token_count", 1, exprs); x(TextFunctions.tokenCount(c(exprs(0)))) }),
+    ("graft_bpe_tokens", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_bpe_tokens", 1, exprs); x(TextFunctions.bpeTokens(c(exprs(0)))) }),
+    ("graft_bpe_token_count", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_bpe_token_count", 1, exprs)
+      x(TextFunctions.bpeTokenCount(c(exprs(0)))) }),
+    ("graft_quality_score", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_quality_score", 1, exprs)
+      x(TextFunctions.qualityScore(c(exprs(0)))) }),
+    ("graft_lang_id_en", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      require(exprs.length == 1 || exprs.length == 2,
+        s"graft_lang_id_en(text[, threshold]): got ${exprs.length} arguments")
+      val th = if (exprs.length == 2)
+        doubleLit("graft_lang_id_en", "threshold", exprs(1)) else 0.05
+      x(TextFunctions.langIdEn(c(exprs(0)), th)) }),
+    ("graft_lang_id", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_lang_id", 1, exprs)
+      x(TextFunctions.langIdMulti(TextFunctions.tokens(c(exprs(0))))) }),
+    ("graft_hashed_feature_score", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_hashed_feature_score", 1, exprs)
+      x(TextFunctions.hashedFeatureScore(TextFunctions.tokens(c(exprs(0))))) }),
+    ("graft_distinct_token_fraction", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_distinct_token_fraction", 1, exprs)
+      x(TextFunctions.distinctTokenFraction(TextFunctions.tokens(c(exprs(0))))) }),
+    ("graft_fingerprint_md5", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_fingerprint_md5", 1, exprs)
+      x(TextFunctions.fingerprintMd5(c(exprs(0)))) }),
+    ("graft_rolling_token_hash", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_rolling_token_hash", 1, exprs)
+      x(TextFunctions.rollingTokenHash(c(exprs(0)))) }),
+    ("graft_redact_pii", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_redact_pii", 1, exprs); x(TextFunctions.redactPii(c(exprs(0)))) }),
+    ("graft_max_run_length", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_max_run_length", 1, exprs)
+      x(TextFunctions.maxRunLength(c(exprs(0)))) }),
+    // ── URL handling ─────────────────────────────────────────────────────────
+    ("graft_url_host", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_url_host", 1, exprs); x(TextFunctions.urlHost(c(exprs(0)))) }),
+    ("graft_registrable_domain", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_registrable_domain", 1, exprs)
+      x(TextFunctions.registrableDomain(c(exprs(0)))) }),
+    ("graft_canonical_url", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_canonical_url", 1, exprs)
+      x(TextFunctions.canonicalUrl(c(exprs(0)))) }),
+    // ── dedup / blocking signatures ──────────────────────────────────────────
+    ("graft_word_shingles", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_word_shingles", 2, exprs)
+      x(TextFunctions.wordShingles(c(exprs(0)),
+        intLit("graft_word_shingles", "n", exprs(1)))) }),
+    ("graft_char_shingles", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_char_shingles", 2, exprs)
+      x(TextFunctions.charShingles(c(exprs(0)),
+        intLit("graft_char_shingles", "n", exprs(1)))) }),
+    ("graft_minhash", DedupSuite.getClass, { exprs: Seq[Expression] =>
+      arity("graft_minhash", 3, exprs)
+      x(DedupSuite.minHashSignature(
+        TextFunctions.wordShingles(c(exprs(0)), intLit("graft_minhash", "n", exprs(1))),
+        intLit("graft_minhash", "numHashes", exprs(2)))) }),
+    ("graft_lsh_bands", DedupSuite.getClass, { exprs: Seq[Expression] =>
+      arity("graft_lsh_bands", 3, exprs)
+      x(DedupSuite.lshBands(c(exprs(0)),
+        intLit("graft_lsh_bands", "numHashes", exprs(1)),
+        intLit("graft_lsh_bands", "bands", exprs(2)))) }),
+    ("graft_simhash", DedupSuite.getClass, { exprs: Seq[Expression] =>
+      require(exprs.length == 1 || exprs.length == 2,
+        s"graft_simhash(text[, bits]): got ${exprs.length} arguments")
+      val bits = if (exprs.length == 2)
+        intLit("graft_simhash", "bits", exprs(1)) else 16
+      x(DedupSuite.simHash(c(exprs(0)), bits)) }),
+    // ── sharding / splits ────────────────────────────────────────────────────
+    ("graft_hash_bucket", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_hash_bucket", 2, exprs)
+      x(TextFunctions.hashBucket(c(exprs(0)),
+        intLit("graft_hash_bucket", "buckets", exprs(1)))) }),
+    ("graft_split_assign", TextFunctions.getClass, { exprs: Seq[Expression] =>
+      arity("graft_split_assign", 4, exprs)
+      x(TextFunctions.splitAssign(c(exprs(0)),
+        intLit("graft_split_assign", "buckets", exprs(1)),
+        intLit("graft_split_assign", "trainUpTo", exprs(2)),
+        intLit("graft_split_assign", "valUpTo", exprs(3)))) }),
+    // ── vectors ──────────────────────────────────────────────────────────────
+    ("graft_cosine", classOf[VecDot], { exprs: Seq[Expression] =>
+      arity("graft_cosine", 2, exprs)
+      x(NativeVec.cosine(c(exprs(0)), c(exprs(1)))) }))
+
+  /** Runtime registration on an existing session (the `spark.sql.extensions`
+    * path only applies at session creation). Idempotent: re-registering a
+    * name replaces the identical builder. */
+  def registerAll(spark: SparkSession): Unit =
+    registry.foreach { case (name, cls, builder) =>
+      ColumnBridge.registerFunction(spark, name,
+        new ExpressionInfo(cls.getName, name), builder)
+    }
+}

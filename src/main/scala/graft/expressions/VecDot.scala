@@ -110,32 +110,19 @@ object NativeVec {
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` registers the
-  * custom expressions (`vec_dot`, `misra_gries`) for SQL users AND the
+  * whole [[SqlFunctions]] surface (native expressions, sketch aggregates, and
+  * the `graft_`-prefixed text/dedup/URL compositions) for SQL users AND the
   * [[graft.plans.GroupTopKStrategy]] planner strategy, so on a cluster the
   * whole library is installed by config — no code-side session mutation
   * (the Column/operator APIs still self-register when called directly). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("misra_gries"),
-      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
-            v.asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"misra_gries(col, k): k must be an integer literal, got $other")
-        }
-        MisraGries(exprs.head, k).toAggregateExpression()
-      }))
+    SqlFunctions.registry.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
   }
 }

@@ -349,7 +349,13 @@ object DedupSuite {
       val docsN = gramArr.count()
       val dIds = c2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct().count()
-      if (dIds * 4 < docsN) {
+      val engaged = dIds * 4 < docsN
+      // The regime choice is driver-side state that never appears in a plan or
+      // result; record it so scale-leg logs carry the decision as evidence.
+      System.err.println(s"[graft.dedup] verify-prune gate: docs=$docsN " +
+        s"candidateDocs=$dIds coverage=${"%.4f".format(dIds.toDouble / docsN)} " +
+        s"engaged=$engaged")
+      if (engaged) {
         // ~16 bits/key at the exact candidate-id cardinality, clamped to
         // [1 MB, 16 MB] of filter
         val numBits = math.min(1L << 27, math.max(1L << 23,

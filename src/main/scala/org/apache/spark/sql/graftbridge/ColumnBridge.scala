@@ -12,6 +12,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper, which Dataset operations convert during
+    * their own analysis — but an expression returned from a
+    * FunctionRegistry/`injectFunction` builder is spliced into an
+    * already-running analysis pass that never re-enters the column-node
+    * converter, so the wrapper survives to codegen and fails as Unevaluable.
+    * Function builders must convert eagerly through the classic converter. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** A frame's analyzed logical plan — input side for custom logical nodes. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -1,0 +1,138 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.DedupSuite
+import org.apache.spark.sql.functions._
+
+/** The SQL surface is one code path with the Column API ([[SqlFunctions]]
+  * bridges the same builders), so the contract here is equality: for every
+  * function family, the `spark.sql(...)` result must match the Column-API
+  * result row for row on the same frame. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    SqlFunctions.registerAll(spark)
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and the cat", "src0",
+        "HTTP://WWW.Example.COM:80/page/1/?utm_source=x&q=2#frag"),
+      (2L, "the quick brown fox jumps over the lazy dog and the cat", "src0",
+        "http://example.com/page/1?q=2"),
+      (3L, "le renard brun rapide saute par dessus le chien paresseux", "src1",
+        "https://cdn.sub.example.org/a"),
+      (4L, "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb", "src1",
+        "http://example2.net:8080/b/"),
+      (5L, "reach me at bob@example.com or 555-123-4567 today", "src2",
+        "http://example.net/c"))
+      .toDF("id", "text", "source", "url")
+      .createOrReplaceTempView("docs")
+  }
+
+  private def df = spark.table("docs")
+
+  test("scalar text/url functions: SQL ≡ Column API") {
+    val sql = spark.sql(
+      """SELECT id,
+        |  graft_token_count(text) AS tc,
+        |  graft_quality_score(text) AS q,
+        |  graft_lang_id_en(text) AS en,
+        |  graft_lang_id(text) AS lang,
+        |  graft_fingerprint_md5(text) AS fp,
+        |  graft_rolling_token_hash(text) AS rh,
+        |  graft_redact_pii(text) AS red,
+        |  graft_url_host(url) AS host,
+        |  graft_registrable_domain(graft_url_host(url)) AS dom,
+        |  graft_canonical_url(url) AS curl,
+        |  graft_hash_bucket(CAST(id AS STRING), 10) AS hb
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    val api = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langIdEn(col("text")).as("en"),
+      TextFunctions.langIdMulti(TextFunctions.tokens(col("text"))).as("lang"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp"),
+      TextFunctions.rollingTokenHash(col("text")).as("rh"),
+      TextFunctions.redactPii(col("text")).as("red"),
+      TextFunctions.urlHost(col("url")).as("host"),
+      TextFunctions.registrableDomain(TextFunctions.urlHost(col("url"))).as("dom"),
+      TextFunctions.canonicalUrl(col("url")).as("curl"),
+      TextFunctions.hashBucket(col("id").cast("string"), 10).as("hb"))
+      .orderBy(col("id")).collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("dedup signatures: SQL ≡ Column API (minhash, bands, simhash, shingles)") {
+    val sql = spark.sql(
+      """SELECT id,
+        |  graft_word_shingles(text, 3) AS sh,
+        |  graft_minhash(text, 2, 8) AS mh,
+        |  graft_lsh_bands(graft_minhash(text, 2, 8), 8, 4) AS bands,
+        |  graft_simhash(text) AS sim16,
+        |  graft_simhash(text, 8) AS sim8
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    val mh = DedupSuite.minHashSignature(TextFunctions.wordShingles(col("text"), 2), 8)
+    val api = df.select(col("id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"),
+      mh.as("mh"),
+      DedupSuite.lshBands(mh, 8, 4).as("bands"),
+      DedupSuite.simHash(col("text")).as("sim16"),
+      DedupSuite.simHash(col("text"), 8).as("sim8"))
+      .orderBy(col("id")).collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("sketch aggregates group-wise: SQL ≡ Column API") {
+    val sql = spark.sql(
+      """SELECT source,
+        |  graft_kmv_sketch(xxhash64(text), 4) AS kmv,
+        |  misra_gries(source, 2) AS mg
+        |FROM docs GROUP BY source ORDER BY source""".stripMargin).collect()
+    val api = df.groupBy(col("source"))
+      .agg(KmvSketch.kmvMinima(xxhash64(col("text")), 4).as("kmv"),
+        MisraGries.misraGries(col("source"), 2).as("mg"))
+      .orderBy(col("source")).collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("bloom agg + membership round-trips through SQL") {
+    val hits = spark.sql(
+      """WITH bf AS (SELECT graft_bloom_agg(xxhash64(text), 1024, 3) AS b FROM docs)
+        |SELECT count(*) AS n FROM docs, bf
+        |WHERE bloom_might_contain(bf.b, xxhash64(docs.text))""".stripMargin)
+      .head().getLong(0)
+    assert(hits == 5L) // no false negatives over the build set itself
+  }
+
+  test("vector functions: SQL ≡ Column API") {
+    Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 2.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("vecs")
+    val sql = spark.sql(
+      "SELECT id, vec_dot(a, b) AS d, graft_cosine(a, b) AS c FROM vecs ORDER BY id")
+      .collect()
+    val api = spark.table("vecs").select(col("id"),
+      NativeVec.dot(col("a"), col("b")).as("d"),
+      NativeVec.cosine(col("a"), col("b")).as("c"))
+      .orderBy(col("id")).collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
+  test("sketch parameters demand integer literals") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_kmv_sketch(xxhash64(text), id) FROM docs").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be an INTEGER literal")), e.toString)
+  }
+
+  test("registry names are distinct and registered") {
+    val names = SqlFunctions.registry.map(_._1)
+    assert(names.distinct.size == names.size)
+    names.foreach { n =>
+      assert(spark.catalog.functionExists(n), s"function $n not registered")
+    }
+  }
+}

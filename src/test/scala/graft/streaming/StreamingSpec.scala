@@ -349,4 +349,74 @@ class StreamingSpec extends SparkSpec {
       assert(all.length == all.distinct.length, s"duplicate emissions in sink: ${all.toSeq}")
     } finally q2.stop()
   }
+
+  test("streamingNearDupDedup: checkpoint restart recovers band state; a post-restart near-dup of a pre-restart doc is dropped") {
+    implicit val sc = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val ckpt = tempDir().toString
+    // File sink (same rationale as the streamingGroupTopK restart case): it
+    // accumulates across both query incarnations, so a re-emission of an
+    // already-closed window is directly visible.
+    val out = tempDir().toString
+    def start() =
+      EventPipeline.streamingNearDupDedup(docs, "doc_id", "text", "ts",
+        watermark = "30 minutes", windowLen = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    def sink(): Set[(Long, Long)] = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    def win(t: Timestamp): Long = t.getTime - (t.getTime % 600000L)
+    val wA = win(ts(1))
+    val wB = win(ts(21))
+
+    // Phase 1: window A's docs arrive and the window CLOSES (emits both
+    // survivors); window B receives doc 21, whose band minima stay OPEN in
+    // state across the restart.
+    val q1 = start()
+    try {
+      input.addData(
+        (1L, base, ts(1)),
+        (3L, "totally different words here nothing shared at all in this document", ts(2)),
+        (21L, base + " sigma tau", ts(21)))
+      q1.processAllAvailable()
+      // watermark driver: ts(45) - 30 min closes A ([..,+10)), leaves B open
+      input.addData((99L, "watermark driver alpha unrelated content one", ts(45)))
+      q1.processAllAvailable()
+      input.addData((98L, "second driver totally distinct vocabulary here", ts(46)))
+      q1.processAllAvailable()
+      assert(sink() == Set((wA, 1L), (wA, 3L)),
+        s"phase 1 must emit exactly window A's survivors: ${sink()}")
+    } finally q1.stop()
+
+    // Phase 2: resume from the SAME checkpoint. Doc 23 is a near-dup of
+    // PRE-restart doc 21 (same window B): its band keys must collide with
+    // 21's recovered minima and lose (21 < 23), so 23 is dropped — if band
+    // state had been lost, 23 would win every band and be emitted. Window A,
+    // already committed, must not re-emit.
+    val q2 = start()
+    try {
+      input.addData((23L, base + " sigma tau nu", ts(23)))
+      q2.processAllAvailable()
+      // watermark → ts(100) - 30 min = ts(70): closes B and the driver window
+      input.addData((97L, "third driver yet another unshared wordset", ts(100)))
+      q2.processAllAvailable()
+      input.addData((96L, "fourth driver closing batch distinct tokens", ts(101)))
+      q2.processAllAvailable()
+      val got = sink()
+      assert(got.filter(_._1 == wA) == Set((wA, 1L), (wA, 3L)),
+        s"closed window A must appear exactly once across the restart: $got")
+      assert(got.contains((wB, 21L)),
+        s"pre-restart doc 21 must emit from recovered state when B closes: $got")
+      assert(!got.exists(_._2 == 23L),
+        s"post-restart near-dup 23 must lose to recovered band minima: $got")
+      assert(got.contains((win(ts(45)), 99L)) && got.contains((win(ts(45)), 98L)),
+        s"unrelated driver docs must survive their window: $got")
+      val all = spark.read.parquet(out).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+      assert(all.length == all.distinct.length, s"duplicate emissions in sink: $all")
+    } finally q2.stop()
+  }
 }
