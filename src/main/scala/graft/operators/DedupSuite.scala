@@ -338,10 +338,16 @@ object DedupSuite {
   private def verifiedIntersections(cand: DataFrame, gramArr: DataFrame,
                                     pruneMinDocs: Long): DataFrame = {
     import graft.expressions.BloomFilters
+    // Session-conf override for the docs gate — the A/B experimentation knob
+    // (set it above the corpus size to force the plain two-join tail, e.g. to
+    // measure the prune's win on a sparse corpus). Results are identical on
+    // every path, so this only moves the regime choice.
+    val minDocs = cand.sparkSession.conf
+      .getOption("graft.verifyPruneMinDocs").map(_.toLong).getOrElse(pruneMinDocs)
     // gramArr arrives localCheckpoint'ed by both callers, so count() is a
     // cheap re-read of materialized blocks, not a recompute of
     // scan+tokenize+shingle+hash
-    val pruned = if (gramArr.count() >= pruneMinDocs) {
+    val pruned = if (gramArr.count() >= minDocs) {
       // candidate pairs are consumed up to four times on this path (distinct-id
       // count, two bloom aggregates, the verify join) — materialize once;
       // pair-count sized (ids only), far narrower than the gram index

@@ -27,13 +27,19 @@ object StageProfiler {
     val Array(sfDir, qcsv) = args
     val names = qcsv.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Same ';'-separated extra-conf knob as ScalingBench, so regime flags
+    // (e.g. graft.verifyPruneMinDocs) can be profiled A/B.
+    val extraConfs = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val stages = ArrayBuffer.empty[StageRow]
