@@ -82,20 +82,33 @@ object SkewBench {
       * result is comparable across variants (same digest ⇒ same rows). */
     def digest(df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("rows"),
-        sum(xxhash64(col("doc_id"), col("src_docs"))).as("checksum"))
+        sum(pmod(xxhash64(col("doc_id"), col("src_docs")), lit(1000000007L)))
+          .as("checksum"))
 
+    /** Post-join enrichment that REFERENCES BOTH SIDES (quality of the probe
+      * text scaled by the build side's src_docs): a probe-only expression can
+      * be evaluated map-side before the exchange, which would hide the
+      * reducer skew this benchmark exists to show; tying it to a build column
+      * pins the per-row work to the reducer that received the row. */
     def joinWork(joined: DataFrame): DataFrame =
       digest(joined
-        .withColumn("q", quality)
-        .filter(col("q") >= -1e9)) // keep q live without changing row count
+        .withColumn("q",
+          (quality + graft.functions.TextFunctions.hashedFeatureScore(
+            graft.functions.TextFunctions.tokens(col("text"))).cast("double") / 1e6)
+            * col("src_docs").cast("double"))
+        .filter(col("q") >= -1e18)) // keep q live without changing row count
 
     def topkDigest(df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("rows"), sum(xxhash64(col("doc_id"))).as("checksum"))
+      df.agg(count(lit(1)).as("rows"),
+        sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))).as("checksum"))
 
     val probe = docs.select(col("doc_id"), col("source"), col("text"))
 
+    final case class StageStat(id: Int, tasks: Int, maxSec: Double,
+                               medianSec: Double, skew: Double)
+
     def run(name: String, confs: Map[String, String])(mk: => DataFrame):
-        (String, Double, Seq[Any], (Int, Int, Double, Double, Double)) = {
+        (String, Double, Seq[Any], Seq[StageStat]) = {
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       tasks.synchronized(tasks.clear())
@@ -103,21 +116,24 @@ object SkewBench {
       val out = mk.collect()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // listener bus drain
+      // Top stages by MAX task time — the straggler lives in the stage whose
+      // longest task dominates, and a single "worst stage" row can land on an
+      // evenly-loaded scan stage, hiding the skewed exchange; record several.
       val byStage = tasks.synchronized(tasks.groupBy(_.stageId))
         .map { case (sid, ts) =>
           val ds = ts.map(_.durMs.toDouble).sorted
-          (sid, ts.size, ds.last / 1000.0, ds(ds.size / 2) / 1000.0,
+          StageStat(sid, ts.size, ds.last / 1000.0, ds(ds.size / 2) / 1000.0,
             if (ds(ds.size / 2) > 0) ds.last / ds(ds.size / 2) else 0.0)
-        }.toSeq
-      val worst = byStage.maxBy(_._3)
+        }.toSeq.sortBy(-_.maxSec).take(4)
       saved.foreach { case (k, vOpt) =>
         vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
       spark.sharedState.cacheManager.clearCache()
       System.gc()
-      System.err.println(f"[skew:$label] $name%-20s wall=$wall%7.2fs " +
-        f"worstStage(tasks=${worst._2},maxTask=${worst._3}%.2fs," +
-        f"medianTask=${worst._4}%.2fs,skew=${worst._5}%.1fx)")
-      (name, wall, out.headOption.map(_.toSeq).getOrElse(Seq.empty), worst)
+      val stagesStr = byStage.map(s =>
+        f"[${s.id}] tasks=${s.tasks} max=${s.maxSec}%.2fs med=${s.medianSec}%.2fs skew=${s.skew}%.1fx")
+        .mkString("  ")
+      System.err.println(f"[skew:$label] $name%-20s wall=$wall%7.2fs  $stagesStr")
+      (name, wall, out.headOption.map(_.toSeq).getOrElse(Seq.empty), byStage)
     }
 
     val noAqe = Map(
@@ -128,7 +144,7 @@ object SkewBench {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
     // warm the scan + codegen paths (untimed)
-    probe.select(quality).agg(sum(col("q"))).collect()
+    probe.select(quality.as("q")).agg(sum(col("q"))).collect()
 
     val legs = Seq(
       run("join_plain_noaqe", noAqe)(joinWork(probe.join(build, Seq("source")))),
@@ -166,12 +182,15 @@ object SkewBench {
     val pairsCapped = sizes.filter(_._2 <= cap).map { case (_, n) => n * (n - 1) / 2 }.sum
     val hotShare = sizes.head._2.toDouble / sizes.map(_._2).sum
 
-    val legsJson = legs.map { case (name, wall, row, (sid, nt, mx, md, sk)) =>
+    val legsJson = legs.map { case (name, wall, row, stages) =>
       val extras = row match {
         case Seq(n: Long, cs: Long) => s""","rows":$n,"checksum":$cs"""
         case _ => ""
       }
-      s"""{"leg":"$name","wall_sec":${f"$wall%.3f"},"worst_stage":{"id":$sid,"tasks":$nt,"max_task_sec":${f"$mx%.3f"},"median_task_sec":${f"$md%.3f"},"task_skew":${f"$sk%.2f"}}$extras}"""
+      val stagesJson = stages.map(s =>
+        s"""{"id":${s.id},"tasks":${s.tasks},"max_task_sec":${f"${s.maxSec}%.3f"},"median_task_sec":${f"${s.medianSec}%.3f"},"task_skew":${f"${s.skew}%.2f"}}""")
+        .mkString("[", ",", "]")
+      s"""{"leg":"$name","wall_sec":${f"$wall%.3f"},"top_stages":$stagesJson$extras}"""
     }.mkString("[", ",", "]")
     val histJson = sizes.take(5).map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
     println(s"""{"metric":"skew_ab","label":"$label","sf":"$dir","legs":$legsJson,"cap_buckets":{"bucket_top5":$histJson,"hot_bucket_share":${f"$hotShare%.3f"},"cap":$cap,"pairs_uncapped":$pairsUncapped,"pairs_capped":$pairsCapped,"uncapped_leg_run":false,"note":"pair counts implied from bucket sizes; the hot bucket alone makes the uncapped leg unrunnable, which is the lever's point"}}""")
