@@ -205,8 +205,19 @@ object Bench {
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
     val failures = scala.collection.mutable.TreeMap.empty[String, String]
+    // In-query contention evidence: bursty external load lands BETWEEN the
+    // probe brackets (round-7 series: ~1.7× uniform slowdown, inflation
+    // estimates under 2×), but it cannot hide from the queries themselves —
+    // the task run/cpu ratio rises when the OS deschedules loaded cores. The
+    // ratio is query-shape-dependent (I/O waits count), so compare the SAME
+    // query across runs, not against a global threshold.
+    val clock = new graft.tools.TaskClock(spark)
+    val cpuRatios = scala.collection.mutable.TreeMap.empty[String, Double]
+    val clockStart = clock.snapshot()
     val results = ordered.flatMap { case (name, fn) =>
+      val clockBefore = clock.snapshot()
       val (t1, e1) = runOnce(name, fn)
+      cpuRatios(name) = clock.ratioSince(clockBefore)
       e1 match {
         case Some(err) =>
           failures(name) = err
@@ -252,7 +263,10 @@ object Bench {
     val contendedRun = inflationEstimate > 2.0
     if (contendedRun)
       System.err.println(f"[bench] WARNING: contended run — probes ran $inflationEstimate%.1fx the recorded idle constants; per-query times are inflated")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
+    val cpuRatioTotal = clock.ratioSince(clockStart)
+    val cpuRatiosJson = cpuRatios.map { case (k, v) => s"${jstr(k)}:" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
     println(record)
     // First-class artifact file: BENCH_r{4,5} both carried "parsed": null
     // because the one JSON line had to be tail-scraped out of sbt stdout.

@@ -146,8 +146,15 @@ object ScalingBench {
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
     val failures = scala.collection.mutable.TreeMap.empty[String, String]
+    // In-query run/cpu contention evidence — see [[graft.tools.TaskClock]]:
+    // bursty load dodges the between-query probes but not the queries.
+    val clock = new graft.tools.TaskClock(spark)
+    val cpuRatios = scala.collection.mutable.TreeMap.empty[String, Double]
+    val clockStart = clock.snapshot()
     val results = names.flatMap { name =>
+      val clockBefore = clock.snapshot()
       val (t1, e1) = runOnce(name)
+      cpuRatios(name) = clock.ratioSince(clockBefore)
       e1 match {
         case Some(err) =>
           failures(name) = err
@@ -187,7 +194,10 @@ object ScalingBench {
     val contendedRun = inflationEstimate > 2.0
     if (contendedRun)
       System.err.println(f"[scale:$label] WARNING: contended run — probes ran $inflationEstimate%.1fx the recorded idle constants; per-query times are inflated")
-    println(s"""{"metric":"scale_series","scale":"$label","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"failures":$failuresJson,"n_failures":${failures.size}}""")
+    val cpuRatioTotal = clock.ratioSince(clockStart)
+    val cpuRatiosJson = cpuRatios.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_series","scale":"$label","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"failures":$failuresJson,"n_failures":${failures.size}}""")
     spark.stop()
   }
 }
