@@ -868,6 +868,22 @@ object PipelineQueries {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("n_bytes"), col("sha_prefix"))
         .orderBy(col("media_id"))
+    }),
+
+    // q117: the SQL SURFACE end-to-end through the correctness gate — the
+    // whole pipeline is a `spark.sql(...)` string over the registered
+    // graft_* functions (SqlFunctions/GraftExtensions), no Column API in the
+    // query at all. Proves the registry path produces oracle-identical
+    // results, not just Column-API-identical ones (SqlFunctionsSpec).
+    "q117_sql_surface" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id,
+          graft_token_count(text) AS n_tokens,
+          graft_quality_score(text) AS quality,
+          graft_fingerprint_md5(text) AS fp,
+          graft_hash_bucket(graft_fingerprint_md5(text), 100) AS bucket
+        FROM graft_docs ORDER BY doc_id""")
     })
   )
 
@@ -1543,6 +1559,13 @@ object PipelineQueries {
          |  ELSE [array_to_string(t, ' ')] END) AS gram FROM t0)
          |SELECT gram, count(*) AS cnt FROM big GROUP BY gram
          |HAVING count(*) >= ceil(0.0013 * (SELECT count(*) FROM big))
-         |ORDER BY gram""".stripMargin
+         |ORDER BY gram""".stripMargin,
+    "q117_sql_surface" ->
+      s"""SELECT doc_id,
+         | CAST(array_length($tokensSql) AS BIGINT) AS n_tokens,
+         | $qualitySql AS quality,
+         | md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         | ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS bucket
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
