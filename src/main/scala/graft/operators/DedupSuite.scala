@@ -390,6 +390,20 @@ object DedupSuite {
     * decides (see [[verifiedIntersections]]). */
   private val VerifyPruneMinDocs = 200000L
 
+  /** Gram-index materialization policy: localCheckpoint once, or recompute
+    * the gram pipeline per consuming subtree. SHAPE-DEPENDENT, measured at
+    * 5M docs (r7_gmat_{mat,nomat}.json): for n=1 grams (xxhash64 of the
+    * token itself — ExprProf: ~6 s for the whole corpus) the block-store
+    * write path costs more than four recomputes, and skipping it wins 1.4×
+    * (241 → 171 s); for n≥2 shingles (per-shingle string concat before the
+    * hash) recompute loses 4.4× (304 → 1,337 s). Callers pass the
+    * shape-derived default (`n > 1`); `graft.gramIndexMaterialize` overrides
+    * both ways for A/B. Results are identical on every path. */
+  private def maybeMaterializeGrams(df: DataFrame, default: Boolean): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.gramIndexMaterialize")
+        .map(_.toBoolean).getOrElse(default)) df.localCheckpoint(true)
+    else df
+
   /** Jaccard similarity over distinct word n-grams, blocked by `blockCol` (only
     * same-block pairs are compared — at scale the block is an LSH bucket or a
     * cheap partition key; a cross join is never formed).
@@ -402,12 +416,12 @@ object DedupSuite {
     // A cross-doc hash collision would need two DIFFERENT grams of the same
     // block to collide in 64 bits (~n²/2⁶⁵) — negligible at any corpus size
     // this targets, and it only perturbs one `inter` count by 1.
-    // The gram index is MATERIALIZED once (localCheckpoint): it feeds four
-    // subtrees (two candidate sides, two verification joins), and re-running
-    // scan+tokenize+shingle+hash per subtree measured 4-7× slower than one
-    // ~8·grams-bytes/doc materialization — the same persistable-gram-index
-    // trade incrementalDedup documents; at full corpus scale persist this
-    // frame to storage instead.
+    // The gram index feeds four subtrees (two candidate sides, two
+    // verification joins); whether to MATERIALIZE it once or recompute per
+    // subtree is shape-dependent — see maybeMaterializeGrams for the 5M-doc
+    // measurements (n=1 token-hash grams: recompute wins; n≥2 shingles:
+    // materialize wins 4.4×). At full corpus scale persist the frame to
+    // storage instead (the incrementalDedup pattern).
     val gramArr = df
       .select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -416,7 +430,7 @@ object DedupSuite {
           if (n == 1) col("toks")
           else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
-      .localCheckpoint(true)
+      .transform(maybeMaterializeGrams(_, default = n > 1))
     // PPJoin-style prefix filter (exact, no false negatives): under ANY global
     // gram order — here the hash order itself, so no frequency pass is needed —
     // two sets with Jaccard >= t must share a gram inside their first
@@ -463,8 +477,9 @@ object DedupSuite {
                             blockCol: String, n: Int = 3,
                             threshold: Double = 0.8,
                             verifyPruneMinDocs: Long = VerifyPruneMinDocs): DataFrame = {
-    // gram index materialized once for the same four-subtree reason as
-    // ngramJaccardPairs (measured 7.9 s → 1.2 s at sf0.1)
+    // same four-subtree gram index as ngramJaccardPairs; the default n=3
+    // shingle shape materializes (measured 7.9 s → 1.2 s at sf0.1, and 4.4×
+    // at 5M docs — see maybeMaterializeGrams)
     val gramArr = df
       .select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -473,7 +488,7 @@ object DedupSuite {
           if (n == 1) col("toks")
           else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
-      .localCheckpoint(true)
+      .transform(maybeMaterializeGrams(_, default = n > 1))
     val pref = gramArr.select(col("id"), col("block"), col("sz"),
       explode(slice(col("harr"), lit(1),
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))
