@@ -676,6 +676,20 @@ class PipelineOpsSpec extends SparkSpec {
     val prunedC = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
       n = 2, threshold = 0.8, verifyPruneMinDocs = 0L).collect().map(key).toSet
     assert(prunedC == plainC && plainC.nonEmpty)
+    // materialization × prune matrix: the gram index checkpointed or
+    // recomputed per subtree (graft.gramIndexMaterialize overrides the
+    // shape-derived default) must be byte-identical on the pruned path too
+    for (mat <- Seq("true", "false")) {
+      spark.conf.set("graft.gramIndexMaterialize", mat)
+      try {
+        val pj = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+          n = 2, threshold = 0.5, verifyPruneMinDocs = 0L).collect().map(key).toSet
+        assert(pj == plainJ, s"materialize=$mat pruned Jaccard diverged")
+        val pc = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
+          n = 2, threshold = 0.8, verifyPruneMinDocs = 0L).collect().map(key).toSet
+        assert(pc == plainC, s"materialize=$mat pruned containment diverged")
+      } finally spark.conf.unset("graft.gramIndexMaterialize")
+    }
     // empty candidate set through the pruned path stays empty (no NPE on the
     // empty bloom aggregate)
     val distinctDocs = Seq((1L, "aa bb cc", "b1"), (2L, "dd ee ff", "b1"))
