@@ -91,6 +91,21 @@ object Bench {
   private val idleCalibrationRefSec = 0.8
   private val idleProbeRefSec = 0.15
 
+  /** Bursty-contention detector: the probe-bracket detector above misses load
+    * that lands BETWEEN the brackets (the round-7 series inflated ~1.7×
+    * uniformly while every probe landed in a quiet gap — `contended_run`
+    * stayed false). Load cannot hide from the queries themselves: when the OS
+    * deschedules loaded cores the task run/cpu ratio rises for the whole
+    * query duration. The ratio is query-shape-dependent (I/O waits count), so
+    * the verdict uses pinned KNOWN-CPU-BOUND sentinels and the clean-series
+    * A/B (bench/results/r7_cpuratio_{clean,loaded}.json): clean ratios
+    * 1.07/1.19/1.09 (median 1.09), the 32-hog loaded leg 1.57/2.32/2.19
+    * (median 2.19). Threshold 1.35 sits mid-gap — above every clean
+    * observation, below every loaded one. */
+  private val cpuBoundSentinels =
+    Seq("q69_curation", "q77_tfidf_topterms", "q87_passage_dedup")
+  private val burstyCpuRatioThreshold = 1.35
+
   /** Fixed-work calibration probe: identical CPU-bound shuffle+agg job every run.
     * Its time on THIS machine, idle, is ~1 s; a contended run inflates it
     * proportionally — so the artifact carries its own machine-health evidence
@@ -205,6 +220,10 @@ object Bench {
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
     val failures = scala.collection.mutable.TreeMap.empty[String, String]
+    // Reruns that themselves failed: the query keeps its clean first-run time
+    // in `queries`, but the intermittent abort must be visible in the JSON,
+    // not only in the log — a one-of-two-runs failure is a flakiness signal.
+    val rerunFailures = scala.collection.mutable.TreeMap.empty[String, String]
     // In-query contention evidence: bursty external load lands BETWEEN the
     // probe brackets (round-7 series: ~1.7× uniform slowdown, inflation
     // estimates under 2×), but it cannot hide from the queries themselves —
@@ -234,7 +253,11 @@ object Bench {
               rerunSpent += t2
               val p2 = microProbe(spark)
               if (hot(p2)) flagged += name -> (math.max(p1, p2) / probeBase)
-              if (e2.isDefined) t1 else math.min(t1, t2) // flaky rerun: keep the clean time
+              if (e2.isDefined) { // flaky rerun: keep the clean time, record the abort
+                rerunFailures(name) = e2.get
+                System.err.println(s"[bench] $name rerun FAILED (clean first run kept): ${e2.get}")
+                t1
+              } else math.min(t1, t2)
             } else { flagged += name -> (p1 / probeBase); t1 }
           System.err.println(f"[bench] $name%-28s $dt%8.2fs  probe=${p1 / probeBase}%.2fx")
           Some(name -> dt)
@@ -260,13 +283,24 @@ object Bench {
     val inflationEstimate = math.max(
       math.max(calibPre, calibPost) / idleCalibrationRefSec,
       probeBase / idleProbeRefSec)
-    val contendedRun = inflationEstimate > 2.0
-    if (contendedRun)
+    // Bursty-load verdict from the in-query sentinel ratios (see
+    // cpuBoundSentinels scaladoc): median over the pinned CPU-bound queries
+    // that actually ran this run. OR'ed into contended_run so a bursty-loaded
+    // series can no longer produce a green-looking artifact.
+    val sentinelRatios = cpuBoundSentinels.flatMap(cpuRatios.get).sorted
+    val sentinelMedian =
+      if (sentinelRatios.nonEmpty) sentinelRatios(sentinelRatios.size / 2) else 0.0
+    val burstyContention =
+      sentinelRatios.nonEmpty && sentinelMedian > burstyCpuRatioThreshold
+    val contendedRun = inflationEstimate > 2.0 || burstyContention
+    if (burstyContention)
+      System.err.println(f"[bench] WARNING: bursty contention — CPU-bound sentinel run/cpu median $sentinelMedian%.2f exceeds the pinned clean bound $burstyCpuRatioThreshold%.2f; per-query times are inflated even though the probes look clean")
+    else if (contendedRun)
       System.err.println(f"[bench] WARNING: contended run — probes ran $inflationEstimate%.1fx the recorded idle constants; per-query times are inflated")
     val cpuRatioTotal = clock.ratioSince(clockStart)
     val cpuRatiosJson = cpuRatios.map { case (k, v) => s"${jstr(k)}:" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"bursty_contention":$burstyContention,"cpu_ratio_sentinel_median":${f"$sentinelMedian%.2f"},"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"rerun_failures":${rerunFailures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"exact_sums":$exact,"failures":$failuresJson,"n_queries":${results.size},"n_failures":${failures.size}}"""
     println(record)
     // First-class artifact file: BENCH_r{4,5} both carried "parsed": null
     // because the one JSON line had to be tail-scraped out of sbt stdout.

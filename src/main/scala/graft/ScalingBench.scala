@@ -146,6 +146,10 @@ object ScalingBench {
     var rerunSpent = 0.0
     val flagged = Seq.newBuilder[(String, Double)]
     val failures = scala.collection.mutable.TreeMap.empty[String, String]
+    // Reruns that themselves failed: the clean first-run time is kept, but the
+    // intermittent abort is recorded in the artifact (rerun_failures), not
+    // only in the log — a one-of-two-runs failure is a flakiness signal.
+    val rerunFailures = scala.collection.mutable.TreeMap.empty[String, String]
     // In-query run/cpu contention evidence — see [[graft.tools.TaskClock]]:
     // bursty load dodges the between-query probes but not the queries.
     val clock = new graft.tools.TaskClock(spark)
@@ -169,7 +173,11 @@ object ScalingBench {
               rerunSpent += t2
               val p2 = microProbe(spark)
               if (hot(p2)) flagged += name -> (math.max(p1, p2) / probeBase)
-              if (e2.isDefined) t1 else math.min(t1, t2) // flaky rerun: keep the clean time
+              if (e2.isDefined) { // flaky rerun: keep the clean time, record the abort
+                rerunFailures(name) = e2.get
+                System.err.println(s"[scale:$label] $name rerun FAILED (clean first run kept): ${e2.get}")
+                t1
+              } else math.min(t1, t2)
             } else { flagged += name -> (p1 / probeBase); t1 }
           System.err.println(f"[scale:$label] $name%-28s $dt%8.2fs  probe=${p1 / probeBase}%.2fx")
           Some(name -> dt)
@@ -197,7 +205,7 @@ object ScalingBench {
     val cpuRatioTotal = clock.ratioSince(clockStart)
     val cpuRatiosJson = cpuRatios.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale_series","scale":"$label","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"failures":$failuresJson,"n_failures":${failures.size}}""")
+    println(s"""{"metric":"scale_series","scale":"$label","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_pre_sec":$calibPre,"calibration_post_sec":$calibPost,"probe_base_sec":$probeBase,"idle_calibration_ref_sec":$idleCalibrationRefSec,"idle_probe_ref_sec":$idleProbeRefSec,"contended_run":$contendedRun,"inflation_estimate":${f"$inflationEstimate%.2f"},"run_cpu_ratio_total":${f"$cpuRatioTotal%.2f"},"run_cpu_ratio":$cpuRatiosJson,"contended_queries":$flaggedJson,"rerun_spent_sec":$rerunSpent,"rerun_failures":${rerunFailures.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")},"failures":$failuresJson,"n_failures":${failures.size}}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import graft.operators.DedupSuite
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** SQL surface for the operator library: every scalar/aggregate capability the
   * Column API exposes, registered as a `graft_`-prefixed SQL function, so
@@ -46,6 +46,9 @@ object SqlFunctions {
   private def doubleLit(fn: String, arg: String, e: Expression): Double = e match {
     case Literal(v, DoubleType) => v.asInstanceOf[Double]
     case Literal(v, IntegerType) => v.asInstanceOf[Int].toDouble
+    // SQL parses bare `0.05` as DECIMAL(2,2), not DOUBLE — accept it, or the
+    // natural call graft_lang_id_en(text, 0.05) would demand a 0.05D suffix.
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a DOUBLE literal, got $other")
   }

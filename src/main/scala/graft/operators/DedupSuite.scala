@@ -344,22 +344,27 @@ object DedupSuite {
     // every path, so this only moves the regime choice.
     val minDocs = cand.sparkSession.conf
       .getOption("graft.verifyPruneMinDocs").map(_.toLong).getOrElse(pruneMinDocs)
-    // gramArr arrives localCheckpoint'ed by both callers, so count() is a
-    // cheap re-read of materialized blocks, not a recompute of
-    // scan+tokenize+shingle+hash
-    val pruned = if (gramArr.count() >= minDocs) {
+    // One count job only: gramArr may or may not be materialized (the
+    // shape-dependent maybeMaterializeGrams default skips the checkpoint for
+    // n=1 grams), so a second count() could re-run the whole
+    // scan+tokenize+hash pipeline — compute docsN once and reuse it for both
+    // the gate and the coverage ratio.
+    val docsN = gramArr.count()
+    val pruned = if (docsN >= minDocs) {
       // candidate pairs are consumed up to four times on this path (distinct-id
       // count, two bloom aggregates, the verify join) — materialize once;
       // pair-count sized (ids only), far narrower than the gram index
       val c2 = cand.localCheckpoint(true)
-      val docsN = gramArr.count()
       val dIds = c2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct().count()
       val engaged = dIds * 4 < docsN
       // The regime choice is driver-side state that never appears in a plan or
       // result; record it so scale-leg logs carry the decision as evidence.
+      // Locale.ROOT: "%.4f" under a comma-decimal locale would break the
+      // scale-leg log scrapers that grep this line.
       System.err.println(s"[graft.dedup] verify-prune gate: docs=$docsN " +
-        s"candidateDocs=$dIds coverage=${"%.4f".format(dIds.toDouble / docsN)} " +
+        s"candidateDocs=$dIds coverage=${String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(dIds.toDouble / docsN))} " +
         s"engaged=$engaged")
       if (engaged) {
         // ~16 bits/key at the exact candidate-id cardinality, clamped to

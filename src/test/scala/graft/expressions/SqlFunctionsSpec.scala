@@ -63,6 +63,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("graft_lang_id_en accepts a bare decimal threshold (SQL parses 0.05 as DECIMAL)") {
+    val sql = spark.sql(
+      """SELECT id, graft_lang_id_en(text, 0.05) AS en05,
+        |  graft_lang_id_en(text, 0.05D) AS en05d,
+        |  graft_lang_id_en(text, 0) AS en0
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    val api = df.select(col("id"),
+      TextFunctions.langIdEn(col("text"), 0.05).as("en05"),
+      TextFunctions.langIdEn(col("text"), 0.05).as("en05d"),
+      TextFunctions.langIdEn(col("text"), 0.0).as("en0"))
+      .orderBy(col("id")).collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
   test("dedup signatures: SQL ≡ Column API (minhash, bands, simhash, shingles)") {
     val sql = spark.sql(
       """SELECT id,
