@@ -3,81 +3,74 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Controlled per-query medians (bench/results/r2_sf0.1_run{1,2,3}.json) used
-    * to order the run heaviest-first: the expensive queries execute while the JVM
-    * is freshest, and a contended machine shows up as uniform inflation rather
-    * than tail-query noise. Unknown (new) queries default to mid-pack. */
+  /** Controlled per-query medians (bench/results/r8_sf0.1_run{1,2,3}.json,
+    * idle host: contended_run/bursty_contention false on all three runs) used
+    * to order the run heaviest-first: the expensive queries execute while the
+    * JVM is freshest, and a contended machine shows up as uniform inflation
+    * rather than tail-query noise. Unknown (new) queries default to mid-pack.
+    * Refreshed each time a clean controlled series is recorded (previous
+    * generations: r2-r6 series). */
   private val expectedCost: Map[String, Double] = Map(
-    "q45_dedup_jaccard" -> 2.92, "q47_dedup_simhash" -> 1.93,
-    "q03_starqc_gate" -> 1.63, "q14_conflict_pivot" -> 1.51,
-    "q46_dedup_minhash" -> 1.49, "q55_heavy_bigrams" -> 1.34,
-    "q40_text_tokens" -> 1.30, "q01_scan_project" -> 1.20,
-    "q15_group_runs" -> 1.07, "q10_pass_semijoin" -> 0.85,
-    "q13_lookup_default" -> 0.72,
-    "q20_matrix_pivot" -> 0.72, "q04_sex_ratio_gate" -> 0.67,
-    "q23_dedup_first" -> 0.63, "q41_text_quality" -> 0.62,
-    "q30_color_assign" -> 0.61, "q16_duplicate_samples" -> 0.59,
-    "q32_consistency" -> 0.58, "q50_embedding_neardup" -> 0.55,
-    "q07_zero_string_filter" -> 0.55, "q25_position_sort" -> 0.52,
-    "q52_embedding_neardup_lsh" -> 0.52,
-    "q11_matrix_merge" -> 0.50, "q31_project_classify" -> 0.44,
-    "q12_bed_tpm_broadcast" -> 0.43, "q21_frag_stats" -> 0.40,
-    "q18_runs_histogram" -> 0.40, "q48_sim_bruteforce" -> 0.39,
-    "q26_union_reports" -> 0.35, "q42_text_langid" -> 0.34,
-    "q17_count_distinct" -> 0.34, "q28_string_suite" -> 0.33,
-    "q02_unique_name" -> 0.31, "q19_status_tallies" -> 0.29,
-    "q51_multimodal_bytes" -> 0.28, "q29_combo_key" -> 0.28,
-    "q44_dedup_exact" -> 0.26, "q49_sim_partitioned" -> 0.24,
-    "q24_distinct" -> 0.22, "q05_agreement" -> 0.22,
-    "q06_regex_filter" -> 0.20, "q27_topk" -> 0.20,
-    "q43_text_fingerprint" -> 0.20, "q08_marker_isin" -> 0.18,
-    "q09_rgb_bucket" -> 0.15,
-    // round-3 additions (r3_sf0.1 medians)
-    "q62_combined_session" -> 1.94, "q56_conflict_only" -> 1.28,
-    "q38_session_viewport" -> 1.12, "q37_track_json_roundtrip" -> 1.00,
-    "q34_report_roundtrip" -> 0.98, "q35_matrix_roundtrip" -> 0.93,
-    "q58_bed_roundtrip" -> 0.46, "q63_qc_summary" -> 0.46,
-    "q39_stage_protocol" -> 0.39, "q60_image_decode" -> 0.36,
-    "q36_rsem_scan" -> 0.26, "q61_audio_decode" -> 0.26,
-    "q57_orchestrator_outcomes" -> 0.20, "q59_input_validation" -> 0.18,
-    "q64_text_bpe_tokens" -> 0.60,
-    "q65_sim_ivf_fullprobe" -> 0.50,
-    "q68_dedup_clusters" -> 2.00, "q69_curation" -> 3.30,
-    "q67_profile_orders" -> 2.90, "q70_video_frames" -> 0.40,
-    "q71_hash_split" -> 0.35, "q72_sequence_packing" -> 0.45,
-    "q73_text_repetition" -> 0.86, "q74_length_trim" -> 0.53,
-    "q75_stratified_sample" -> 0.35, "q76_incremental_dedup" -> 4.63,
-    "q77_tfidf_topterms" -> 1.67, "q78_stratified_fraction" -> 0.28,
-    // round-4 additions (initial sf0.1 measurements)
-    "q79_decontamination" -> 1.20, "q80_pii_redact" -> 0.80,
-    "q81_domain_blocklist" -> 0.60, "q82_chunk_overlap" -> 1.00,
-    "q83_unigram_freq" -> 1.50,
-    "q84_dedup_containment" -> 1.60, "q85_sqrt_cap_sample" -> 0.35,
-    "q86_curated_decontaminated" -> 3.20,
-    // late-round-4 additions (r4_sf0.1_run{13..18} medians)
-    "q88_langid_multi" -> 0.47,
-    "q89_kmv_distinct" -> 0.52, "q90_inverted_index" -> 0.45,
-    "q91_linear_classifier" -> 0.42, "q92_line_dedup" -> 0.99,
-    "q93_line_dedup_intradoc" -> 0.33, "q94_bm25_topk" -> 0.52,
-    "q95_semantic_dedup" -> 0.75, "q96_exact_quantiles" -> 0.52,
-    "q97_bloom_semijoin" -> 0.56, "q98_url_dedup" -> 0.32,
-    "q99_epoch_shuffle" -> 0.26, "q100_bpe_pairs" -> 0.51,
-    "q101_rejection_sample" -> 0.33, "q102_knn_join" -> 0.65,
-    "q103_jsonl_roundtrip" -> 0.70, "q104_span_corruption" -> 0.68,
-    "q105_corpus_report" -> 0.58, "q106_quality_topm" -> 0.46,
-    "q107_soft_dedup" -> 1.92, "q108_weighted_upsample" -> 0.16,
-    "q109_eval_contamination" -> 0.98, "q110_cms_counts" -> 1.00,
-    "q111_exact_k_sample" -> 0.25, "q112_group_topk_plan" -> 0.55,
-    // round-5 additions (r5_sf0.1_run1 measurements)
-    "q113_bpe_train" -> 1.83, "q114_salted_join" -> 0.32,
-    "q115_capped_buckets" -> 0.22,
-    // round-6 refresh (r6_sf0.1_run{1,2,3} medians): the restored event-time
-    // family measured for the first time at sf0.1, and q87 after the
-    // xxhash64-pair gram-key change
-    "q116_windowed_topk" -> 0.58, "q22_coverage_bins" -> 0.34,
-    "q33_event_windows" -> 0.42, "q53_interval_overlap" -> 0.59,
-    "q54_asof_join" -> 0.42, "q66_session_windows" -> 0.75,
-    "q87_passage_dedup" -> 1.53)
+    "q76_incremental_dedup" -> 5.22,
+    "q86_curated_decontaminated" -> 3.65,
+    "q62_combined_session" -> 2.66, "q67_profile_orders" -> 2.62,
+    "q69_curation" -> 2.58, "q45_dedup_jaccard" -> 2.51,
+    "q65_sim_ivf_fullprobe" -> 2.20, "q47_dedup_simhash" -> 2.09,
+    "q110_cms_counts" -> 2.07, "q87_passage_dedup" -> 1.83,
+    "q107_soft_dedup" -> 1.80, "q68_dedup_clusters" -> 1.79,
+    "q84_dedup_containment" -> 1.74, "q113_bpe_train" -> 1.72,
+    "q46_dedup_minhash" -> 1.71, "q14_conflict_pivot" -> 1.62,
+    "q77_tfidf_topterms" -> 1.57, "q55_heavy_bigrams" -> 1.55,
+    "q03_starqc_gate" -> 1.42, "q56_conflict_only" -> 1.25,
+    "q109_eval_contamination" -> 1.18, "q79_decontamination" -> 1.12,
+    "q66_session_windows" -> 1.12, "q104_span_corruption" -> 0.98,
+    "q95_semantic_dedup" -> 0.94, "q38_session_viewport" -> 0.93,
+    "q92_line_dedup" -> 0.91, "q15_group_runs" -> 0.89,
+    "q73_text_repetition" -> 0.87, "q34_report_roundtrip" -> 0.81,
+    "q20_matrix_pivot" -> 0.77, "q50_embedding_neardup" -> 0.76,
+    "q105_corpus_report" -> 0.75, "q117_sql_surface" -> 0.75,
+    "q35_matrix_roundtrip" -> 0.74, "q37_track_json_roundtrip" -> 0.71,
+    "q53_interval_overlap" -> 0.71, "q83_unigram_freq" -> 0.69,
+    "q116_windowed_topk" -> 0.66, "q10_pass_semijoin" -> 0.65,
+    "q63_qc_summary" -> 0.62, "q88_langid_multi" -> 0.62,
+    "q07_zero_string_filter" -> 0.59, "q91_linear_classifier" -> 0.59,
+    "q102_knn_join" -> 0.59, "q94_bm25_topk" -> 0.58,
+    "q13_lookup_default" -> 0.58, "q97_bloom_semijoin" -> 0.57,
+    "q80_pii_redact" -> 0.55, "q41_text_quality" -> 0.55,
+    "q22_coverage_bins" -> 0.54, "q100_bpe_pairs" -> 0.54,
+    "q23_dedup_first" -> 0.54, "q16_duplicate_samples" -> 0.52,
+    "q114_salted_join" -> 0.52, "q81_domain_blocklist" -> 0.51,
+    "q90_inverted_index" -> 0.51, "q106_quality_topm" -> 0.50,
+    "q32_consistency" -> 0.49, "q52_embedding_neardup_lsh" -> 0.49,
+    "q101_rejection_sample" -> 0.48, "q33_event_windows" -> 0.48,
+    "q30_color_assign" -> 0.47, "q112_group_topk_plan" -> 0.46,
+    "q96_exact_quantiles" -> 0.46, "q93_line_dedup_intradoc" -> 0.44,
+    "q54_asof_join" -> 0.44, "q25_position_sort" -> 0.43,
+    "q89_kmv_distinct" -> 0.41, "q74_length_trim" -> 0.41,
+    "q31_project_classify" -> 0.40, "q12_bed_tpm_broadcast" -> 0.40,
+    "q72_sequence_packing" -> 0.40, "q82_chunk_overlap" -> 0.40,
+    "q70_video_frames" -> 0.39, "q18_runs_histogram" -> 0.38,
+    "q58_bed_roundtrip" -> 0.37, "q11_matrix_merge" -> 0.36,
+    "q39_stage_protocol" -> 0.36, "q85_sqrt_cap_sample" -> 0.35,
+    "q98_url_dedup" -> 0.34, "q42_text_langid" -> 0.33,
+    "q103_jsonl_roundtrip" -> 0.32, "q04_sex_ratio_gate" -> 0.32,
+    "q64_text_bpe_tokens" -> 0.31, "q115_capped_buckets" -> 0.30,
+    "q48_sim_bruteforce" -> 0.30, "q21_frag_stats" -> 0.29,
+    "q51_multimodal_bytes" -> 0.27, "q44_dedup_exact" -> 0.27,
+    "q26_union_reports" -> 0.27, "q78_stratified_fraction" -> 0.26,
+    "q19_status_tallies" -> 0.26, "q60_image_decode" -> 0.24,
+    "q99_epoch_shuffle" -> 0.24, "q17_count_distinct" -> 0.23,
+    "q75_stratified_sample" -> 0.23, "q49_sim_partitioned" -> 0.23,
+    "q36_rsem_scan" -> 0.22, "q61_audio_decode" -> 0.22,
+    "q71_hash_split" -> 0.22, "q108_weighted_upsample" -> 0.21,
+    "q29_combo_key" -> 0.21, "q28_string_suite" -> 0.20,
+    "q40_text_tokens" -> 0.20, "q59_input_validation" -> 0.19,
+    "q24_distinct" -> 0.19, "q43_text_fingerprint" -> 0.18,
+    "q111_exact_k_sample" -> 0.18, "q05_agreement" -> 0.18,
+    "q57_orchestrator_outcomes" -> 0.16, "q27_topk" -> 0.16,
+    "q01_scan_project" -> 0.14, "q08_marker_isin" -> 0.13,
+    "q06_regex_filter" -> 0.13, "q09_rgb_bucket" -> 0.12,
+    "q02_unique_name" -> 0.12)
 
   /** Recorded idle-machine reference constants for the two fixed-work probes,
     * pinned from the clean controlled series (bench/results/r6_sf0.1_run{1,2,3}:

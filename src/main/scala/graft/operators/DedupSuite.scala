@@ -336,21 +336,41 @@ object DedupSuite {
     * pruned), while on sparse corpora it removes the dominant shuffle
     * entirely. Results are byte-identical on every path (spec-pinned). */
   private def verifiedIntersections(cand: DataFrame, gramArr: DataFrame,
-                                    pruneMinDocs: Long): DataFrame = {
+                                    pruneMinDocs: Long,
+                                    finish: DataFrame => DataFrame = identity)
+  : DataFrame = {
     import graft.expressions.BloomFilters
+    val conf = cand.sparkSession.conf
     // Session-conf override for the docs gate — the A/B experimentation knob
     // (set it above the corpus size to force the plain two-join tail, e.g. to
     // measure the prune's win on a sparse corpus). Results are identical on
     // every path, so this only moves the regime choice.
-    val minDocs = cand.sparkSession.conf
-      .getOption("graft.verifyPruneMinDocs").map(_.toLong).getOrElse(pruneMinDocs)
+    val minDocs = conf.getOption("graft.verifyPruneMinDocs").map(_.toLong)
+      .getOrElse(pruneMinDocs)
+    def join3(c: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame =
+      c.join(ga.select(col("id").as("id_a"), col("harr").as("harr_a"),
+          col("sz").as("size_a")), Seq("id_a"))
+        .join(gb.select(col("id").as("id_b"), col("harr").as("harr_b"),
+          col("sz").as("size_b")), Seq("id_b"))
+        .withColumn("inter",
+          graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
+    // ~16 bits/key at the candidate-id cardinality, clamped to [1 MB, 16 MB]
+    def bloomBits(nKeys: Long): Int = math.min(1L << 27, math.max(1L << 23,
+      java.lang.Long.highestOneBit(math.max(1L, nKeys * 16)) << 1)).toInt
+    def prunedBy(c: DataFrame, numBits: Int, side: String): DataFrame = {
+      val bytes = c
+        .agg(BloomFilters.bloomAgg(xxhash64(col(side)), numBits, 5).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      gramArr.filter(BloomFilters.mightContain(lit(bytes), xxhash64(col("id"))))
+    }
     // One count job only: gramArr may or may not be materialized (the
     // shape-dependent maybeMaterializeGrams default skips the checkpoint for
     // n=1 grams), so a second count() could re-run the whole
     // scan+tokenize+hash pipeline — compute docsN once and reuse it for both
     // the gate and the coverage ratio.
     val docsN = gramArr.count()
-    val pruned = if (docsN >= minDocs) {
+    if (docsN < minDocs) finish(join3(cand, gramArr, gramArr))
+    else {
       // candidate pairs are consumed up to four times on this path (distinct-id
       // count, two bloom aggregates, the verify join) — materialize once;
       // pair-count sized (ids only), far narrower than the gram index
@@ -366,28 +386,75 @@ object DedupSuite {
         s"candidateDocs=$dIds coverage=${String.format(java.util.Locale.ROOT,
           "%.4f", Double.box(dIds.toDouble / docsN))} " +
         s"engaged=$engaged")
-      if (engaged) {
-        // ~16 bits/key at the exact candidate-id cardinality, clamped to
-        // [1 MB, 16 MB] of filter
-        val numBits = math.min(1L << 27, math.max(1L << 23,
-          java.lang.Long.highestOneBit(math.max(1L, dIds * 16)) << 1)).toInt
-        def prune(side: String) = {
-          val bytes = c2
-            .agg(BloomFilters.bloomAgg(xxhash64(col(side)), numBits, 5).as("bf"))
-            .collect()(0).getAs[Array[Byte]](0)
-          gramArr.filter(BloomFilters.mightContain(lit(bytes), xxhash64(col("id"))))
+      if (engaged)
+        finish(join3(c2, prunedBy(c2, bloomBits(dIds), "id_a"),
+          prunedBy(c2, bloomBits(dIds), "id_b")))
+      else {
+        // DENSE regime: candidate docs cover the corpus, so the bloom prune
+        // cannot shrink the verify joins — on a one-box ×1000 dense corpus the
+        // two gram-side shuffles spill past local disk (~185 GB extrapolated
+        // vs 75 GB available, the round-7 open cell). SEGMENTED verify bounds
+        // peak disk instead: split the pair set into K disjoint hash slices
+        // and run the verify join per slice as its own eagerly-materialized
+        // pass. Per pass the slice's candidate docs are ~1/K of the corpus, so
+        // the SAME bloom prune that was useless globally engages per pass, and
+        // each pass's shuffle is ~1/K of the whole. `finish` (the caller's
+        // threshold filter) runs inside the pass, so only surviving near-dup
+        // rows are checkpointed — pass results are output-sized, not
+        // join-sized. Between passes an explicit GC lets the ContextCleaner
+        // drop the finished pass's shuffle files, which is what actually
+        // bounds peak disk at ~budget/K. Results are byte-identical to the
+        // unsegmented join (spec-pinned): the slices partition the pair set.
+        val k = verifySegmentCount(conf, c2, gramArr, docsN)
+        if (k <= 1) finish(join3(c2, gramArr, gramArr))
+        else {
+          System.err.println(s"[graft.dedup] segmented verify: k=$k")
+          val passes = (0 until k).map { i =>
+            val cs = c2.filter(
+              pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
+              .localCheckpoint(true)
+            val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+              .distinct().count()
+            val nb = bloomBits(csIds)
+            val out = finish(join3(cs, prunedBy(cs, nb, "id_a"),
+              prunedBy(cs, nb, "id_b"))).localCheckpoint(true)
+            System.gc()
+            out
+          }
+          passes.reduce(_ union _)
         }
-        (c2, prune("id_a"), prune("id_b"))
-      } else (c2, gramArr, gramArr)
-    } else (cand, gramArr, gramArr)
-    val (c, ga, gb) = pruned
-    c.join(ga.select(col("id").as("id_a"), col("harr").as("harr_a"),
-        col("sz").as("size_a")), Seq("id_a"))
-      .join(gb.select(col("id").as("id_b"), col("harr").as("harr_b"),
-        col("sz").as("size_b")), Seq("id_b"))
-      .withColumn("inter",
-        graft.expressions.NativeArr.sortedIntersectSize(col("harr_a"), col("harr_b")))
+      }
+    }
   }
+
+  /** Segment count for the dense-regime verify: conf `graft.verifySegments`
+    * forces a value (1 disables); otherwise the estimated bytes entering the
+    * two verify joins (2 · pairs · mean gram bytes) are divided by the
+    * executor-disk budget `graft.verifyDiskBudgetBytes` (default 24 GiB —
+    * comfortably under this box's 75 GB free, leaving room for the pass's own
+    * sort spill). Small pair sets (<1M) never segment: the estimate itself
+    * would cost more than the join. The mean-size aggregate is one extra pass
+    * over the gram index — accepted only here, where the alternative is a
+    * disk-wall abort. */
+  private def verifySegmentCount(conf: org.apache.spark.sql.RuntimeConfig,
+                                 c2: DataFrame, gramArr: DataFrame,
+                                 docsN: Long): Int =
+    conf.getOption("graft.verifySegments").map(_.toInt).getOrElse {
+      val candN = c2.count()
+      if (candN < 1000000L) 1
+      else {
+        val budget = conf.getOption("graft.verifyDiskBudgetBytes").map(_.toLong)
+          .getOrElse(24L << 30)
+        val meanSz = gramArr.agg(avg(col("sz"))).collect()(0).getDouble(0)
+        val estBytes = 2.0 * candN * meanSz * 8.0
+        val k = math.min(64L, math.ceil(estBytes / budget).toLong).toInt
+        if (k > 1) System.err.println(String.format(java.util.Locale.ROOT,
+          "[graft.dedup] segmented verify estimate: pairs=%d meanGramSz=%.1f estBytes=%.2e budget=%d -> k=%d",
+          Long.box(candN), Double.box(meanSz), Double.box(estBytes),
+          Long.box(budget), Int.box(k)))
+        math.max(1, k)
+      }
+    }
 
   /** Docs-count gate below which the verify tail never even measures
     * candidate selectivity: the corpus' gram index shuffles fine as-is and
@@ -403,11 +470,29 @@ object DedupSuite {
     * (241 → 171 s); for n≥2 shingles (per-shingle string concat before the
     * hash) recompute loses 4.4× (304 → 1,337 s). Callers pass the
     * shape-derived default (`n > 1`); `graft.gramIndexMaterialize` overrides
-    * both ways for A/B. Results are identical on every path. */
+    * both ways for A/B. Results are identical on every path.
+    *
+    * SCALE-AWARE refinement (r8): the n=1 recompute win only exists when the
+    * checkpoint blocks are big enough for the block-store write to dominate —
+    * at oracle scale the same default cost q45 ~1.3× (r8 vs r6 series: four
+    * recomputes of a pipeline whose checkpoint would have been ~15 MB).
+    * Below [[SmallCorpusBytes]] of optimizer-estimated input the checkpoint
+    * is always taken; the estimate comes from Catalyst plan stats (driver
+    * metadata, zero jobs). */
   private def maybeMaterializeGrams(df: DataFrame, default: Boolean): DataFrame =
     if (df.sparkSession.conf.getOption("graft.gramIndexMaterialize")
         .map(_.toBoolean).getOrElse(default)) df.localCheckpoint(true)
     else df
+
+  /** Input-size bound (Catalyst `sizeInBytes` estimate) below which the gram
+    * index is checkpointed regardless of gram shape: the r7 5M-doc corpora
+    * where n=1 recompute won were multi-GB; sf0.1-class corpora are tens of
+    * MB and the checkpoint is strictly cheaper there. */
+  private val SmallCorpusBytes = BigInt(1L << 30)
+
+  private def isSmallCorpus(df: DataFrame): Boolean =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes < SmallCorpusBytes
+    catch { case _: Throwable => false }
 
   /** Jaccard similarity over distinct word n-grams, blocked by `blockCol` (only
     * same-block pairs are compared — at scale the block is an LSH bucket or a
@@ -435,7 +520,7 @@ object DedupSuite {
           if (n == 1) col("toks")
           else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
-      .transform(maybeMaterializeGrams(_, default = n > 1))
+      .transform(maybeMaterializeGrams(_, default = n > 1 || isSmallCorpus(df)))
     // PPJoin-style prefix filter (exact, no false negatives): under ANY global
     // gram order — here the hash order itself, so no frequency pass is needed —
     // two sets with Jaccard >= t must share a gram inside their first
@@ -458,11 +543,13 @@ object DedupSuite {
     // candidates are few (near-dups + prefix collisions), so the per-pair set
     // intersection replaces a shuffle of every co-occurrence row; above the
     // docs gate the gram index is bloom-pruned to candidate ids first.
-    verifiedIntersections(cand, gramArr, verifyPruneMinDocs)
+    // the metric filter travels INTO the verify as `finish` so the segmented
+    // path materializes only surviving rows, never raw join output
+    verifiedIntersections(cand, gramArr, verifyPruneMinDocs, _
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         col("jaccard"))
   }
@@ -493,7 +580,7 @@ object DedupSuite {
           if (n == 1) col("toks")
           else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
       .withColumn("sz", size(col("harr")).cast("long"))
-      .transform(maybeMaterializeGrams(_, default = n > 1))
+      .transform(maybeMaterializeGrams(_, default = n > 1 || isSmallCorpus(df)))
     val pref = gramArr.select(col("id"), col("block"), col("sz"),
       explode(slice(col("harr"), lit(1),
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))
@@ -509,10 +596,10 @@ object DedupSuite {
       .select(least(col("id_pref"), col("id_other")).as("id_a"),
         greatest(col("id_pref"), col("id_other")).as("id_b"))
       .distinct()
-    verifiedIntersections(cand, gramArr, verifyPruneMinDocs)
+    verifiedIntersections(cand, gramArr, verifyPruneMinDocs, _
       .withColumn("containment",
         col("inter").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
-      .filter(col("containment") >= threshold)
+      .filter(col("containment") >= threshold))
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         col("containment"))
   }

@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** IVF quality measurement: recall@k vs `nprobe` on a scaled embeddings
+  * corpus (verdict r7 order #5 — the q65 oracle only proves the
+  * exact-equivalence point `nprobe = k`; this records what a real user gets
+  * at `nprobe < k`, the setting that makes IVF worth having).
+  *
+  * Method: train the deterministic Lloyd quantizer once, draw `nQueries`
+  * query vectors deterministically from the corpus (every `n/nQueries`-th row
+  * by id — spread across replicas, no rand()), compute exact brute-force
+  * top-k per query as ground truth, then for each probe width measure
+  *   recall = |ivf_topk ∩ exact_topk| / k   (mean over queries)
+  * and the summed wall time of the ivf searches. `nprobe = kCent` must land
+  * recall 1.0 (the q65 identity); recall is non-decreasing in nprobe by
+  * construction (probed cells are nested supersets).
+  *
+  * Usage: IvfRecall <embDir> [kCent=16] [topK=20] [nQueries=24] [iters=4]
+  * — one JSON line per probe width on stdout, an aggregate line last.
+  */
+object IvfRecall {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IvfRecall <embDir> [kCent] [topK] [nQueries] [iters]")
+    val dir = args(0)
+    val kCent = args.lift(1).map(_.toInt).getOrElse(16)
+    val topK = args.lift(2).map(_.toInt).getOrElse(20)
+    val nQueries = args.lift(3).map(_.toInt).getOrElse(24)
+    val iters = args.lift(4).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val n = emb.count()
+    // Deterministic spread: the nQueries ids at ranks 0, n/nQ, 2n/nQ, … — at
+    // scaled corpora the id stride places these across replicas.
+    val ids = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .collect().map(_.getLong(0))
+    val queryIds = (0 until nQueries).map(i => ids(((i.toLong * n) / nQueries).toInt))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val t0 = System.nanoTime()
+    val centroids = SimilaritySearch.kmeansCentroids(emb, "embedding", "vec_id", kCent, iters)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = queries.map { case (qid, q) =>
+      qid -> topIds(SimilaritySearch.bruteForceTopK(emb, "embedding", "vec_id", q, topK))
+    }.toMap
+    val tExact0 = System.nanoTime()
+    queries.foreach { case (_, q) =>
+      SimilaritySearch.bruteForceTopK(emb, "embedding", "vec_id", q, topK).collect()
+    }
+    val exactSec = (System.nanoTime() - tExact0) / 1e9
+    val probes = (Seq(1, 2, 4, 8) ++ Seq(kCent)).distinct.filter(_ <= kCent).sorted
+    val rows = probes.map { nprobe =>
+      val t1 = System.nanoTime()
+      val recalls = queries.map { case (qid, q) =>
+        val got = topIds(SimilaritySearch.ivfTopK(emb, "embedding", "vec_id",
+          centroids, q, nprobe, topK))
+        got.intersect(exact(qid)).size.toDouble / topK
+      }
+      val sec = (System.nanoTime() - t1) / 1e9
+      val mean = recalls.sum / recalls.size
+      val json = f"""{"nprobe":$nprobe,"recall_mean":$mean%.4f,"recall_min":${recalls.min}%.4f,"wall_sec":$sec%.2f,"speedup_vs_exact":${exactSec / sec}%.2f}"""
+      println(json)
+      json
+    }
+    println(s"""{"metric":"ivf_recall","dir":"$dir","n":$n,"k_cent":$kCent,"top_k":$topK,"n_queries":$nQueries,"train_sec":${f"$trainSec%.2f"},"exact_sec":${f"$exactSec%.2f"},"curve":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -340,6 +340,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(full == brute) // probing every list loses nothing
   }
 
+  test("IVF recall: 1.0 at nprobe=k, non-decreasing in nprobe") {
+    // four separated direction clusters in 4-d; query near cluster 0
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(4)(0.02f * (i / 4))
+      v(c) = 1f
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 4
+    val centroids = SimilaritySearch.kmeansCentroids(df, "embedding", "vec_id", k, iters = 3)
+    val topK = 12 // spans clusters, so low nprobe must lose recall
+    val q = Seq(1.0, 0.3, 0.1, 0.05)
+    val exact = SimilaritySearch.bruteForceTopK(df, "embedding", "vec_id", q, topK)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = (1 to k).map { nprobe =>
+      val got = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", centroids, q, nprobe, topK)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size.toDouble / topK
+    }
+    assert(recalls.last == 1.0) // the q65 identity
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }) // nested probe sets
+    assert(recalls.head < 1.0)  // the trade is real: one list cannot hold all of top-12
+  }
+
   test("connected components: chains, stars, disjoint clusters resolve to min-id labels") {
     import graft.operators.DedupSuite
     // chain 1-2-3-4 (propagation must cross hops), star 10-{11,12}, pair 20-21
@@ -696,6 +721,44 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "src")
     assert(DedupSuite.ngramJaccardPairs(distinctDocs, "doc_id", "text", "src",
       n = 1, threshold = 0.9, verifyPruneMinDocs = 0L).count() == 0L)
+  }
+
+  test("segmented verify equals unsegmented (dense-regime disk-bounded path)") {
+    // a corpus where EVERY doc is a candidate: coverage 1.0 keeps the bloom
+    // prune disengaged, so verifyPruneMinDocs=0 routes through the dense
+    // branch, and graft.verifySegments forces the K-pass segmented verify
+    // (the ×1000 one-box disk-wall path). Slices partition the pair set, so
+    // results must be byte-identical, including an empty slice (k=4 over few
+    // pairs leaves some slices pairless).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "b1"), (2L, base + " lambda", "b1"), (3L, base + " mu", "b1"),
+      (4L, base, "b2"), (5L, base + " nu xi", "b2"), (6L, base + " omicron", "b2"))
+      .toDF("doc_id", "text", "src")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    val plainJ = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.5).collect().map(key).toSet
+    val plainC = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
+      n = 2, threshold = 0.8).collect().map(key).toSet
+    for (k <- Seq("2", "4")) {
+      spark.conf.set("graft.verifySegments", k)
+      try {
+        val segJ = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+          n = 2, threshold = 0.5, verifyPruneMinDocs = 0L).collect().map(key).toSet
+        assert(segJ == plainJ && plainJ.nonEmpty, s"k=$k segmented Jaccard diverged")
+        val segC = DedupSuite.ngramContainmentPairs(docs, "doc_id", "text", "src",
+          n = 2, threshold = 0.8, verifyPruneMinDocs = 0L).collect().map(key).toSet
+        assert(segC == plainC && plainC.nonEmpty, s"k=$k segmented containment diverged")
+      } finally spark.conf.unset("graft.verifySegments")
+    }
+    // auto sizing never segments small pair sets even under a 1-byte budget
+    spark.conf.set("graft.verifyDiskBudgetBytes", "1")
+    try {
+      val autoJ = DedupSuite.ngramJaccardPairs(docs, "doc_id", "text", "src",
+        n = 2, threshold = 0.5, verifyPruneMinDocs = 0L).collect().map(key).toSet
+      assert(autoJ == plainJ)
+    } finally spark.conf.unset("graft.verifyDiskBudgetBytes")
   }
 
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
