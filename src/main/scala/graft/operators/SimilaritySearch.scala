@@ -151,18 +151,17 @@ object SimilaritySearch {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Index of the cosine-nearest centroid as a column expression: k scored
-    * structs reduced with `greatest` (codegen'd, no UDF). Ties break toward the
-    * higher index — deterministic. */
+  /** Index of the cosine-nearest centroid: ONE native codegen expression over
+    * the vector with the k×dims centroid matrix embedded as a reference
+    * object ([[graft.expressions.NearestCentroid]]). Ties break toward the
+    * higher index — deterministic, same rule as the previous greatest-struct
+    * formulation, which this replaces because its k·dims literal tree
+    * (~1k `CreateArray` nodes at k=16, dims=64) blew the codegen budget and
+    * dropped whole stages to interpreted evaluation — minutes instead of
+    * sub-second on a 200k-row corpus. */
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(NativeVec.cosine(vec, vecLit(c)).as("s"), lit(i).as("i"))
-    }
-    val best =
-      if (scored.size == 1) scored.head
-      else greatest(scored: _*)
-    best.getField("i")
+    graft.expressions.NearestCentroid(vec, centroids)
   }
 
   /** Deterministic Lloyd k-means over the embedding column — the IVF coarse
@@ -181,9 +180,11 @@ object SimilaritySearch {
       .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(centroids.nonEmpty, "k-means needs a non-empty frame")
     for (_ <- 1 to iters) {
+      // assignment computed in its own projection BELOW the Generate so it
+      // runs once per row, not once per exploded (row, dim) pair
       val means = vecs
-        .select(nearestCentroid(col("v"), centroids).as("c"),
-          posexplode(col("v")).as(Seq("d", "x")))
+        .select(nearestCentroid(col("v"), centroids).as("c"), col("v"))
+        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("c"), col("d")).agg(avg(col("x")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
@@ -209,6 +210,28 @@ object SimilaritySearch {
     bruteForceTopK(
       df.filter(nearestCentroid(col(vecCol), centroids).isin(probed: _*)),
       vecCol, idCol, query, k)
+  }
+
+  /** Precompute the IVF cell assignment as a column — the index-BUILD step.
+    * At corpus scale this runs once and the result is written with
+    * `partitionBy(cellCol)`, so [[ivfTopKAssigned]]'s probe filter becomes
+    * parquet partition pruning (only nprobe/k of the files are read). */
+  def assignCells(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+                  cellCol: String = "ivf_cell"): DataFrame =
+    df.withColumn(cellCol, nearestCentroid(col(vecCol), centroids))
+
+  /** IVF search over a PRE-ASSIGNED corpus ([[assignCells]]): the production
+    * shape — the per-search cost is the probe-cell scan plus top-k, never a
+    * corpus-wide re-assignment. Same results as [[ivfTopK]] with the same
+    * centroids (spec-pinned). */
+  def ivfTopKAssigned(df: DataFrame, vecCol: String, idCol: String,
+                      cellCol: String, centroids: Seq[Seq[Double]],
+                      query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosineScala(query, c), i) }
+      .take(nprobe).map(_._2)
+    bruteForceTopK(df.filter(col(cellCol).isin(probed: _*)), vecCol, idCol, query, k)
   }
 
   /** Sign-LSH bucket id for an embedding: bit b = sign of dot(vec, plane_b),

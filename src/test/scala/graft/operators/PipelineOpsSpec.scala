@@ -355,10 +355,16 @@ class PipelineOpsSpec extends SparkSpec {
     val q = Seq(1.0, 0.3, 0.1, 0.05)
     val exact = SimilaritySearch.bruteForceTopK(df, "embedding", "vec_id", q, topK)
       .collect().map(_.getLong(0)).toSet
+    val assigned = SimilaritySearch.assignCells(df, "embedding", centroids)
     val recalls = (1 to k).map { nprobe =>
       val got = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", centroids, q, nprobe, topK)
-        .collect().map(_.getLong(0)).toSet
-      got.intersect(exact).size.toDouble / topK
+        .collect().map(_.getLong(0)).toSeq
+      // pre-assigned search (the production index shape) ≡ on-the-fly ivfTopK
+      val gotAssigned = SimilaritySearch.ivfTopKAssigned(assigned, "embedding",
+        "vec_id", "ivf_cell", centroids, q, nprobe, topK)
+        .collect().map(_.getLong(0)).toSeq
+      assert(gotAssigned == got, s"nprobe=$nprobe assigned path diverged")
+      got.toSet.intersect(exact).size.toDouble / topK
     }
     assert(recalls.last == 1.0) // the q65 identity
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }) // nested probe sets
