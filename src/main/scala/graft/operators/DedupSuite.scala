@@ -391,19 +391,26 @@ object DedupSuite {
           prunedBy(c2, bloomBits(dIds), "id_b")))
       else {
         // DENSE regime: candidate docs cover the corpus, so the bloom prune
-        // cannot shrink the verify joins — on a one-box ×1000 dense corpus the
-        // two gram-side shuffles spill past local disk (~185 GB extrapolated
-        // vs 75 GB available, the round-7 open cell). SEGMENTED verify bounds
+        // cannot shrink the verify joins — on a one-box ×1000 dense corpus
+        // the verify stages spill past local disk (~185 GB extrapolated vs
+        // 75 GB available, the round-7 open cell). SEGMENTED verify bounds
         // peak disk instead: split the pair set into K disjoint hash slices
         // and run the verify join per slice as its own eagerly-materialized
-        // pass. Per pass the slice's candidate docs are ~1/K of the corpus, so
-        // the SAME bloom prune that was useless globally engages per pass, and
-        // each pass's shuffle is ~1/K of the whole. `finish` (the caller's
-        // threshold filter) runs inside the pass, so only surviving near-dup
-        // rows are checkpointed — pass results are output-sized, not
-        // join-sized. Between passes an explicit GC lets the ContextCleaner
-        // drop the finished pass's shuffle files, which is what actually
-        // bounds peak disk at ~budget/K. Results are byte-identical to the
+        // pass. The term that actually scales with K is the dominant one —
+        // the pair×gram-array join intermediate (each pair carries a full
+        // sorted hash array between the two joins, 2·pairs·meanGram bytes;
+        // the verifySegmentCount estimate is exactly this term) — while the
+        // two gram-index shuffles repeat per pass at full size (bounded: the
+        // index is corpus-sized, not pair-sized). On low-degree corpora a
+        // slice can also be doc-sparse; the per-slice bloom prune re-arms
+        // under the SAME coverage gate as the global one (on high-degree
+        // dense corpora every doc lands in ~every slice, and skipping the
+        // prune avoids its measured 16 MB-filter-per-task overhead).
+        // `finish` (the caller's threshold filter) runs inside the pass, so
+        // only surviving near-dup rows are checkpointed — pass results are
+        // output-sized, not join-sized. Between passes an explicit GC lets
+        // the ContextCleaner drop the finished pass's shuffle files, which
+        // is what bounds peak disk. Results are byte-identical to the
         // unsegmented join (spec-pinned): the slices partition the pair set.
         val k = verifySegmentCount(conf, c2, gramArr, docsN)
         if (k <= 1) finish(join3(c2, gramArr, gramArr))
@@ -415,9 +422,13 @@ object DedupSuite {
               .localCheckpoint(true)
             val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
               .distinct().count()
-            val nb = bloomBits(csIds)
-            val out = finish(join3(cs, prunedBy(cs, nb, "id_a"),
-              prunedBy(cs, nb, "id_b"))).localCheckpoint(true)
+            val (ga, gb) = if (csIds * 4 < docsN) {
+              val nb = bloomBits(csIds)
+              (prunedBy(cs, nb, "id_a"), prunedBy(cs, nb, "id_b"))
+            } else (gramArr, gramArr)
+            System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
+              s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
+            val out = finish(join3(cs, ga, gb)).localCheckpoint(true)
             System.gc()
             out
           }
