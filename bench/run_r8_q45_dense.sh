@@ -14,12 +14,12 @@ HEAD_DESC=$(git describe --always --dirty 2>/dev/null || git rev-parse --short H
 echo "=== q45 dense x1000 segmented ($HEAD_DESC) $(date +%H:%M:%S)"
 df -B1G --output=avail / | tail -1 | xargs echo "free disk GB before:"
 # 256 shuffle partitions: the q84 x1000 experiment showed per-task sorts at
-# 32 partitions spill 5.1 GB that 256 removes entirely. 6 GiB disk budget →
+# 32 partitions spill 5.1 GB that 256 removes entirely. 12 GiB disk budget →
 # the auto-sizer cuts the pair×array intermediate into ~est/6GiB passes.
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/root/repo/bench/data/x1000 \
   SPARK_GRAFT_SCALE_LABEL=x1000denseq45 SPARK_GRAFT_RERUN_BUDGET=0 \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-  SPARK_GRAFT_EXTRA_CONFS="graft.verifyDiskBudgetBytes=6442450944" \
+  SPARK_GRAFT_EXTRA_CONFS="graft.verifyDiskBudgetBytes=12884901888" \
   SPARK_GRAFT_SCALE_QUERIES="q45_dedup_jaccard" \
   sbt -batch "runMain graft.ScalingBench" \
   > bench/results/r8_q45_dense_x1000.log 2>&1

@@ -5,7 +5,7 @@ import graft.operators.DedupSuite
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
 
 /** SQL surface for the operator library: every scalar/aggregate capability the
   * Column API exposes, registered as a `graft_`-prefixed SQL function, so
@@ -173,12 +173,60 @@ object SqlFunctions {
       arity("graft_cosine", 2, exprs)
       x(NativeVec.cosine(c(exprs(0)), c(exprs(1)))) }))
 
+  private def strLit(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a STRING literal, got $other")
+  }
+
+  /** TABLE functions — `SELECT * FROM graft_jaccard_pairs('docs', ...)`:
+    * the pair-GENERATING operators, which return a relation rather than a
+    * scalar and therefore cannot ride the scalar registry. The first argument
+    * names a table or temp view in the session catalog (resolved through
+    * `SparkSession.active` at analysis time); the rest are literal operator
+    * parameters, passed to the SAME Scala builders the Column API uses — one
+    * code path, like the scalar surface. Note the Jaccard/containment
+    * builders run their driver-side regime gate (count jobs) during analysis
+    * of the enclosing query; MinHash-pair construction is fully lazy. */
+  val tableRegistry: Seq[(String, Class[_],
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    def plan(df: org.apache.spark.sql.DataFrame) = ColumnBridge.logicalPlan(df)
+    def tbl(name: String) = SparkSession.active.table(name)
+    Seq(
+      ("graft_jaccard_pairs", DedupSuite.getClass, { exprs: Seq[Expression] =>
+        arity("graft_jaccard_pairs", 6, exprs)
+        val f = "graft_jaccard_pairs"
+        plan(DedupSuite.ngramJaccardPairs(tbl(strLit(f, "table", exprs(0))),
+          strLit(f, "idCol", exprs(1)), strLit(f, "textCol", exprs(2)),
+          strLit(f, "blockCol", exprs(3)), intLit(f, "n", exprs(4)),
+          doubleLit(f, "threshold", exprs(5)))) }),
+      ("graft_containment_pairs", DedupSuite.getClass, { exprs: Seq[Expression] =>
+        arity("graft_containment_pairs", 6, exprs)
+        val f = "graft_containment_pairs"
+        plan(DedupSuite.ngramContainmentPairs(tbl(strLit(f, "table", exprs(0))),
+          strLit(f, "idCol", exprs(1)), strLit(f, "textCol", exprs(2)),
+          strLit(f, "blockCol", exprs(3)), intLit(f, "n", exprs(4)),
+          doubleLit(f, "threshold", exprs(5)))) }),
+      ("graft_minhash_pairs", DedupSuite.getClass, { exprs: Seq[Expression] =>
+        arity("graft_minhash_pairs", 6, exprs)
+        val f = "graft_minhash_pairs"
+        plan(DedupSuite.minHashLshPairs(tbl(strLit(f, "table", exprs(0))),
+          strLit(f, "idCol", exprs(1)), strLit(f, "textCol", exprs(2)),
+          intLit(f, "shingleSize", exprs(3)), intLit(f, "numHashes", exprs(4)),
+          intLit(f, "bands", exprs(5)))) }))
+  }
+
   /** Runtime registration on an existing session (the `spark.sql.extensions`
     * path only applies at session creation). Idempotent: re-registering a
     * name replaces the identical builder. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     registry.foreach { case (name, cls, builder) =>
       ColumnBridge.registerFunction(spark, name,
         new ExpressionInfo(cls.getName, name), builder)
     }
+    tableRegistry.foreach { case (name, cls, builder) =>
+      ColumnBridge.registerTableFunction(spark, name,
+        new ExpressionInfo(cls.getName, name), builder)
+    }
+  }
 }

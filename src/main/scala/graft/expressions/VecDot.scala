@@ -124,5 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    SqlFunctions.tableRegistry.foreach { case (name, cls, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
   }
 }

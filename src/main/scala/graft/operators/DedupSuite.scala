@@ -373,8 +373,14 @@ object DedupSuite {
     else {
       // candidate pairs are consumed up to four times on this path (distinct-id
       // count, two bloom aggregates, the verify join) — materialize once;
-      // pair-count sized (ids only), far narrower than the gram index
-      val c2 = cand.localCheckpoint(true)
+      // pair-count sized (ids only), far narrower than the gram index.
+      // DISK_ONLY: above the gate the pair set can reach 10⁸–10⁹ rows (dense
+      // ×1000 measured 6.1×10⁸), and the default MEMORY_AND_DISK put competes
+      // with the distinct's execution memory for the same unified pool — the
+      // r8 dense leg OOM'd a 48g heap exactly there. Sequential disk re-reads
+      // of 16-byte pairs are cheap; heap is the scarce resource.
+      val c2 = cand.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val dIds = c2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct().count()
       val engaged = dIds * 4 < docsN
@@ -419,7 +425,8 @@ object DedupSuite {
           val passes = (0 until k).map { i =>
             val cs = c2.filter(
               pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
-              .localCheckpoint(true)
+              .localCheckpoint(true,
+                org.apache.spark.storage.StorageLevel.DISK_ONLY)
             val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
               .distinct().count()
             val (ga, gb) = if (csIds * 4 < docsN) {
@@ -489,7 +496,9 @@ object DedupSuite {
     * recomputes of a pipeline whose checkpoint would have been ~15 MB).
     * Below [[SmallCorpusBytes]] of optimizer-estimated input the checkpoint
     * is always taken; the estimate comes from Catalyst plan stats (driver
-    * metadata, zero jobs). */
+    * metadata, zero jobs — for a parquet scan this is the COMPRESSED file
+    * size, so the bound is deliberately conservative: the 5M-doc corpus where
+    * recompute won measures ~890 MB of parquet). */
   private def maybeMaterializeGrams(df: DataFrame, default: Boolean): DataFrame =
     if (df.sparkSession.conf.getOption("graft.gramIndexMaterialize")
         .map(_.toBoolean).getOrElse(default)) df.localCheckpoint(true)
@@ -499,7 +508,7 @@ object DedupSuite {
     * index is checkpointed regardless of gram shape: the r7 5M-doc corpora
     * where n=1 recompute won were multi-GB; sf0.1-class corpora are tens of
     * MB and the checkpoint is strictly cheaper there. */
-  private val SmallCorpusBytes = BigInt(1L << 30)
+  private val SmallCorpusBytes = BigInt(256L << 20)
 
   private def isSmallCorpus(df: DataFrame): Boolean =
     try df.queryExecution.optimizedPlan.stats.sizeInBytes < SmallCorpusBytes

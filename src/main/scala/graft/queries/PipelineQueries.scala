@@ -884,6 +884,18 @@ object PipelineQueries {
           graft_fingerprint_md5(text) AS fp,
           graft_hash_bucket(graft_fingerprint_md5(text), 100) AS bucket
         FROM graft_docs ORDER BY doc_id""")
+    }),
+
+    // q118: the TABLE-function surface — the pair-generating dedup operators
+    // reachable from a pure-SQL FROM clause (same builders as the Scala API,
+    // resolved through the session's TableFunctionRegistry). Same operator
+    // parameters as q45, so the DuckDB oracle is q45's pair pipeline.
+    "q118_sql_table_fn" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT id_a, id_b, inter, size_a, size_b, jaccard
+          FROM graft_jaccard_pairs('graft_docs', 'doc_id', 'text', 'source', 1, 0.8)
+          ORDER BY id_a, id_b""")
     })
   )
 
@@ -1123,6 +1135,19 @@ object PipelineQueries {
     "q44_dedup_exact" ->
       "SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY digest",
     "q45_dedup_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source, unnest(list_distinct($tokensSql)) AS gram FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS s FROM w GROUP BY 1),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM w a JOIN w b ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+         |      GROUP BY 1,2)
+         |SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b,
+         | CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/CAST(sa.s + sb.s - inter AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q118 = the same pair computation as q45 (the TVF routes through the
+    // same Scala builder with identical parameters)
+    "q118_sql_table_fn" ->
       s"""WITH w AS (SELECT doc_id, source, unnest(list_distinct($tokensSql)) AS gram FROM documents),
          |sz AS (SELECT doc_id, count(*) AS s FROM w GROUP BY 1),
          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -56,4 +56,15 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Runtime TABLE-function registration — `SELECT * FROM fn(args)` in the
+    * FROM clause resolves through the session's TableFunctionRegistry. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

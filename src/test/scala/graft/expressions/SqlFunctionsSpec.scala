@@ -97,6 +97,37 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("table functions: FROM-clause pair generators ≡ Scala API") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val sqlJ = rows(spark.sql(
+      "SELECT * FROM graft_jaccard_pairs('docs', 'id', 'text', 'source', 2, 0.5)"))
+    val apiJ = rows(DedupSuite.ngramJaccardPairs(df, "id", "text", "source",
+      n = 2, threshold = 0.5))
+    assert(sqlJ == apiJ && apiJ.nonEmpty)
+    val sqlC = rows(spark.sql(
+      "SELECT * FROM graft_containment_pairs('docs', 'id', 'text', 'source', 2, 0.5)"))
+    val apiC = rows(DedupSuite.ngramContainmentPairs(df, "id", "text", "source",
+      n = 2, threshold = 0.5))
+    assert(sqlC == apiC)
+    val sqlM = rows(spark.sql(
+      "SELECT * FROM graft_minhash_pairs('docs', 'id', 'text', 2, 8, 4)"))
+    val apiM = rows(DedupSuite.minHashLshPairs(df, "id", "text",
+      shingleSize = 2, numHashes = 8, bands = 4))
+    assert(sqlM == apiM)
+    // TVF output composes like any relation: aggregate over it in the same query
+    val n = spark.sql(
+      """SELECT count(*) AS n
+        |FROM graft_jaccard_pairs('docs', 'id', 'text', 'source', 2, 0.5)
+        |WHERE jaccard >= 0.5""".stripMargin).head().getLong(0)
+    assert(n == apiJ.size.toLong)
+    // non-literal table name is a clear error, not a silent empty relation
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft_jaccard_pairs(id, 'id', 'text', 'source', 2, 0.5)"))
+    assert(err.getMessage.contains("STRING literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"))
+  }
+
   test("sketch aggregates group-wise: SQL ≡ Column API") {
     val sql = spark.sql(
       """SELECT source,
