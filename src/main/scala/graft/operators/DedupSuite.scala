@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at training-data scale: exact, MinHash+LSH, SimHash,
@@ -422,6 +423,11 @@ object DedupSuite {
         if (k <= 1) finish(join3(c2, gramArr, gramArr))
         else {
           System.err.println(s"[graft.dedup] segmented verify: k=$k")
+          // The gram index feeds 2k pass subtrees — the recompute-vs-
+          // materialize trade that favored recompute at 4 subtrees flips
+          // decisively here. DISK_ONLY: ~250 B/doc of blocks vs heap.
+          val gramM = gramArr.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
           val passes = (0 until k).map { i =>
             val cs = c2.filter(
               pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
@@ -432,13 +438,21 @@ object DedupSuite {
             val (ga, gb) = if (csIds * 4 < docsN) {
               val nb = bloomBits(csIds)
               (prunedBy(cs, nb, "id_a"), prunedBy(cs, nb, "id_b"))
-            } else (gramArr, gramArr)
+            } else (gramM, gramM)
             System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
               s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
             val out = finish(join3(cs, ga, gb)).localCheckpoint(true)
+            // Deterministic per-pass reclaim — the r8 dense leg died of disk
+            // exhaustion relying on GC-triggered ContextCleaner waves alone:
+            // drop the slice's blocks synchronously, then give the (async)
+            // cleaner a GC nudge and a moment to drain the pass's shuffle-
+            // file deletions before the next pass starts writing.
+            ColumnBridge.unpersistFrame(cs, blocking = true)
             System.gc()
+            Thread.sleep(2000)
             out
           }
+          ColumnBridge.unpersistFrame(gramM, blocking = true)
           passes.reduce(_ union _)
         }
       }

@@ -57,6 +57,18 @@ object ColumnBridge {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** Synchronously drop the block-store blocks behind a `localCheckpoint`'ed
+    * frame (the checkpoint RDD inside its LogicalRDD leaf). `Dataset
+    * .unpersist` only talks to the cache manager, which knows nothing about
+    * checkpoint RDDs — without this, a loop of per-pass checkpoints can only
+    * be reclaimed by GC-triggered ContextCleaner waves, which are async and
+    * can lag multiple passes behind the disk they need to free. */
+  def unpersistFrame(df: org.apache.spark.sql.DataFrame, blocking: Boolean): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
+
   /** Runtime TABLE-function registration — `SELECT * FROM fn(args)` in the
     * FROM clause resolves through the session's TableFunctionRegistry. */
   def registerTableFunction(
