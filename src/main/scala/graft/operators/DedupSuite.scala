@@ -341,7 +341,8 @@ object DedupSuite {
                                     finish: DataFrame => DataFrame = identity)
   : DataFrame = {
     import graft.expressions.BloomFilters
-    val conf = cand.sparkSession.conf
+    val spark = cand.sparkSession
+    val conf = spark.conf
     // Session-conf override for the docs gate — the A/B experimentation knob
     // (set it above the corpus size to force the plain two-join tail, e.g. to
     // measure the prune's win on a sparse corpus). Results are identical on
@@ -429,6 +430,16 @@ object DedupSuite {
           val gramM = gramArr.localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.DISK_ONLY)
           val passes = (0 until k).map { i =>
+            // Deterministic per-pass reclaim — the r8 dense leg died of disk
+            // exhaustion at pass 12/18 relying on GC-triggered ContextCleaner
+            // waves alone (async; lagged the pass rate). Snapshot the
+            // registered shuffle IDs, run the pass, eagerly checkpoint its
+            // (output-sized) result, then synchronously delete exactly the
+            // shuffles this pass created: once `out` is materialized nothing
+            // can re-read them (cs/gramM are checkpointed blocks, not
+            // shuffles, and each pass is its own execution — no cross-pass
+            // exchange reuse).
+            val shufflesBefore = ColumnBridge.registeredShuffleIds(spark)
             val cs = c2.filter(
               pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
               .localCheckpoint(true,
@@ -442,14 +453,10 @@ object DedupSuite {
             System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
               s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
             val out = finish(join3(cs, ga, gb)).localCheckpoint(true)
-            // Deterministic per-pass reclaim — the r8 dense leg died of disk
-            // exhaustion relying on GC-triggered ContextCleaner waves alone:
-            // drop the slice's blocks synchronously, then give the (async)
-            // cleaner a GC nudge and a moment to drain the pass's shuffle-
-            // file deletions before the next pass starts writing.
             ColumnBridge.unpersistFrame(cs, blocking = true)
-            System.gc()
-            Thread.sleep(2000)
+            val passShuffles =
+              ColumnBridge.registeredShuffleIds(spark) -- shufflesBefore
+            ColumnBridge.cleanupShuffles(spark, passShuffles)
             out
           }
           ColumnBridge.unpersistFrame(gramM, blocking = true)

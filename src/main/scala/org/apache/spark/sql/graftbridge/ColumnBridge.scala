@@ -69,6 +69,29 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** Shuffle IDs currently registered with the driver's MapOutputTracker.
+    * Snapshot before a bounded unit of work; the set difference afterwards is
+    * exactly the shuffles that unit created. */
+  def registeredShuffleIds(spark: org.apache.spark.sql.SparkSession): Set[Int] =
+    spark.sparkContext.env.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        m.shuffleStatuses.keySet.toSet
+      case _ => Set.empty
+    }
+
+  /** Synchronously unregister the given shuffles and delete their map-output
+    * files. The ContextCleaner normally does this only when a GC proves the
+    * ShuffleDependency unreachable — an async path that can lag many passes
+    * behind the disk it needs to free (a segmented pass loop died of disk
+    * exhaustion at pass 12/18 relying on it). Callers must guarantee the
+    * shuffles are dead: every consumer's result already eagerly checkpointed,
+    * nothing recomputable left that reads them. */
+  def cleanupShuffles(spark: org.apache.spark.sql.SparkSession,
+                      ids: Set[Int]): Unit =
+    spark.sparkContext.cleaner.foreach { c =>
+      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+
   /** Runtime TABLE-function registration — `SELECT * FROM fn(args)` in the
     * FROM clause resolves through the session's TableFunctionRegistry. */
   def registerTableFunction(
