@@ -19,7 +19,7 @@ df -B1G --output=avail / | tail -1 | xargs echo "free disk GB before:"
 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR=/root/repo/bench/data/x1000 \
   SPARK_GRAFT_SCALE_LABEL=x1000denseq45 SPARK_GRAFT_RERUN_BUDGET=0 \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-  SPARK_GRAFT_EXTRA_CONFS="graft.verifyDiskBudgetBytes=12884901888" \
+  SPARK_GRAFT_EXTRA_CONFS="graft.verifyDiskBudgetBytes=12884901888;spark.rdd.compress=true" \
   SPARK_GRAFT_SCALE_QUERIES="q45_dedup_jaccard" \
   sbt -batch "runMain graft.ScalingBench" \
   > bench/results/r8_q45_dense_x1000.log 2>&1

@@ -452,7 +452,16 @@ object DedupSuite {
             } else (gramM, gramM)
             System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
               s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
-            val out = finish(join3(cs, ga, gb)).localCheckpoint(true)
+            // DISK_ONLY: pass results are retained until the final union is
+            // consumed, and on an adversarially dense corpus "output-sized"
+            // is join-sized (nearly every candidate pair survives the
+            // threshold — measured 4.4 GB/pass × 18 passes at dense ×1000,
+            // itself a disk wall). Serialized disk blocks honor
+            // spark.rdd.compress (the scale legs set it), cutting the
+            // retained bytes ~3×; the default deserialized level would also
+            // compete with the join stages for the 48g heap.
+            val out = finish(join3(cs, ga, gb)).localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
             ColumnBridge.unpersistFrame(cs, blocking = true)
             val passShuffles =
               ColumnBridge.registeredShuffleIds(spark) -- shufflesBefore
