@@ -767,6 +767,24 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.verifyDiskBudgetBytes")
   }
 
+  test("shuffle-ID snapshot/cleanup bridge reclaims exactly the pass delta") {
+    // the mechanism the segmented verify's disk bound rests on (the dense
+    // ×1000 leg died of disk exhaustion when reclaim was left to the async
+    // ContextCleaner): shuffles created between two snapshots can be deleted
+    // synchronously, and a result checkpointed before the cleanup still reads.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val before = ColumnBridge.registeredShuffleIds(spark)
+    val agg = spark.range(0, 1000, 1, 4).withColumn("k", col("id") % 10)
+      .groupBy("k").agg(sum("id").as("s")).localCheckpoint(true)
+    val created = ColumnBridge.registeredShuffleIds(spark) -- before
+    assert(created.nonEmpty, "the groupBy must have registered a shuffle")
+    ColumnBridge.cleanupShuffles(spark, created)
+    assert((ColumnBridge.registeredShuffleIds(spark) & created).isEmpty,
+      "cleaned shuffle IDs must be unregistered from the MapOutputTracker")
+    // the checkpointed frame no longer depends on the deleted shuffle
+    assert(agg.agg(sum("s")).collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101L to 103L).map(i => (i, "small"))).toDF("doc_id", "source")
