@@ -4,8 +4,8 @@
 # quiet gaps the fixed-work probes can land in — and show the new
 # bursty_contention verdict flags the run even when the probe-based
 # inflation_estimate stays under the 2.0 contended threshold (the r7 gap).
-# Leg 1 (clean) must stay all-false; leg 2 (pulsed 32-hog load, 1.2 s on /
-# 2.0 s off) must record bursty_contention:true.
+# Leg 1 (clean) must stay all-false; leg 2 (pulsed 32-hog load, 1.8 s on /
+# 1.2 s off — matching pulsed_load below) must record bursty_contention:true.
 set -u
 cd /root/repo
 Q=q69_curation,q77_tfidf_topterms,q87_passage_dedup
@@ -23,9 +23,14 @@ print(f"{sys.argv[1]}: total={d['value']:.1f}s contended={d['contended_run']} "
 EOF
 }
 
-pulsed_load() {  # 32 spinners, 1.8 s on / 1.2 s off (~r7's measured ~1.7x inflation), until killed
+# 32 spinners, 1.8 s on / 1.2 s off (~r7's measured ~1.7x inflation), until
+# killed. GRAFT_BURSTY_SPINNER is an inert marker so teardown can pkill THIS
+# script's spinners only, not any unrelated busy-loop on a shared host.
+pulsed_load() {
   while :; do
-    for _ in $(seq 32); do (timeout 1.8 bash -c 'while :; do :; done') & done
+    for _ in $(seq 32); do
+      (timeout 1.8 bash -c 'GRAFT_BURSTY_SPINNER=1; while :; do :; done') &
+    done
     wait
     sleep 1.2
   done
@@ -36,5 +41,5 @@ run_leg clean
 echo "=== bursty leg $(date +%H:%M:%S)"
 pulsed_load & LOAD_PID=$!
 run_leg loaded
-kill "$LOAD_PID" 2>/dev/null; pkill -f 'while :; do :; done' 2>/dev/null
+kill "$LOAD_PID" 2>/dev/null; pkill -f 'GRAFT_BURSTY_SPINNER' 2>/dev/null
 echo "BURSTY AB COMPLETE $(date +%H:%M:%S)"

@@ -180,18 +180,28 @@ object SqlFunctions {
   }
 
   /** TABLE functions — `SELECT * FROM graft_jaccard_pairs('docs', ...)`:
-    * the pair-GENERATING operators, which return a relation rather than a
-    * scalar and therefore cannot ride the scalar registry. The first argument
-    * names a table or temp view in the session catalog (resolved through
-    * `SparkSession.active` at analysis time); the rest are literal operator
-    * parameters, passed to the SAME Scala builders the Column API uses — one
-    * code path, like the scalar surface. Note the Jaccard/containment
-    * builders run their driver-side regime gate (count jobs) during analysis
-    * of the enclosing query; MinHash-pair construction is fully lazy. */
-  val tableRegistry: Seq[(String, Class[_],
+    * the operators that return a RELATION rather than a scalar and therefore
+    * cannot ride the scalar registry. The first argument names a table or
+    * temp view, resolved against `session` — [[registerAll]] passes the
+    * session it was handed (captured at registration, so analysis from a
+    * thread whose `SparkSession.active` differs still resolves the catalog
+    * the caller registered against), while the [[GraftExtensions]] config
+    * path passes `SparkSession.active` by name (no session exists at
+    * injection; `sql()`/`ofRows` run analysis inside `withActive`, so active
+    * IS the analyzing session there). The remaining arguments are literal
+    * operator parameters, passed to the SAME Scala builders the Column API
+    * uses — one code path, like the scalar surface.
+    *
+    * SIDE-EFFECT CAVEAT (user-facing): the Jaccard/containment builders run
+    * their driver-side regime gate — count jobs, and possibly a gram-index
+    * `localCheckpoint` — while the enclosing query is ANALYZED, so even
+    * `EXPLAIN SELECT ... FROM graft_jaccard_pairs(...)` launches Spark jobs.
+    * That is the cost of one code path with the adaptive Scala operator;
+    * MinHash-pair and group-topk construction are fully lazy. */
+  def tableRegistry(session: () => SparkSession): Seq[(String, Class[_],
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
     def plan(df: org.apache.spark.sql.DataFrame) = ColumnBridge.logicalPlan(df)
-    def tbl(name: String) = SparkSession.active.table(name)
+    def tbl(name: String) = session().table(name)
     Seq(
       ("graft_jaccard_pairs", DedupSuite.getClass, { exprs: Seq[Expression] =>
         arity("graft_jaccard_pairs", 6, exprs)
@@ -213,18 +223,43 @@ object SqlFunctions {
         plan(DedupSuite.minHashLshPairs(tbl(strLit(f, "table", exprs(0))),
           strLit(f, "idCol", exprs(1)), strLit(f, "textCol", exprs(2)),
           intLit(f, "shingleSize", exprs(3)), intLit(f, "numHashes", exprs(4)),
-          intLit(f, "bands", exprs(5)))) }))
+          intLit(f, "bands", exprs(5)))) }),
+      // graft_group_topk('tbl', 'g1,g2', 'score desc, id asc', k): the custom
+      // whole-operator plan (bounded per-group heaps, k rows per
+      // (partition, group) at the exchange — see graft.plans.GroupTopK) from
+      // a pure-SQL FROM clause. Order specs default to asc; include a unique
+      // tie-break column for a deterministic boundary, as with the Scala API.
+      ("graft_group_topk", graft.plans.GroupTopK.getClass, { exprs: Seq[Expression] =>
+        arity("graft_group_topk", 4, exprs)
+        val f = "graft_group_topk"
+        val groups = strLit(f, "groupCols", exprs(1)).split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val orderBy = strLit(f, "orderBy", exprs(2)).split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+            spec.split("\\s+") match {
+              case Array(name) => (name, true)
+              case Array(name, dir) if dir.equalsIgnoreCase("asc") => (name, true)
+              case Array(name, dir) if dir.equalsIgnoreCase("desc") => (name, false)
+              case _ => throw new IllegalArgumentException(
+                s"$f: orderBy spec '$spec' is not 'col [asc|desc]'")
+            }
+          }
+        require(groups.nonEmpty && orderBy.nonEmpty,
+          s"$f: groupCols and orderBy must be non-empty")
+        plan(graft.plans.GroupTopK.topK(tbl(strLit(f, "table", exprs(0))),
+          groups, orderBy, intLit(f, "k", exprs(3)))) }))
   }
 
   /** Runtime registration on an existing session (the `spark.sql.extensions`
     * path only applies at session creation). Idempotent: re-registering a
-    * name replaces the identical builder. */
+    * name replaces the identical builder. Table functions resolve their table
+    * argument against THIS session, captured here (see [[tableRegistry]]). */
   def registerAll(spark: SparkSession): Unit = {
     registry.foreach { case (name, cls, builder) =>
       ColumnBridge.registerFunction(spark, name,
         new ExpressionInfo(cls.getName, name), builder)
     }
-    tableRegistry.foreach { case (name, cls, builder) =>
+    tableRegistry(() => spark).foreach { case (name, cls, builder) =>
       ColumnBridge.registerTableFunction(spark, name,
         new ExpressionInfo(cls.getName, name), builder)
     }

@@ -124,7 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name),
         builder))
     }
-    SqlFunctions.tableRegistry.foreach { case (name, cls, builder) =>
+    // no session exists at injection time; `SparkSession.active` is evaluated
+    // lazily inside the analyzing session's `withActive` scope (see
+    // SqlFunctions.tableRegistry scaladoc)
+    SqlFunctions.tableRegistry(() => org.apache.spark.sql.SparkSession.active)
+      .foreach { case (name, cls, builder) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),

@@ -359,11 +359,17 @@ object DedupSuite {
     // ~16 bits/key at the candidate-id cardinality, clamped to [1 MB, 16 MB]
     def bloomBits(nKeys: Long): Int = math.min(1L << 27, math.max(1L << 23,
       java.lang.Long.highestOneBit(math.max(1L, nKeys * 16)) << 1)).toInt
-    def prunedBy(c: DataFrame, numBits: Int, side: String): DataFrame = {
+    // `gram` defaults to the outer (possibly unmaterialized) index; the
+    // segmented branch passes its DISK_ONLY checkpoint instead — filtering
+    // the outer frame there would recompute the full scan+tokenize+shingle
+    // gram pipeline twice per pass, defeating the reason the checkpoint
+    // exists on exactly the ×1000 corpora that branch targets.
+    def prunedBy(c: DataFrame, numBits: Int, side: String,
+                 gram: DataFrame = gramArr): DataFrame = {
       val bytes = c
         .agg(BloomFilters.bloomAgg(xxhash64(col(side)), numBits, 5).as("bf"))
         .collect()(0).getAs[Array[Byte]](0)
-      gramArr.filter(BloomFilters.mightContain(lit(bytes), xxhash64(col("id"))))
+      gram.filter(BloomFilters.mightContain(lit(bytes), xxhash64(col("id"))))
     }
     // One count job only: gramArr may or may not be materialized (the
     // shape-dependent maybeMaterializeGrams default skips the checkpoint for
@@ -432,39 +438,41 @@ object DedupSuite {
           val passes = (0 until k).map { i =>
             // Deterministic per-pass reclaim — the r8 dense leg died of disk
             // exhaustion at pass 12/18 relying on GC-triggered ContextCleaner
-            // waves alone (async; lagged the pass rate). Snapshot the
-            // registered shuffle IDs, run the pass, eagerly checkpoint its
-            // (output-sized) result, then synchronously delete exactly the
-            // shuffles this pass created: once `out` is materialized nothing
-            // can re-read them (cs/gramM are checkpointed blocks, not
-            // shuffles, and each pass is its own execution — no cross-pass
-            // exchange reuse).
-            val shufflesBefore = ColumnBridge.registeredShuffleIds(spark)
-            val cs = c2.filter(
-              pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
-              .localCheckpoint(true,
-                org.apache.spark.storage.StorageLevel.DISK_ONLY)
-            val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
-              .distinct().count()
-            val (ga, gb) = if (csIds * 4 < docsN) {
-              val nb = bloomBits(csIds)
-              (prunedBy(cs, nb, "id_a"), prunedBy(cs, nb, "id_b"))
-            } else (gramM, gramM)
-            System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
-              s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
-            // DISK_ONLY: pass results are retained until the final union is
-            // consumed, and on an adversarially dense corpus "output-sized"
-            // is join-sized (nearly every candidate pair survives the
-            // threshold — measured 4.4 GB/pass × 18 passes at dense ×1000,
-            // itself a disk wall). Serialized disk blocks honor
-            // spark.rdd.compress (the scale legs set it), cutting the
-            // retained bytes ~3×; the default deserialized level would also
-            // compete with the join stages for the 48g heap.
-            val out = finish(join3(cs, ga, gb)).localCheckpoint(true,
-              org.apache.spark.storage.StorageLevel.DISK_ONLY)
-            ColumnBridge.unpersistFrame(cs, blocking = true)
-            val passShuffles =
-              ColumnBridge.registeredShuffleIds(spark) -- shufflesBefore
+            // waves alone (async; lagged the pass rate). Run the pass under a
+            // tracked-shuffle scope (job-group listener ∩ registration
+            // delta — so a concurrent query's live shuffle can never land in
+            // the reclaim set), eagerly checkpoint its (output-sized)
+            // result, then synchronously delete exactly the shuffles this
+            // pass created: once `out` is materialized nothing can re-read
+            // them (cs/gramM are checkpointed blocks, not shuffles, and each
+            // pass is its own execution — no cross-pass exchange reuse).
+            val (out, passShuffles) =
+              ColumnBridge.withTrackedShuffles(spark, s"verify-pass-$i") {
+                val cs = c2.filter(
+                  pmod(xxhash64(col("id_a"), col("id_b")), lit(k)) === i)
+                  .localCheckpoint(true,
+                    org.apache.spark.storage.StorageLevel.DISK_ONLY)
+                val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+                  .distinct().count()
+                val (ga, gb) = if (csIds * 4 < docsN) {
+                  val nb = bloomBits(csIds)
+                  (prunedBy(cs, nb, "id_a", gramM), prunedBy(cs, nb, "id_b", gramM))
+                } else (gramM, gramM)
+                System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
+                  s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
+                // DISK_ONLY: pass results are retained until the final union is
+                // consumed, and on an adversarially dense corpus "output-sized"
+                // is join-sized (nearly every candidate pair survives the
+                // threshold — measured 4.4 GB/pass × 18 passes at dense ×1000,
+                // itself a disk wall). Serialized disk blocks honor
+                // spark.rdd.compress (the scale legs set it), cutting the
+                // retained bytes ~3×; the default deserialized level would also
+                // compete with the join stages for the 48g heap.
+                val o = finish(join3(cs, ga, gb)).localCheckpoint(true,
+                  org.apache.spark.storage.StorageLevel.DISK_ONLY)
+                ColumnBridge.unpersistFrame(cs, blocking = true)
+                o
+              }
             ColumnBridge.cleanupShuffles(spark, passShuffles)
             out
           }
@@ -542,7 +550,28 @@ object DedupSuite {
 
   private def isSmallCorpus(df: DataFrame): Boolean =
     try df.queryExecution.optimizedPlan.stats.sizeInBytes < SmallCorpusBytes
-    catch { case _: Throwable => false }
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The gram index shared by [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: (id, block, harr, sz) where `harr` is the
+    * sorted array of distinct xxhash64 gram hashes. Grams are carried as
+    * 8-byte hashes, never strings: shuffle rows stay narrow and set
+    * intersection compares longs. A cross-doc hash collision would need two
+    * DIFFERENT grams of the same block to collide in 64 bits (~n²/2⁶⁵) —
+    * negligible at any corpus size this targets, and it only perturbs one
+    * `inter` count by 1. Materialization is shape- and scale-dependent — see
+    * [[maybeMaterializeGrams]]; extracting the builder keeps that policy in
+    * ONE place so a change cannot half-land across the two callers. */
+  private def gramIndex(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int): DataFrame = df
+    .select(col(idCol).as("id"), col(blockCol).as("block"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    .select(col("id"), col("block"),
+      array_sort(array_distinct(transform(
+        if (n == 1) col("toks")
+        else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
+    .withColumn("sz", size(col("harr")).cast("long"))
+    .transform(maybeMaterializeGrams(_, default = n > 1 || isSmallCorpus(df)))
 
   /** Jaccard similarity over distinct word n-grams, blocked by `blockCol` (only
     * same-block pairs are compared — at scale the block is an LSH bucket or a
@@ -551,26 +580,13 @@ object DedupSuite {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                         n: Int = 1, threshold: Double = 0.8,
                         verifyPruneMinDocs: Long = VerifyPruneMinDocs): DataFrame = {
-    // Grams are carried as sorted arrays of 8-byte xxhash64 values, never as
-    // strings: shuffle rows stay narrow and set intersection compares longs.
-    // A cross-doc hash collision would need two DIFFERENT grams of the same
-    // block to collide in 64 bits (~n²/2⁶⁵) — negligible at any corpus size
-    // this targets, and it only perturbs one `inter` count by 1.
     // The gram index feeds four subtrees (two candidate sides, two
     // verification joins); whether to MATERIALIZE it once or recompute per
     // subtree is shape-dependent — see maybeMaterializeGrams for the 5M-doc
     // measurements (n=1 token-hash grams: recompute wins; n≥2 shingles:
     // materialize wins 4.4×). At full corpus scale persist the frame to
     // storage instead (the incrementalDedup pattern).
-    val gramArr = df
-      .select(col(idCol).as("id"), col(blockCol).as("block"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("block"),
-        array_sort(array_distinct(transform(
-          if (n == 1) col("toks")
-          else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
-      .withColumn("sz", size(col("harr")).cast("long"))
-      .transform(maybeMaterializeGrams(_, default = n > 1 || isSmallCorpus(df)))
+    val gramArr = gramIndex(df, idCol, textCol, blockCol, n)
     // PPJoin-style prefix filter (exact, no false negatives): under ANY global
     // gram order — here the hash order itself, so no frequency pass is needed —
     // two sets with Jaccard >= t must share a gram inside their first
@@ -622,15 +638,7 @@ object DedupSuite {
     // same four-subtree gram index as ngramJaccardPairs; the default n=3
     // shingle shape materializes (measured 7.9 s → 1.2 s at sf0.1, and 4.4×
     // at 5M docs — see maybeMaterializeGrams)
-    val gramArr = df
-      .select(col(idCol).as("id"), col(blockCol).as("block"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("block"),
-        array_sort(array_distinct(transform(
-          if (n == 1) col("toks")
-          else TextFunctions.wordShinglesOf(col("toks"), n), g => xxhash64(g)))).as("harr"))
-      .withColumn("sz", size(col("harr")).cast("long"))
-      .transform(maybeMaterializeGrams(_, default = n > 1 || isSmallCorpus(df)))
+    val gramArr = gramIndex(df, idCol, textCol, blockCol, n)
     val pref = gramArr.select(col("id"), col("block"), col("sz"),
       explode(slice(col("harr"), lit(1),
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))).as("gh"))

@@ -896,6 +896,21 @@ object PipelineQueries {
       s.sql("""SELECT id_a, id_b, inter, size_a, size_b, jaccard
           FROM graft_jaccard_pairs('graft_docs', 'doc_id', 'text', 'source', 1, 0.8)
           ORDER BY id_a, id_b""")
+    }),
+
+    // q119: the custom GroupTopK WHOLE-OPERATOR from a pure-SQL FROM clause —
+    // the same per-source top-3-by-quality as q112, but reaching the
+    // bounded-heap plan through the TableFunctionRegistry instead of the
+    // Scala API. Same oracle as q112 (the window formulation).
+    "q119_sql_group_topk" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .createOrReplaceTempView("graft_docs_quality")
+      s.sql("""SELECT source, doc_id, quality
+          FROM graft_group_topk('graft_docs_quality', 'source',
+                                'quality desc, doc_id asc', 3)
+          ORDER BY source, doc_id""")
     })
   )
 
@@ -1333,6 +1348,13 @@ object PipelineQueries {
          | coalesce(cl.cleaned, '') AS cleaned_text
          |FROM t0 LEFT JOIN nc USING (doc_id) LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q119_sql_group_topk" ->
+      s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS rn FROM q)
+         |SELECT source, doc_id, quality FROM r WHERE rn <= 3
+         |ORDER BY source, doc_id""".stripMargin,
     "q112_group_topk_plan" ->
       s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
          |r AS (SELECT source, doc_id, quality,

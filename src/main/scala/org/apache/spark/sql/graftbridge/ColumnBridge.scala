@@ -71,7 +71,9 @@ object ColumnBridge {
 
   /** Shuffle IDs currently registered with the driver's MapOutputTracker.
     * Snapshot before a bounded unit of work; the set difference afterwards is
-    * exactly the shuffles that unit created. */
+    * the shuffles registered during it — by ANY thread of the SparkContext,
+    * which is why [[withTrackedShuffles]] intersects this delta with
+    * listener-proven ownership before anything is deleted. */
   def registeredShuffleIds(spark: org.apache.spark.sql.SparkSession): Set[Int] =
     spark.sparkContext.env.mapOutputTracker match {
       case m: org.apache.spark.MapOutputTrackerMaster =>
@@ -79,18 +81,69 @@ object ColumnBridge {
       case _ => Set.empty
     }
 
-  /** Synchronously unregister the given shuffles and delete their map-output
-    * files. The ContextCleaner normally does this only when a GC proves the
-    * ShuffleDependency unreachable — an async path that can lag many passes
-    * behind the disk it needs to free (a segmented pass loop died of disk
-    * exhaustion at pass 12/18 relying on it). Callers must guarantee the
-    * shuffles are dead: every consumer's result already eagerly checkpointed,
-    * nothing recomputable left that reads them. */
-  def cleanupShuffles(spark: org.apache.spark.sql.SparkSession,
-                      ids: Set[Int]): Unit =
-    spark.sparkContext.cleaner.foreach { c =>
-      ids.foreach(id => c.doCleanupShuffle(id, blocking = true))
+  /** Run `body` under a unique job group on the calling thread and return its
+    * result together with the shuffle IDs PROVABLY OWNED by that unit of
+    * work. Ownership is established two ways and intersected:
+    *
+    *   - a `SparkListener` records `StageInfo.shuffleDepId` for every stage
+    *     of every job whose `spark.jobGroup.id` property matches the unique
+    *     group (job groups are thread-local, so jobs submitted concurrently
+    *     by OTHER threads/sessions of the same SparkContext can never match);
+    *   - the MapOutputTracker registration delta across `body` (so a stage
+    *     that merely RE-READS a pre-existing shuffle — e.g. a skipped stage
+    *     over a still-registered exchange — contributes nothing).
+    *
+    * delta ∩ owned = shuffles both created during the unit AND belonging to
+    * its jobs, which is exactly the set [[cleanupShuffles]] may safely
+    * delete while concurrent queries run on the same context. The listener
+    * bus is drained before the set is read (job-start events are async). */
+  def withTrackedShuffles[T](spark: org.apache.spark.sql.SparkSession,
+                             tag: String)(body: => T): (T, Set[Int]) = {
+    val sc = spark.sparkContext
+    val groupId = s"graft-shuffle-scope-$tag-${java.util.UUID.randomUUID()}"
+    val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(
+            _.getProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID) == groupId))
+          js.stageInfos.foreach(_.shuffleDepId.foreach(id => owned.add(id)))
     }
+    val before = registeredShuffleIds(spark)
+    val prevGroup = sc.getLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID)
+    val prevDesc = sc.getLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_DESCRIPTION)
+    sc.addSparkListener(listener)
+    sc.setJobGroup(groupId, s"graft tracked unit: $tag")
+    try {
+      val r = body
+      sc.listenerBus.waitUntilEmpty()
+      val delta = registeredShuffleIds(spark) -- before
+      import scala.jdk.CollectionConverters._
+      (r, delta & owned.asScala.toSet)
+    } finally {
+      sc.removeSparkListener(listener)
+      sc.setLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID, prevGroup)
+      sc.setLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_DESCRIPTION, prevDesc)
+    }
+  }
+
+  /** Synchronously unregister the given shuffles and delete their map-output
+    * files (on executors this is a BlockManager `RemoveShuffle` broadcast,
+    * the same path the ContextCleaner drives — `blocking = true` waits for
+    * every executor's ack). The ContextCleaner alone does this only when a GC
+    * proves the ShuffleDependency unreachable — an async path that can lag
+    * many passes behind the disk it needs to free (a segmented pass loop died
+    * of disk exhaustion at pass 12/18 relying on it). Callers must pass only
+    * shuffles they own — use [[withTrackedShuffles]], whose job-group
+    * listener scoping guarantees a concurrent query's live shuffle can never
+    * land in the set; IDs already unregistered are skipped. */
+  def cleanupShuffles(spark: org.apache.spark.sql.SparkSession,
+                      ids: Set[Int]): Unit = {
+    val live = registeredShuffleIds(spark)
+    spark.sparkContext.cleaner.foreach { c =>
+      (ids & live).foreach(id => c.doCleanupShuffle(id, blocking = true))
+    }
+  }
 
   /** Runtime TABLE-function registration — `SELECT * FROM fn(args)` in the
     * FROM clause resolves through the session's TableFunctionRegistry. */

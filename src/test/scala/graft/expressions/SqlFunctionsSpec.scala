@@ -128,6 +128,28 @@ class SqlFunctionsSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("unresolved"))
   }
 
+  test("graft_group_topk TVF ≡ Scala GroupTopK API (multi-col specs, bad spec errors)") {
+    val scored = df.select(col("source"), col("id"),
+      length(col("text")).cast("double").as("score"))
+    scored.createOrReplaceTempView("scored_docs")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("source"), col("id")).collect().toSeq
+    val viaSql = rows(spark.sql(
+      "SELECT * FROM graft_group_topk('scored_docs', 'source', 'score desc, id asc', 2)"))
+    val viaApi = rows(graft.plans.GroupTopK.topK(scored,
+      Seq("source"), Seq("score" -> false, "id" -> true), k = 2))
+    assert(viaSql == viaApi && viaApi.nonEmpty)
+    // bare column defaults to ascending
+    val ascSql = rows(spark.sql(
+      "SELECT * FROM graft_group_topk('scored_docs', 'source', 'id', 1)"))
+    val ascApi = rows(graft.plans.GroupTopK.topK(scored,
+      Seq("source"), Seq("id" -> true), k = 1))
+    assert(ascSql == ascApi)
+    val bad = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_group_topk('scored_docs', 'source', 'score sideways', 2)"))
+    assert(bad.getMessage.contains("asc|desc"))
+  }
+
   test("sketch aggregates group-wise: SQL ≡ Column API") {
     val sql = spark.sql(
       """SELECT source,

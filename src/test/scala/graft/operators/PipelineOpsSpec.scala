@@ -767,22 +767,47 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.verifyDiskBudgetBytes")
   }
 
-  test("shuffle-ID snapshot/cleanup bridge reclaims exactly the pass delta") {
+  test("tracked-shuffle scope reclaims exactly the unit's own shuffles") {
     // the mechanism the segmented verify's disk bound rests on (the dense
     // ×1000 leg died of disk exhaustion when reclaim was left to the async
-    // ContextCleaner): shuffles created between two snapshots can be deleted
-    // synchronously, and a result checkpointed before the cleanup still reads.
+    // ContextCleaner): shuffles created by the tracked unit's OWN jobs can be
+    // deleted synchronously, a result checkpointed before the cleanup still
+    // reads, and — the scoping property — a shuffle registered by work
+    // OUTSIDE the unit (a concurrent query on the same context in the
+    // original failure shape) is never swept into the reclaim set.
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val before = ColumnBridge.registeredShuffleIds(spark)
-    val agg = spark.range(0, 1000, 1, 4).withColumn("k", col("id") % 10)
-      .groupBy("k").agg(sum("id").as("s")).localCheckpoint(true)
-    val created = ColumnBridge.registeredShuffleIds(spark) -- before
+    val beforeAll = ColumnBridge.registeredShuffleIds(spark)
+    // foreign work racing the tracked unit from another thread
+    val foreign = new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
+    val foreignThread = new Thread(() => {
+      val fb = ColumnBridge.registeredShuffleIds(spark)
+      spark.range(0, 2000, 1, 4).withColumn("k", col("id") % 7)
+        .groupBy("k").agg(sum("id")).localCheckpoint(true)
+      foreign.set(ColumnBridge.registeredShuffleIds(spark) -- fb)
+    })
+    val (agg, created) = ColumnBridge.withTrackedShuffles(spark, "spec") {
+      foreignThread.start()
+      val a = spark.range(0, 1000, 1, 4).withColumn("k", col("id") % 10)
+        .groupBy("k").agg(sum("id").as("s")).localCheckpoint(true)
+      foreignThread.join()
+      a
+    }
     assert(created.nonEmpty, "the groupBy must have registered a shuffle")
+    // scoping: the concurrent thread's shuffles (superset check via the
+    // global delta minus ours) never land in the tracked set
+    val foreignIds = foreign.get() -- created
+    assert((created & foreignIds).isEmpty)
+    assert(foreignIds.nonEmpty || foreign.get().isEmpty,
+      "foreign thread should have registered its own shuffle")
     ColumnBridge.cleanupShuffles(spark, created)
     assert((ColumnBridge.registeredShuffleIds(spark) & created).isEmpty,
       "cleaned shuffle IDs must be unregistered from the MapOutputTracker")
+    // the foreign thread's shuffle survives the cleanup
+    assert((ColumnBridge.registeredShuffleIds(spark) & foreignIds) == foreignIds,
+      "a concurrent query's live shuffle must survive the scoped cleanup")
     // the checkpointed frame no longer depends on the deleted shuffle
     assert(agg.agg(sum("s")).collect()(0).getLong(0) == (0L until 1000L).sum)
+    assert((beforeAll & created).isEmpty)
   }
 
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
