@@ -349,6 +349,15 @@ object DedupSuite {
     // every path, so this only moves the regime choice.
     val minDocs = conf.getOption("graft.verifyPruneMinDocs").map(_.toLong)
       .getOrElse(pruneMinDocs)
+    // Coverage bound for the prune gate (default: engage below 1/4 coverage,
+    // the measured break-even). The second A/B knob: 0 disables the prune
+    // while KEEPING the dense-branch machinery, so "no prune under a capped
+    // disk budget" (segmented passes over the full gram index) is measurable
+    // against "prune, unsegmented" on the same sparse corpus — the knob
+    // verifyPruneMinDocs cannot express (it short-circuits to the plain
+    // unbudgeted two-join before the regime logic).
+    val covMax = conf.getOption("graft.verifyPruneCoverageMax").map(_.toDouble)
+      .getOrElse(0.25)
     def join3(c: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame =
       c.join(ga.select(col("id").as("id_a"), col("harr").as("harr_a"),
           col("sz").as("size_a")), Seq("id_a"))
@@ -391,7 +400,7 @@ object DedupSuite {
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val dIds = c2.select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct().count()
-      val engaged = dIds * 4 < docsN
+      val engaged = dIds.toDouble < covMax * docsN
       // The regime choice is driver-side state that never appears in a plan or
       // result; record it so scale-leg logs carry the decision as evidence.
       // Locale.ROOT: "%.4f" under a comma-decimal locale would break the
@@ -454,12 +463,13 @@ object DedupSuite {
                     org.apache.spark.storage.StorageLevel.DISK_ONLY)
                 val csIds = cs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
                   .distinct().count()
-                val (ga, gb) = if (csIds * 4 < docsN) {
+                val slicePrune = csIds.toDouble < covMax * docsN
+                val (ga, gb) = if (slicePrune) {
                   val nb = bloomBits(csIds)
                   (prunedBy(cs, nb, "id_a", gramM), prunedBy(cs, nb, "id_b", gramM))
                 } else (gramM, gramM)
                 System.err.println(s"[graft.dedup] segmented verify pass $i/$k: " +
-                  s"sliceDocs=$csIds prune=${csIds * 4 < docsN}")
+                  s"sliceDocs=$csIds prune=$slicePrune")
                 // DISK_ONLY: pass results are retained until the final union is
                 // consumed, and on an adversarially dense corpus "output-sized"
                 // is join-sized (nearly every candidate pair survives the

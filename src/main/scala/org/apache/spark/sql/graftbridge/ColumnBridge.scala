@@ -145,6 +145,13 @@ object ColumnBridge {
     }
   }
 
+  /** The DRIVER's disk block-store directories (the `blockmgr-*` roots) —
+    * lets multi-executor disk instrumentation attribute sampled `blockmgr-*`
+    * trees to driver vs executors by exact path instead of guessing. */
+  def driverBlockManagerDirs(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    spark.sparkContext.env.blockManager.diskBlockManager.localDirs
+      .map(_.getAbsolutePath).toSeq
+
   /** Runtime TABLE-function registration — `SELECT * FROM fn(args)` in the
     * FROM clause resolves through the session's TableFunctionRegistry. */
   def registerTableFunction(
