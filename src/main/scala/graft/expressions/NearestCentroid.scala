@@ -96,28 +96,33 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val bi = ctx.freshName("bi"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       val t = ctx.freshName("t"); val m = ctx.freshName("m")
-      val score = ctx.freshName("score")
+      val score = ctx.freshName("score"); val x = ctx.freshName("x")
+      val c = ctx.freshName("c"); val takes = ctx.freshName("takes")
+      // CAUTION: no generated line may BEGIN (after whitespace) with '|' —
+      // outer codegen templates stripMargin their composed strings, which
+      // silently ate a line-leading '||' here (q65 fell back to interpreted
+      // eval for a full round before the fallback was noticed).
       s"""
          |int $n = $v.numElements();
          |double $vv = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double x = ${get(v, i)};
-         |  $vv += x * x;
+         |  double $x = ${get(v, i)};
+         |  $vv += $x * $x;
          |}
          |int $bi = 0;
          |if (!${ev.isNull}) {
          |  double $sv = java.lang.Math.sqrt($vv);
          |  double $best = java.lang.Double.NEGATIVE_INFINITY;
          |  for (int $j = 0; $j < $cRef.length; $j++) {
-         |    double[] c = $cRef[$j];
-         |    int $m = java.lang.Math.min($n, c.length);
+         |    double[] $c = $cRef[$j];
+         |    int $m = java.lang.Math.min($n, $c.length);
          |    double $d = 0.0;
-         |    for (int $t = 0; $t < $m; $t++) { $d += ${get(v, t)} * c[$t]; }
+         |    for (int $t = 0; $t < $m; $t++) { $d += ${get(v, t)} * $c[$t]; }
          |    double $score = $d / ($sv * $nRef[$j]);
-         |    boolean takes = java.lang.Double.isNaN($score)
-         |      || (!java.lang.Double.isNaN($best) && $score >= $best);
-         |    if ($j == 0 || takes) { $best = $score; $bi = $j; }
+         |    boolean $takes = java.lang.Double.isNaN($score) ||
+         |      (!java.lang.Double.isNaN($best) && $score >= $best);
+         |    if ($j == 0 || $takes) { $best = $score; $bi = $j; }
          |  }
          |}
          |${ev.value} = $bi;

@@ -145,6 +145,12 @@ object ColumnBridge {
     }
   }
 
+  /** Block until all queued listener events are delivered — metric listeners
+    * (bytes-read sampling in the measurement tools) are async and a snapshot
+    * taken right after an action can miss its own tasks. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** The DRIVER's disk block-store directories (the `blockmgr-*` roots) —
     * lets multi-executor disk instrumentation attribute sampled `blockmgr-*`
     * trees to driver vs executors by exact path instead of guessing. */
