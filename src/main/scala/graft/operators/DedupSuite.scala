@@ -514,7 +514,9 @@ object DedupSuite {
         val meanSz = gramArr.agg(avg(col("sz"))).collect()(0).getDouble(0)
         val estBytes = 2.0 * candN * meanSz * 8.0
         val k = math.min(64L, math.ceil(estBytes / budget).toLong).toInt
-        if (k > 1) System.err.println(String.format(java.util.Locale.ROOT,
+        // Logged for k=1 too: a leg that stays unsegmented should still show
+        // the gate saw it (est under budget), not that the gate never ran.
+        System.err.println(String.format(java.util.Locale.ROOT,
           "[graft.dedup] segmented verify estimate: pairs=%d meanGramSz=%.1f estBytes=%.2e budget=%d -> k=%d",
           Long.box(candN), Double.box(meanSz), Double.box(estBytes),
           Long.box(budget), Int.box(k)))
