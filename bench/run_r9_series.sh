@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-9 controlled sf0.1 series: 3 full-suite Bench runs on an idle host,
+# recorded so round-9 code (pass-scoped shuffle reclaim, shared gram-index
+# builder, session-pinned TVFs + graft_group_topk/q119, k=1 estimate logging)
+# has per-query medians of record — the r8 series of record (c4dd107)
+# predates every round-9 main-source change. Verdict r8 order #4.
+set -u
+cd /root/repo
+HEAD_DESC=$(git describe --always --dirty 2>/dev/null || git rev-parse --short HEAD)
+for i in 1 2 3; do
+  echo "=== r9 sf0.1 run$i ($HEAD_DESC) $(date +%H:%M:%S)"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    SPARK_GRAFT_BENCH_OUT="bench/results/r9_sf0.1_run$i.json" \
+    sbt -batch "runMain graft.Bench" > "bench/results/r9_sf0.1_run$i.log" 2>&1
+  # stamp provenance into the artifact line (jq-free: append a sibling field)
+  python3 - "bench/results/r9_sf0.1_run$i.json" "$HEAD_DESC" <<'EOF'
+import json, sys
+p, head = sys.argv[1], sys.argv[2]
+d = json.load(open(p))
+d["git_head"] = head
+open(p, "w").write(json.dumps(d, separators=(",", ":")) + "\n")
+EOF
+  grep -E "WARNING|FAILED" "bench/results/r9_sf0.1_run$i.log" | sed 's/^\[error\] //' || true
+  python3 - "bench/results/r9_sf0.1_run$i.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+print(f"run total={d['value']:.1f}s contended={d['contended_run']} bursty={d['bursty_contention']} "
+      f"inflation={d['inflation_estimate']} sentinel_median={d['cpu_ratio_sentinel_median']} "
+      f"calib={d['calibration_pre_sec']:.2f}/{d['calibration_post_sec']:.2f}")
+EOF
+done
+echo "R8 SERIES COMPLETE $(date +%H:%M:%S)"

@@ -91,11 +91,20 @@ object LocalClusterSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    val execs = clusterSpark.sparkContext.getExecutorMemoryStatus.keys.toSeq.sorted
     val t1 = System.nanoTime()
     val clusterRes = runSuite(clusterSpark, sfDir, names)
     val clusterWall = (System.nanoTime() - t1) / 1e9
+    // Task-level topology proof, not a registry sample (a builder-time
+    // getExecutorMemoryStatus sees only the driver's BlockManager — the
+    // standalone executors register asynchronously): collect the executor id
+    // each task actually ran in. In local-cluster these are "0"/"1"; a
+    // driver-executed task would report "driver".
+    val execs = clusterSpark.sparkContext.parallelize(0 until 64, 64)
+      .map(_ => org.apache.spark.SparkEnv.get.executorId).distinct().collect()
+      .toSeq.sorted
     clusterSpark.stop()
+    require(execs.size >= 2 && !execs.contains("driver"),
+      s"expected tasks on >=2 non-driver executors, saw: $execs")
 
     def fmt(r: Either[String, (Long, Long)]): String = r match {
       case Right((n, c)) => s"""{"rows":$n,"chk":$c}"""
@@ -114,7 +123,7 @@ object LocalClusterSuite {
       .mkString("{", ",", "}")
     val record =
       s"""{"metric":"lcluster_suite","master":"$master","corpus":"$sfDir",
-         |"executors":${execs.size},"n_queries":${names.size},
+         |"task_executor_ids":${execs.map(e => "\"" + e + "\"").mkString("[", ",", "]")},"n_queries":${names.size},
          |"n_equal":${rows.count(_._2)},"n_mismatch":${mismatches.size},
          |"mismatches":$detail,
          |"local_wall_sec":${f"$localWall%.1f"},"cluster_wall_sec":${f"$clusterWall%.1f"}}"""
