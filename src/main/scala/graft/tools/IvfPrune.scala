@@ -62,7 +62,11 @@ object IvfPrune {
     SimilaritySearch.assignCells(emb, "embedding", centroids)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(partDir)
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
-    emb.unpersist(true)
+    // Dataset.unpersist is a no-op on a localCheckpointed frame (it only
+    // clears CacheManager entries, not the checkpoint's backing RDD blocks);
+    // drop the blocks for real so the measured probe legs don't compete with
+    // a resident copy of the corpus.
+    ColumnBridge.unpersistFrame(emb, blocking = true)
     val part = spark.read.parquet(partDir)
 
     val listener = new BytesRead

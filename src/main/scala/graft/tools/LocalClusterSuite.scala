@@ -32,9 +32,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object LocalClusterSuite {
 
   private def checksum(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.types.ArrayType
     val rounded = df.columns.foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {
         case DoubleType | FloatType => d.withColumn(c, round(col(c), 6))
+        // one level of array nesting (embedding/score vectors) — deeper
+        // nested doubles (struct fields) would need a per-schema rebuild;
+        // none of the registered queries returns one today
+        case ArrayType(DoubleType | FloatType, _) =>
+          d.withColumn(c, transform(col(c), x => round(x, 6)))
         case _ => d
       }
     }

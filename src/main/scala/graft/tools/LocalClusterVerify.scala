@@ -130,6 +130,9 @@ object LocalClusterVerify {
         (dt, r.getLong(0), r.getLong(1), r.getLong(2), None)
       } catch { case e: Throwable =>
         val dt = (System.nanoTime() - t0) / 1e9
+        // Reset on failure too: a seg leg that dies mid-verify must not leak
+        // its DISK_ONLY checkpoints into the unseg baseline's disk samples.
+        try resetState() catch { case _: Throwable => () }
         (dt, -1L, -1L, -1L, Some(s"${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(200)))
       }
@@ -177,8 +180,8 @@ object LocalClusterVerify {
          |"seg_peak_exec_bytes":${peakIn(segStart, segEnd)},
          |"unseg_peak_exec_bytes":${peakIn(unsegStart, unsegEnd)},
          |"passes":$passJson,
-         |"seg_error":${segErr.map(e => "\"" + e.replace("\"", "'") + "\"").getOrElse("null")},
-         |"unseg_error":${unsegErr.map(e => "\"" + e.replace("\"", "'") + "\"").getOrElse("null")},
+         |"seg_error":${segErr.map(e => "\"" + e.replace("\\", "/").replace("\"", "'") + "\"").getOrElse("null")},
+         |"unseg_error":${unsegErr.map(e => "\"" + e.replace("\\", "/").replace("\"", "'") + "\"").getOrElse("null")},
          |"n_samples":${allSamples.size},"driver_dirs_excluded":${driverDirs.size}}"""
         .stripMargin.replace("\n", "")
     println(record)

@@ -112,11 +112,19 @@ object ColumnBridge {
     val before = registeredShuffleIds(spark)
     val prevGroup = sc.getLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID)
     val prevDesc = sc.getLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_DESCRIPTION)
+    // setJobGroup also overwrites interruptOnCancel; save it for restore so a
+    // caller thread that opted into task interruption keeps that behavior.
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.addSparkListener(listener)
     sc.setJobGroup(groupId, s"graft tracked unit: $tag")
     try {
       val r = body
-      sc.listenerBus.waitUntilEmpty()
+      // Drain pending job-start events (async) before reading `owned`. A
+      // drain timeout must NOT fail the unit after `body` already succeeded:
+      // missed events only shrink delta ∩ owned, i.e. err toward keeping a
+      // shuffle alive — never toward deleting a live one.
+      try sc.listenerBus.waitUntilEmpty()
+      catch { case _: java.util.concurrent.TimeoutException => () }
       val delta = registeredShuffleIds(spark) -- before
       import scala.jdk.CollectionConverters._
       (r, delta & owned.asScala.toSet)
@@ -124,6 +132,7 @@ object ColumnBridge {
       sc.removeSparkListener(listener)
       sc.setLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID, prevGroup)
       sc.setLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_DESCRIPTION, prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
     }
   }
 

@@ -36,7 +36,13 @@ class CodegenOnlySweepSpec extends SparkSpec {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           try {
-            fn(spark, sfDir).count() // full execution: codegen compiles per stage
+            // Execute the plan AS REGISTERED, not count(): a count() on top
+            // lets ColumnPruning delete every projection-only computed column
+            // before codegen, so the sweep would never compile exactly the
+            // pure-projection expressions it exists to guard (same reason
+            // Bench times toRdd.count() — see Bench.runOnce).
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .dropRootSort(fn(spark, sfDir)).queryExecution.toRdd.count()
             None
           } catch {
             case NonFatal(e) =>

@@ -793,10 +793,12 @@ class PipelineOpsSpec extends SparkSpec {
       a
     }
     assert(created.nonEmpty, "the groupBy must have registered a shuffle")
-    // scoping: the concurrent thread's shuffles (superset check via the
-    // global delta minus ours) never land in the tracked set
+    // foreign.get() is the global delta over the foreign thread's window, so
+    // it can race-include the tracked unit's own shuffles; subtracting
+    // `created` leaves the ids that are definitely foreign — which must
+    // include that thread's own groupBy shuffle, whose survival of the
+    // scoped cleanup (asserted below) is the observable scoping property.
     val foreignIds = foreign.get() -- created
-    assert((created & foreignIds).isEmpty)
     assert(foreignIds.nonEmpty || foreign.get().isEmpty,
       "foreign thread should have registered its own shuffle")
     ColumnBridge.cleanupShuffles(spark, created)
