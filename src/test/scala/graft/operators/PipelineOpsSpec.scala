@@ -812,6 +812,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert((beforeAll & created).isEmpty)
   }
 
+  test("withTrackedShuffles restores the caller's job-group thread properties") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sc = spark.sparkContext
+    // a caller that opted into task interruption on cancel (setJobGroup
+    // overwrites all three local properties; the scope must restore them)
+    sc.setJobGroup("caller-group", "caller-desc", interruptOnCancel = true)
+    try {
+      val (_, _) = ColumnBridge.withTrackedShuffles(spark, "restore-spec") {
+        spark.range(0, 100, 1, 2).groupBy(col("id") % 3).count().collect()
+      }
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "caller-group")
+      assert(sc.getLocalProperty("spark.job.description") == "caller-desc")
+      assert(sc.getLocalProperty("spark.job.interruptOnCancel") == "true")
+    } finally sc.clearJobGroup()
+  }
+
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101L to 103L).map(i => (i, "small"))).toDF("doc_id", "source")
