@@ -48,7 +48,11 @@ object IvfPrune {
     val n = emb.count()
     val ids = emb.select(col("vec_id")).orderBy(col("vec_id"))
       .collect().map(_.getLong(0))
-    val queryIds = (0 until nQueries).map(i => ids(((i.toLong * n) / nQueries).toInt))
+    // Strided picks can collide (small corpora, skewed strides) and isin()
+    // would silently collapse them — dedup here and report the ACTUAL query
+    // count below so wall/bytes-per-query comparisons stay honest.
+    val queryIds = (0 until nQueries)
+      .map(i => ids(((i.toLong * n) / nQueries).toInt)).distinct
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -102,7 +106,7 @@ object IvfPrune {
     val rows = results.sortBy(_._1).map { case (np, wall, bytes, recs, pruned) =>
       s"""{"nprobe":$np,"wall_sec":${f"$wall%.2f"},"bytes_read":$bytes,"records_read":$recs,"partition_pruned":$pruned,"bytes_vs_full":${f"${bytes.toDouble / full._3}%.3f"}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"ivf_partition_prune","dir":"$dir","k_cent":$kCent,"top_k":$topK,"n_queries":$nQueries,"rows":$n,"train_sec":${f"$trainSec%.1f"},"build_write_sec":${f"$buildSec%.1f"},"probes":$rows}""")
+    println(s"""{"metric":"ivf_partition_prune","dir":"$dir","k_cent":$kCent,"top_k":$topK,"n_queries":${queries.length},"rows":$n,"train_sec":${f"$trainSec%.1f"},"build_write_sec":${f"$buildSec%.1f"},"probes":$rows}""")
     spark.stop()
   }
 }

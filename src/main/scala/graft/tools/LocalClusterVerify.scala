@@ -161,8 +161,12 @@ object LocalClusterVerify {
       allSamples.filter(s => s._1 >= a && s._1 < b).map(_._2).maxOption.getOrElse(0L)
     def endIn(a: Long, b: Long): Long =
       allSamples.filter(s => s._1 >= a && s._1 < b).lastOption.map(_._2).getOrElse(0L)
-    // pass windows: marker line i → marker line i+1 (last → leg end)
-    val passMarks = events.filter(_._2.contains("segmented verify pass"))
+    // pass windows: marker line i → marker line i+1 (last → leg end).
+    // Bounded to the segmented leg's [segStart, segEnd) — a marker emitted
+    // outside it (a retried leg, a future code path) must not extend the last
+    // window and misattribute disk samples from the unsegmented baseline.
+    val passMarks = events.filter(e =>
+      e._2.contains("segmented verify pass") && e._1 >= segStart && e._1 < segEnd)
     val passWindows = passMarks.zipAll(passMarks.drop(1).map(_._1), null, segEnd)
       .collect { case ((t, line), tNext) => (line, t, tNext) }
     val kLine = events.find(_._2.contains("segmented verify estimate")).map(_._2)

@@ -117,17 +117,29 @@ object ColumnBridge {
     val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.addSparkListener(listener)
     sc.setJobGroup(groupId, s"graft tracked unit: $tag")
-    try {
-      val r = body
-      // Drain pending job-start events (async) before reading `owned`. A
-      // drain timeout must NOT fail the unit after `body` already succeeded:
-      // missed events only shrink delta ∩ owned, i.e. err toward keeping a
-      // shuffle alive — never toward deleting a live one.
+    // Drain pending job-start events (async) before reading `owned`. A drain
+    // timeout must NOT fail the unit after `body` already ran: missed events
+    // only shrink delta ∩ owned, i.e. err toward keeping a shuffle alive —
+    // never toward deleting a live one.
+    def ownedDelta(): Set[Int] = {
       try sc.listenerBus.waitUntilEmpty()
       catch { case _: java.util.concurrent.TimeoutException => () }
       val delta = registeredShuffleIds(spark) -- before
       import scala.jdk.CollectionConverters._
-      (r, delta & owned.asScala.toSet)
+      delta & owned.asScala.toSet
+    }
+    try {
+      val r = body
+      (r, ownedDelta())
+    } catch { case scala.util.control.NonFatal(e) =>
+      // A unit that dies mid-way still registered shuffles; without this they
+      // fall to the async ContextCleaner — the exact disk-accumulation mode
+      // the scope exists to prevent on disk-capped segmented legs. The
+      // aborted unit's shuffles are dead by definition (its result is never
+      // observed), so they are cleaned here, best-effort, before rethrowing.
+      try cleanupShuffles(spark, ownedDelta())
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
     } finally {
       sc.removeSparkListener(listener)
       sc.setLocalProperty(org.apache.spark.SparkContext.SPARK_JOB_GROUP_ID, prevGroup)

@@ -828,6 +828,27 @@ class PipelineOpsSpec extends SparkSpec {
     } finally sc.clearJobGroup()
   }
 
+  test("withTrackedShuffles reclaims an aborted unit's shuffles on the failure path") {
+    // A segmented pass that dies mid-verify must not leave its shuffles to
+    // the async ContextCleaner — that is the disk-accumulation mode the scope
+    // exists to prevent on disk-capped dense legs. The scope cleans the
+    // delta ∩ owned set before rethrowing.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val before = ColumnBridge.registeredShuffleIds(spark)
+    val thrown = intercept[RuntimeException] {
+      ColumnBridge.withTrackedShuffles(spark, "abort-spec") {
+        // materialize a shuffle whose files would otherwise outlive the abort
+        spark.range(0, 2000, 1, 4).withColumn("k", col("id") % 5)
+          .groupBy("k").agg(sum("id")).localCheckpoint(true)
+        throw new RuntimeException("pass aborted mid-verify")
+      }
+    }
+    assert(thrown.getMessage == "pass aborted mid-verify")
+    val leaked = ColumnBridge.registeredShuffleIds(spark) -- before
+    assert(leaked.isEmpty,
+      s"aborted unit's shuffles must be unregistered, leaked: $leaked")
+  }
+
   test("sqrtCapSample: ceil(sqrt(group)) cap, small groups intact, deterministic") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++
       (101L to 103L).map(i => (i, "small"))).toDF("doc_id", "source")
