@@ -911,10 +911,85 @@ object PipelineQueries {
           FROM graft_group_topk('graft_docs_quality', 'source',
                                 'quality desc, doc_id asc', 3)
           ORDER BY source, doc_id""")
+    }),
+
+    // q120: PRODUCT-QUANTIZATION encode (Jégou et al. 2011) — each 64-dim
+    // embedding compresses to m=8 codes of 4 bits (ksub=16): per subspace the
+    // L2-nearest codebook entry, ONE native codegen expression per row
+    // (PqEncode; the composed formulation is 1024 literal nodes — over the
+    // codegen budget, the NearestCentroid lesson). The oracle pins the full
+    // determinism contract: ascending-dimension distance chains, argmin ties
+    // to the LOWER centroid index. Codebook = the 16 lowest-id vectors'
+    // subvectors (zero training — deterministic and SQL-reproducible;
+    // trained-codebook convergence is spec-pinned in PipelineOpsSpec).
+    "q120_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.ProductQuantization.seedCodebooks(
+        emb, "embedding", "vec_id", m = PqM, ksub = PqKsub)
+      graft.operators.ProductQuantization.encode(emb, "embedding", cb)
+        .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // q121: PQ ASYMMETRIC-DISTANCE top-k — the search path over the PACKED
+    // code column (8 codes × 4 bits = one 32-bit value per vector; the scan
+    // reads 12 bytes a row instead of 256 + runs 8 LUT lookups instead of a
+    // 64-dim float kernel). Distances flow query → driver-side LUT →
+    // per-row Σ_s lut[s][code_s] (ascending-s left-assoc chain), so the
+    // oracle recomputes every step — a wrong pack, unpack, encode, or LUT
+    // entry all break the hash. Same fixed codebook and query vector
+    // (vec_id 0) as q48's brute-force convention.
+    "q121_pq_adc_topk" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val cb = pq.seedCodebooks(emb, "embedding", "vec_id", m = PqM, ksub = PqKsub)
+      val (q, _) = queryVec(s, dir)
+      val encoded = pq.encode(emb, "embedding", cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"))
+      pq.adcTopK(encoded, "packed", "vec_id", cb, q, k = 20)
     })
   )
 
   // ─── oracles ───────────────────────────────────────────────────────────────
+
+  /** PQ geometry for q120/q121: 64 dims → m=8 subspaces × 8 dims, ksub=16
+    * centroids (4-bit codes). Oracle twins below are generated from the SAME
+    * constants. */
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqDsub = 64 / PqM
+
+  /** Unrolled Σ_d (a[d]-b[d])² over subspace `s` (0-based; SQL arrays are
+    * 1-based), ascending-dimension left-assoc double chain — bit-identical to
+    * PqEncode's accumulation order. */
+  private def pqSubDistSql(a: String, b: String, s: Int): String =
+    (1 to PqDsub).map { d =>
+      val j = s * PqDsub + d
+      s"(CAST($a.embedding[$j] AS DOUBLE)-CAST($b.embedding[$j] AS DOUBLE))" +
+        s"*(CAST($a.embedding[$j] AS DOUBLE)-CAST($b.embedding[$j] AS DOUBLE))"
+    }.mkString(" + ")
+
+  private def pqSubDistCaseSql(a: String, b: String, subExpr: String): String =
+    s"CASE $subExpr " +
+      (0 until PqM).map(s => s"WHEN $s THEN (${pqSubDistSql(a, b, s)})").mkString(" ") +
+      " END"
+
+  /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
+    * vectors) and the per-(vector, subspace) argmin code, ties to lower cid. */
+  private def pqAssignCtes: String =
+    s"""WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |    embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) z),
+       |subs AS (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub),
+       |d AS (SELECT e.vec_id, s.sub, c.cid,
+       |    ${pqSubDistCaseSql("e", "c", "s.sub")} AS dist
+       |  FROM embeddings e CROSS JOIN cb c CROSS JOIN subs s),
+       |r AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d) rr WHERE rn = 1)""".stripMargin
 
   private val qualitySql =
     """(CASE WHEN CAST(length(text) AS DOUBLE) >= 50.0 AND CAST(length(text) AS DOUBLE) <= 5000.0 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -1613,6 +1688,22 @@ object PipelineQueries {
          | $qualitySql AS quality,
          | md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          | ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS bucket
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q120_pq_encode" ->
+      s"""$pqAssignCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
+         |FROM r ORDER BY vec_id, sub""".stripMargin,
+    "q121_pq_adc_topk" ->
+      s"""$pqAssignCtes,
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT r.vec_id, r.sub,
+         |    ${pqSubDistCaseSql("q", "c2", "r.sub")} AS qdist
+         |  FROM r JOIN cb c2 ON r.cid = c2.cid CROSS JOIN q),
+         |p AS (SELECT vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY vec_id)
+         |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
+         |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
   )
 }
