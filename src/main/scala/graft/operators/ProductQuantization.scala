@@ -99,12 +99,16 @@ object ProductQuantization {
 
   /** Pack an m-code array into ONE long: code `s` occupies bits
     * [s·width, (s+1)·width) where width = ceil(log2 ksub) — the 4-byte-per-
-    * vector storage layout (m·width ≤ 63). Bit fields are disjoint, so the
+    * vector storage layout at the 4-bit geometry, 8 bytes at FAISS's
+    * standard m=8×8-bit. All 64 bits are usable: fields are extracted by
+    * shift-and-MASK ([[unpackCode]]), never magnitude-compared, so a set
+    * sign bit in the top field is harmless. Fields are disjoint, so the
     * pack is a plain sum of shifted terms — exact integer arithmetic,
-    * reproducible as a `code0·1 + code1·2^w + …` oracle chain. */
+    * reproducible as a `code0·1 + code1·2^w + …` oracle chain at widths
+    * below the sign bit (the q120/q121 geometry). */
   def packCodes(codes: Column, m: Int, ksub: Int): Column = {
     val width = codeWidth(ksub)
-    require(m * width <= 63, s"packed codes need $m*$width bits > 63")
+    require(m * width <= 64, s"packed codes need $m*$width bits > 64")
     (0 until m).map(s =>
       shiftleft(element_at(codes, s + 1).cast("long"), s * width))
       .reduce(_ + _)
@@ -160,6 +164,41 @@ object ProductQuantization {
     encoded.select(col(idCol),
       adcDistance(col(packedCol), adcLut(query, codebooks), ksub).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Two-stage ADC + exact refine — the standard production PQ search shape:
+    * stage 1 ranks the whole corpus by quantized distance (cheap: packed
+    * codes + LUT lookups), stage 2 re-ranks only the top `refineFactor·k`
+    * candidates with exact squared L2 over the original vectors and keeps k.
+    * Output (idCol, l2_dist) ascending, ties by id.
+    *
+    * Scale shape: the candidate id set is k·refineFactor rows — broadcast —
+    * so the refine is a broadcast semi-join against the vector table, never
+    * a shuffle. At 100 TB keep the original vectors bucketed (or store them
+    * beside the codes) so the candidate fetch is point reads, not a second
+    * full scan; the ADC stage remains the only corpus-wide pass either way. */
+  def adcTopKRefined(encoded: DataFrame, packedCol: String, idCol: String,
+                     original: DataFrame, vecCol: String,
+                     codebooks: Codebooks, query: Seq[Double], k: Int,
+                     refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    val cand = adcTopK(encoded, packedCol, idCol, codebooks, query, k * refineFactor)
+      .select(col(idCol))
+    val qLit = array(query.map(lit): _*)
+    val v = col(vecCol).cast("array<double>")
+    // exact squared L2 via the dot identity: |v|² − 2·v·q + |q|² (native
+    // codegen kernels; the additive constant |q|² keeps ranking unchanged
+    // but makes the reported distance the true squared L2)
+    val qq = {
+      var s = 0.0; query.foreach(x => s += x * x); s
+    }
+    original.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        (graft.expressions.NativeVec.dot(v, v)
+          - lit(2.0) * graft.expressions.NativeVec.dot(v, qLit) + lit(qq))
+          .as("l2_dist"))
+      .orderBy(col("l2_dist"), col(idCol))
       .limit(k)
   }
 

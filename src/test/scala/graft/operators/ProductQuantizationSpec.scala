@@ -48,6 +48,19 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(back.productIterator.toSeq == codes)
   }
 
+  test("pack/unpack roundtrip at the full-64-bit FAISS geometry (m=8, ksub=256), sign bit set") {
+    val m = 8; val ksub = 256
+    // top field 255 sets bit 63 → negative packed long; unpack must mask it off
+    val codes = Seq(0, 255, 128, 1, 254, 63, 200, 255)
+    val df = Seq((1L, codes)).toDF("id", "codes")
+      .withColumn("packed", pq.packCodes($"codes", m, ksub))
+    val packed = df.select($"packed").as[Long].head()
+    assert(packed < 0, "top field 255 must set the sign bit — geometry check")
+    val back = df.select((0 until m).map(s =>
+      pq.unpackCode($"packed", s, ksub).as(s"c$s")): _*).as[(Int, Int, Int, Int, Int, Int, Int, Int)].head()
+    assert(back.productIterator.toSeq == codes)
+  }
+
   private def syntheticCorpus(n: Int, dims: Int) = {
     // deterministic, well-spread: four latent clusters + per-row jitter
     val rows = (0 until n).map { i =>
@@ -104,6 +117,30 @@ class ProductQuantizationSpec extends SparkSpec {
       val expect = codes.zipWithIndex.map { case (c, s) => lut(s)(c) }.reduce(_ + _)
       assert(adc == expect)
     }
+  }
+
+  test("adcTopKRefined: full candidate coverage reproduces exact L2 ranking even under a coarse codebook") {
+    val dims = 8; val m = 4; val ksub = 2 // deliberately lossy quantizer
+    val df = syntheticCorpus(30, dims).cache()
+    val cb = pq.seedCodebooks(df, "v", "id", m, ksub)
+    val query = df.orderBy($"id".desc).limit(1).select($"v").as[Seq[Double]].head()
+    val encoded = pq.encode(df, "v", cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"))
+    // refineFactor * k >= corpus: stage 2 re-ranks everything exactly, so the
+    // quantizer cannot cost recall — the identity that pins the refine join
+    val got = pq.adcTopKRefined(encoded, "packed", "id", df, "v", cb, query,
+      k = 5, refineFactor = 6)
+      .select($"id").as[Long].collect().toSeq
+    val exact = df.select($"id",
+      (0 until dims).map(d => ($"v" (d) - lit(query(d))) * ($"v" (d) - lit(query(d))))
+        .reduce(_ + _).as("l2"))
+      .orderBy($"l2", $"id").limit(5).select($"id").as[Long].collect().toSeq
+    assert(got == exact)
+    // and the lossy single-stage ADC is genuinely worse here (guards against
+    // the identity passing because the quantizer was accidentally exact)
+    val adcOnly = pq.adcTopK(encoded, "packed", "id", cb, query, 5)
+      .select($"id").as[Long].collect().toSeq
+    assert(adcOnly != exact, "ksub=2 seed quantizer unexpectedly exact — weaken the corpus")
   }
 
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
