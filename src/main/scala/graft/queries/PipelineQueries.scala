@@ -949,6 +949,24 @@ object PipelineQueries {
       val encoded = pq.encode(emb, "embedding", cb)
         .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"))
       pq.adcTopK(encoded, "packed", "vec_id", cb, q, k = 20)
+    }),
+
+    // q122: Z-ORDER (Morton) layout value — the bit-interleave that
+    // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
+    // bucketized dimensions prunes parquet files/row groups at once (the
+    // Delta/Iceberg OPTIMIZE ZORDER BY primitive; pruning itself is measured
+    // in r10_zorder_scan, this pins the arithmetic). Dimensions here:
+    // char length and token count, clamped to 10 bits each; the z-value is a
+    // fixed shift/mask/add chain over disjoint bit fields — exact integer
+    // math, identical unrolled in the oracle.
+    "q122_zorder_value" -> ((s, dir) => {
+      val lay = graft.operators.Layout
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          lay.bucket(length(col("text")), 10).as("x"),
+          lay.bucket(TextFunctions.tokenCount(col("text")), 10).as("y"))
+        .withColumn("zval", lay.zValue(Seq(col("x"), col("y")), 10))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1704,6 +1722,17 @@ object PipelineQueries {
                s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
          |  FROM qd GROUP BY vec_id)
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
-         |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+         |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
+    "q122_zorder_value" -> {
+      // bit b of column i → interleaved position b·n + i (n = 2 dims)
+      def zTerms(c: String, i: Int): String = (0 until 10).map(b =>
+        s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" + ")
+      s"""WITH xy AS (SELECT doc_id,
+         |    least(greatest(CAST(length(text) AS BIGINT), 0), 1023) AS x,
+         |    least(greatest(CAST(array_length($tokensSql) AS BIGINT), 0), 1023) AS y
+         |  FROM documents)
+         |SELECT doc_id, x, y, ${zTerms("x", 0)} + ${zTerms("y", 1)} AS zval
+         |FROM xy ORDER BY doc_id""".stripMargin
+    }
   )
 }
