@@ -202,6 +202,54 @@ object ProductQuantization {
       .limit(k)
   }
 
+  /** IVFADC — the composed billion-scale shape (FAISS: Jégou et al. 2011
+    * §IV): IVF cell pruning picks WHICH rows to look at (nprobe of kCent
+    * coarse cells; with the corpus written `partitionBy(cellCol)` that is
+    * parquet PARTITION pruning, measured nprobe/k of the files in
+    * r9_ivf_prune), ADC codes shrink WHAT each row costs (one packed long,
+    * measured 0.05× the raw bytes in r10_pq_recall), and the optional
+    * exact-refine stage re-ranks refine·k candidates from the original
+    * vectors. The multiplicative effect is the point: a full-corpus exact
+    * scan becomes (nprobe/kCent) · 0.05 of the bytes plus k·refine point
+    * reads.
+    *
+    * `encoded` must carry (idCol, packedCol, cellCol) — built once by
+    * [[encode]] + [[packCodes]] + [[SimilaritySearch.assignCells]].
+    * `refine = 0` returns the pure ADC ranking (idCol, adc_dist);
+    * `refine >= 1` returns (idCol, l2_dist) re-ranked exactly against
+    * `original`. At `nprobe = kCent` + refine covering the corpus this
+    * reduces to exact search (spec-pinned identity, the q65/q121 pattern). */
+  def ivfPqTopK(encoded: DataFrame, packedCol: String, idCol: String,
+                cellCol: String, centroids: Seq[Seq[Double]],
+                codebooks: Codebooks, query: Seq[Double],
+                nprobe: Int, k: Int,
+                original: Option[DataFrame] = None, vecCol: String = "embedding",
+                refine: Int = 0): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    require(refine >= 0, s"refine must be >= 0: $refine")
+    // probe ranking MUST use the same metric the cells were ASSIGNED with
+    // (SimilaritySearch.assignCells / NearestCentroid rank by cosine): a
+    // probe ranked by a different metric silently searches the wrong cells —
+    // fewer results, no error. Same convention as ivfTopKAssigned.
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosineToQuery(query, c), i) }
+      .take(nprobe).map(_._2)
+    val scoped = encoded.filter(col(cellCol).isin(probed: _*))
+    if (refine == 0) adcTopK(scoped, packedCol, idCol, codebooks, query, k)
+    else {
+      val orig = original.getOrElse(sys.error("refine > 0 needs the original vectors"))
+      adcTopKRefined(scoped, packedCol, idCol, orig, vecCol, codebooks, query, k, refine)
+    }
+  }
+
+  private def cosineToQuery(a: Seq[Double], b: Seq[Double]): Double = {
+    var (dot, na, nb) = (0.0, 0.0, 0.0)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Mean squared quantization error of a codebook over the corpus — the
     * training objective (Lloyd monotonically non-increasing on it;
     * spec-pinned). One scan: encode + per-row reconstruction distance via

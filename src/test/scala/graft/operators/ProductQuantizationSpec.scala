@@ -143,6 +143,33 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(adcOnly != exact, "ksub=2 seed quantizer unexpectedly exact — weaken the corpus")
   }
 
+  test("ivfPqTopK: full probe + full refine reduces to exact search; narrow probe stays within probed cells") {
+    val dims = 8; val m = 4; val kCent = 3
+    val df = syntheticCorpus(36, dims).cache()
+    val cents = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val cb = pq.trainCodebooks(df, "v", "id", m, ksub = 4, iters = 2)
+    val query = df.orderBy($"id".desc).limit(1).select($"v").as[Seq[Double]].head()
+    val encoded = SimilaritySearch.assignCells(pq.encode(df, "v", cb)
+        .select($"id", pq.packCodes($"pq_codes", m, ksub = 4).as("packed"), $"v"),
+        "v", cents, "cell")
+      .select($"id", $"packed", $"cell").cache()
+    // identity leg: every cell probed, refine re-ranks a corpus-covering set
+    val got = pq.ivfPqTopK(encoded, "packed", "id", "cell", cents, cb, query,
+      nprobe = kCent, k = 5, original = Some(df), vecCol = "v", refine = 8)
+      .select($"id").as[Long].collect().toSeq
+    val exact = df.select($"id",
+      (0 until dims).map(d => ($"v" (d) - lit(query(d))) * ($"v" (d) - lit(query(d))))
+        .reduce(_ + _).as("l2"))
+      .orderBy($"l2", $"id").limit(5).select($"id").as[Long].collect().toSeq
+    assert(got == exact)
+    // narrow probe: results must come only from the probed (nearest) cell
+    val near = pq.ivfPqTopK(encoded, "packed", "id", "cell", cents, cb, query,
+      nprobe = 1, k = 5)
+    val nearIds = near.select($"id").as[Long].collect().toSet
+    val cellOf = encoded.select($"id", $"cell").as[(Long, Int)].collect().toMap
+    assert(nearIds.map(cellOf).size == 1, "nprobe=1 must search exactly one cell")
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)
