@@ -171,7 +171,20 @@ object SqlFunctions {
     // ── vectors ──────────────────────────────────────────────────────────────
     ("graft_cosine", classOf[VecDot], { exprs: Seq[Expression] =>
       arity("graft_cosine", 2, exprs)
-      x(NativeVec.cosine(c(exprs(0)), c(exprs(1)))) }))
+      x(NativeVec.cosine(c(exprs(0)), c(exprs(1)))) }),
+    // ── data layout ──────────────────────────────────────────────────────────
+    // graft_zvalue(dim1, dim2[, dim3…], bits): Morton interleave of already-
+    // bucketized dims (variadic cols, trailing INTEGER-literal bit width —
+    // it shapes the generated expression tree, so it cannot be a column).
+    ("graft_zvalue", graft.operators.Layout.getClass, { exprs: Seq[Expression] =>
+      require(exprs.length >= 3,
+        s"graft_zvalue(dim1, dim2[, …], bits): got ${exprs.length} arguments")
+      x(graft.operators.Layout.zValue(exprs.init.map(c),
+        intLit("graft_zvalue", "bits", exprs.last))) }),
+    ("graft_zbucket", graft.operators.Layout.getClass, { exprs: Seq[Expression] =>
+      arity("graft_zbucket", 2, exprs)
+      x(graft.operators.Layout.bucket(c(exprs(0)),
+        intLit("graft_zbucket", "bits", exprs(1)))) }))
 
   private def strLit(fn: String, arg: String, e: Expression): String = e match {
     case Literal(v, StringType) if v != null => v.toString

@@ -186,6 +186,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("layout functions: SQL ≡ Column API, variadic dims, literal bit width enforced") {
+    import graft.operators.Layout
+    Seq((1L, 5L, 3L, 7L), (2L, 1023L, 0L, 4L), (3L, 2000L, -4L, 1L))
+      .toDF("id", "x", "y", "w").createOrReplaceTempView("zdims")
+    val sql = spark.sql(
+      """SELECT id, graft_zbucket(x, 10) AS bx,
+        |  graft_zvalue(graft_zbucket(x, 10), graft_zbucket(y, 10), 10) AS z2,
+        |  graft_zvalue(graft_zbucket(x, 4), graft_zbucket(y, 4), graft_zbucket(w, 4), 4) AS z3
+        |FROM zdims ORDER BY id""".stripMargin).collect()
+    val api = spark.table("zdims").select(col("id"),
+      Layout.bucket(col("x"), 10).as("bx"),
+      Layout.zValue(Seq(Layout.bucket(col("x"), 10), Layout.bucket(col("y"), 10)), 10).as("z2"),
+      Layout.zValue(Seq(Layout.bucket(col("x"), 4), Layout.bucket(col("y"), 4),
+        Layout.bucket(col("w"), 4)), 4).as("z3"))
+      .orderBy(col("id")).collect()
+    assert(sql.toSeq == api.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zvalue(x, y, id) FROM zdims").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be an INTEGER literal")), e.toString)
+  }
+
   test("sketch parameters demand integer literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_kmv_sketch(xxhash64(text), id) FROM docs").collect()
