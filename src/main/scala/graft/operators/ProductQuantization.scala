@@ -250,6 +250,179 @@ object ProductQuantization {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // ─── residual encoding (true IVFADC: quantize vec − coarseCentroid) ───────
+
+  /** Deterministic untrained RESIDUAL codebooks: subspace `s`'s centroids are
+    * the s-th subvectors of the `ksub` lowest-id rows' residuals
+    * (`v − coarse(cell(v))`). Residual twin of [[seedCodebooks]]. */
+  def seedCodebooksResidual(df: DataFrame, vecCol: String, idCol: String,
+                            cellCol: String, coarse: Seq[Seq[Double]],
+                            m: Int, ksub: Int): Codebooks = {
+    require(m > 0 && ksub > 0, s"bad m=$m/ksub=$ksub")
+    val rows = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        col(cellCol).cast("int").as("c"))
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col("v"), col("c")).collect()
+      .map(r => (r.getSeq[Double](0).toSeq, r.getInt(1))).toSeq
+    require(rows.nonEmpty, "pq residual seed needs a non-empty frame")
+    val dims = rows.head._1.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val res = rows.map { case (v, cell) =>
+      val cen = coarse(cell)
+      v.indices.map(d => v(d) - (if (d < cen.length) cen(d) else 0.0))
+    }
+    (0 until m).map(s => res.map(v => subspaces(v, m)(s)))
+  }
+
+  /** Joint Lloyd over RESIDUALS — assignment via [[PqResidualEncode]]
+    * (computed once per row, below the Generate), residual dimension values
+    * via a broadcast join against the kCent×dims coarse matrix in LONG form
+    * (cell, p, cx): x_res = x − cx. Same shuffle shape as
+    * [[trainCodebooks]]: m·ksub·dsub cells to the driver per iteration. */
+  def trainCodebooksResidual(df: DataFrame, vecCol: String, idCol: String,
+                             cellCol: String, coarse: Seq[Seq[Double]],
+                             m: Int, ksub: Int, iters: Int): Codebooks = {
+    require(iters >= 0, s"bad iters=$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.zipWithIndex.flatMap { case (cen, cell) =>
+      cen.zipWithIndex.map { case (cx, p) => (cell, p, cx) }
+    }.toDF("cell", "p", "cx")
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"),
+      col(cellCol).cast("int").as("cell"))
+    var cb = seedCodebooksResidual(df, vecCol, idCol, cellCol, coarse, m, ksub)
+    val dsub = cb.head.head.length
+    for (_ <- 1 to iters) {
+      val means = vecs
+        .select(graft.expressions.PqResidualEncode(col("v"), col("cell"),
+          coarse, cb).as("codes"), col("cell"), col("v"))
+        .select(col("codes"), col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+        .join(broadcast(coarseDf), Seq("cell", "p"))
+        .select((col("p") / dsub).cast("int").as("s"),
+          element_at(col("codes"), (col("p") / dsub).cast("int") + 1).as("c"),
+          pmod(col("p"), lit(dsub)).cast("int").as("d"),
+          (col("x") - col("cx")).as("xr"))
+        .groupBy(col("s"), col("c"), col("d")).agg(avg(col("xr")).as("mean"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      cb = cb.zipWithIndex.map { case (cents, s) =>
+        cents.zipWithIndex.map { case (old, c) =>
+          if (means.contains((s, c, 0))) old.indices.map(d => means((s, c, d))) else old
+        }
+      }
+    }
+    cb
+  }
+
+  /** Residual PQ code column over an `assignCells`-tagged frame. One native
+    * expression, zero shuffle (residual twin of [[encode]]). */
+  def encodeResidual(df: DataFrame, vecCol: String, cellCol: String,
+                     coarse: Seq[Seq[Double]], codebooks: Codebooks,
+                     codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol, graft.expressions.PqResidualEncode(
+      col(vecCol), col(cellCol).cast("int"), coarse, codebooks))
+
+  /** Per-CELL ADC lookup table for one query under residual encoding:
+    * lut(s)(c) = L2²((q − coarse(cell))_s, cb(s)(c)) — the query residual is
+    * taken against the PROBED cell's centroid, so each probed cell gets its
+    * own m×ksub table (kCent tables total, built lazily per probe). Chain
+    * order matches [[PqResidualEncode]]: `(q[off+t] − cen[off+t]) − cb[t]`. */
+  def residualAdcLut(query: Seq[Double], coarse: Seq[Seq[Double]], cell: Int,
+                     codebooks: Codebooks): Seq[Seq[Double]] = {
+    val cen = coarse(cell)
+    codebooks.zipWithIndex.map { case (cents, s) =>
+      val off = s * codebooks.head.head.length
+      cents.map { cb =>
+        var d2 = 0.0
+        var t = 0
+        val lim = math.min(cb.length, math.max(0, query.length - off))
+        while (t < lim) {
+          val ce = if (off + t < cen.length) cen(off + t) else 0.0
+          val diff = (query(off + t) - ce) - cb(t)
+          d2 += diff * diff
+          t += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** IVFADC search over RESIDUAL codes: probe the nprobe cosine-nearest
+    * cells (assignment metric, see [[ivfPqTopK]]), rank each probed cell's
+    * rows with that cell's residual LUT, take the global k. The per-cell
+    * scans are a UNION of nprobe partition-pruned branches — each branch's
+    * LUT is its own m×ksub literal set, so the plan stays inside the codegen
+    * budget at any kCent (only nprobe branches materialize). `refine`
+    * re-ranks `refine·k` candidates exactly, as [[adcTopKRefined]]. */
+  def ivfPqResidualTopK(encoded: DataFrame, packedCol: String, idCol: String,
+                        cellCol: String, coarse: Seq[Seq[Double]],
+                        codebooks: Codebooks, query: Seq[Double],
+                        nprobe: Int, k: Int,
+                        original: Option[DataFrame] = None,
+                        vecCol: String = "embedding",
+                        refine: Int = 0): DataFrame = {
+    require(nprobe > 0 && k > 0, s"bad nprobe=$nprobe/k=$k")
+    require(refine >= 0, s"refine must be >= 0: $refine")
+    val ksub = codebooks.head.length
+    val probed = coarse.zipWithIndex
+      .sortBy { case (c, i) => (-cosineToQuery(query, c), i) }
+      .take(nprobe).map(_._2)
+    val branches = probed.map { cell =>
+      encoded.filter(col(cellCol) === lit(cell))
+        .select(col(idCol),
+          adcDistance(col(packedCol), residualAdcLut(query, coarse, cell, codebooks), ksub)
+            .as("adc_dist"))
+    }
+    val adc = branches.reduce(_ unionByName _)
+      .orderBy(col("adc_dist"), col(idCol))
+    if (refine == 0) adc.limit(k)
+    else {
+      val orig = original.getOrElse(sys.error("refine > 0 needs the original vectors"))
+      val cand = adc.limit(k * refine).select(col(idCol))
+      val qLit = array(query.map(lit): _*)
+      val v = col(vecCol).cast("array<double>")
+      var qq = 0.0; query.foreach(x => qq += x * x)
+      orig.join(broadcast(cand), Seq(idCol))
+        .select(col(idCol),
+          (graft.expressions.NativeVec.dot(v, v)
+            - lit(2.0) * graft.expressions.NativeVec.dot(v, qLit) + lit(qq))
+            .as("l2_dist"))
+        .orderBy(col("l2_dist"), col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** Mean squared quantization error of a RESIDUAL codebook (residual twin
+    * of [[quantizationError]]; the Lloyd objective over residual space). */
+  def quantizationErrorResidual(df: DataFrame, vecCol: String, cellCol: String,
+                                coarse: Seq[Seq[Double]],
+                                codebooks: Codebooks): Double = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.zipWithIndex.flatMap { case (cen, cell) =>
+      cen.zipWithIndex.map { case (cx, p) => (cell, p, cx) }
+    }.toDF("cell", "p", "cx")
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.flatMap { case (cent, c) =>
+        cent.zipWithIndex.map { case (x, d) => (s, c, d, x) }
+      }
+    }.toDF("s", "c", "d", "cbx")
+    df.select(graft.expressions.PqResidualEncode(
+        col(vecCol).cast("array<double>"), col(cellCol).cast("int"),
+        coarse, codebooks).as("codes"),
+        col(cellCol).cast("int").as("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+      .join(broadcast(coarseDf), Seq("cell", "p"))
+      .select((col("p") / dsub).cast("int").as("s"),
+        element_at(col("codes"), (col("p") / dsub).cast("int") + 1).as("c"),
+        pmod(col("p"), lit(dsub)).cast("int").as("d"),
+        (col("x") - col("cx")).as("xr"))
+      .join(broadcast(cbDf), Seq("s", "c", "d"))
+      .select(((col("xr") - col("cbx")) * (col("xr") - col("cbx"))).as("e2"))
+      .agg(avg(col("e2"))).collect()(0).getDouble(0)
+  }
+
   /** Mean squared quantization error of a codebook over the corpus — the
     * training objective (Lloyd monotonically non-increasing on it;
     * spec-pinned). One scan: encode + per-row reconstruction distance via

@@ -951,6 +951,34 @@ object PipelineQueries {
       pq.adcTopK(encoded, "packed", "vec_id", cb, q, k = 20)
     }),
 
+    // q123: RESIDUAL product-quantization encode — the true IVFADC layout
+    // (quantize v − coarseCentroid(cell) instead of v; same native-expression
+    // rationale as q120). The oracle reproduces the WHOLE chain: coarse
+    // assignment by cosine (ties to the HIGHER index — the NearestCentroid
+    // rule), residual seed codebooks (residuals of the 16 lowest-id rows
+    // under THEIR assigned cells), and the per-subspace argmin over residual
+    // distances (ties to the LOWER codeword index). Fixed seed coarse
+    // centroids (the 4 lowest-id vectors) keep every step SQL-expressible;
+    // trained-coarse/trained-codebook quality is spec- and artifact-covered
+    // (ProductQuantizationSpec, r10_pq_residual_ab).
+    "q123_pq_residual_encode" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          posexplode(col("pq_codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("cell"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -993,6 +1021,28 @@ object PipelineQueries {
     s"CASE $subExpr " +
       (0 until PqM).map(s => s"WHEN $s THEN (${pqSubDistSql(a, b, s)})").mkString(" ") +
       " END"
+
+  /** q123 coarse-cell count (the 4 lowest-id vectors act as IVF centroids). */
+  private val PqCoarseK = 4
+
+  /** One squared residual-difference term for q123: the doc residual
+    * (e − its centroid ce) minus the codeword (seed sd − its centroid cs),
+    * exactly the `(x − ce) − cb[t]` order PqResidualEncode evaluates, with
+    * cb[t] = one IEEE subtraction (seedCodebooksResidual's precompute). */
+  private def pqResidTermSql(j: Int): String = {
+    val r = s"(CAST(e.embedding[$j] AS DOUBLE)-CAST(ce.embedding[$j] AS DOUBLE))" +
+      s"-(CAST(sd.embedding[$j] AS DOUBLE)-CAST(cs.embedding[$j] AS DOUBLE))"
+    s"(($r)*($r))"
+  }
+
+  private def pqResidSubDistSql(s: Int): String =
+    (1 to PqDsub).map(d => pqResidTermSql(s * PqDsub + d)).mkString(" + ")
+
+  /** Cosine of a row alias against a centroid alias with NearestCentroid's
+    * exact operation shape: dot / (sqrt(vv) · sqrt(cc)), all ascending-dim
+    * chains. */
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
     * vectors) and the per-(vector, subspace) argmin code, ties to lower cid. */
@@ -1723,6 +1773,36 @@ object PipelineQueries {
          |  FROM qd GROUP BY vec_id)
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
          |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
+    "q123_pq_residual_encode" -> {
+      val caseSql = s"CASE s.sub " +
+        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql(s)})").mkString(" ") +
+        " END"
+      s"""WITH co AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqCoarseK) zc),
+         |asg AS (SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN co c) a WHERE rn = 1),
+         |sd0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |    vec_id, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) zs),
+         |d AS (SELECT e.vec_id, ea.cell, s.sub, sd.cid, $caseSql AS dist
+         |  FROM embeddings e
+         |  JOIN asg ea ON e.vec_id = ea.vec_id
+         |  JOIN co ce ON ce.ccid = ea.cell
+         |  CROSS JOIN sd0 sd
+         |  JOIN asg sa ON sd.vec_id = sa.vec_id
+         |  JOIN co cs ON cs.ccid = sa.cell
+         |  CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub) s),
+         |r AS (SELECT vec_id, cell, sub, cid FROM (
+         |    SELECT vec_id, cell, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |    FROM d) rr WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub, cid AS code
+         |FROM r ORDER BY vec_id, sub""".stripMargin
+    },
     "q122_zorder_value" -> {
       // bit b of column i → interleaved position b·n + i (n = 2 dims)
       def zTerms(c: String, i: Int): String = (0 until 10).map(b =>

@@ -170,6 +170,45 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(nearIds.map(cellOf).size == 1, "nprobe=1 must search exactly one cell")
   }
 
+  test("residual IVFADC: exhaustive residual codebook reproduces exact L2 — (q−c)−(v−c) = q−v") {
+    val dims = 8; val m = 4; val kCent = 3
+    val df = syntheticCorpus(24, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    // every row's residual is its own codeword → ADC distance is EXACTLY
+    // L2²(q − cen, v − cen) = L2²(q, v): the residual identity
+    val cb = pq.seedCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub = 24)
+    val query = df.orderBy($"id".desc).limit(1).select($"v").as[Seq[Double]].head()
+    val encoded = pq.encodeResidual(assigned, "v", "cell", coarse, cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub = 24).as("packed"), $"cell")
+    val got = pq.ivfPqResidualTopK(encoded, "packed", "id", "cell", coarse, cb,
+      query, nprobe = kCent, k = 5)
+      .select($"id").as[Long].collect().toSeq
+    val exact = df.select($"id",
+      (0 until dims).map(d => ($"v" (d) - lit(query(d))) * ($"v" (d) - lit(query(d))))
+        .reduce(_ + _).as("l2"))
+      .orderBy($"l2", $"id").limit(5).select($"id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("residual codebooks: Lloyd improves residual error, and residual beats plain at equal geometry on clustered data") {
+    val dims = 16; val m = 4; val ksub = 4; val kCent = 4
+    val df = syntheticCorpus(400, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 3)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    val seedErr = pq.quantizationErrorResidual(assigned, "v", "cell", coarse,
+      pq.seedCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub))
+    val trained = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 3)
+    val trainedErr = pq.quantizationErrorResidual(assigned, "v", "cell", coarse, trained)
+    assert(trainedErr <= seedErr + 1e-12, s"residual Lloyd regressed: $seedErr -> $trainedErr")
+    // the residual claim itself: same m×ksub budget spends better on
+    // residual space than on the raw clustered corpus
+    val plainErr = pq.quantizationError(df, "v",
+      pq.trainCodebooks(df, "v", "id", m, ksub, 3))
+    assert(trainedErr < plainErr,
+      s"residual ($trainedErr) must beat plain ($plainErr) on clustered data")
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)
