@@ -979,6 +979,32 @@ object PipelineQueries {
         .orderBy(col("vec_id"), col("sub"))
     }),
 
+    // q124: RESIDUAL IVFADC search — the q121 analog over residual codes:
+    // per-probed-cell query LUTs (query residual taken against EACH probed
+    // cell's centroid), union of nprobe partition-pruned branches, global
+    // top-k. nprobe = the full coarse set here so the oracle needn't model
+    // probe selection (it is q121's full-scan convention); nprobe<k cell
+    // pruning is the same isin filter r9_ivf_prune measured as partition
+    // pruning. A wrong residual LUT, branch union, pack, or unpack breaks
+    // the hash.
+    "q124_pq_residual_adc_topk" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      val (q, _) = queryVec(s, dir)
+      val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      pq.ivfPqResidualTopK(encoded, "packed", "vec_id", "cell", coarse, cb, q,
+        nprobe = PqCoarseK, k = 20)
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1025,24 +1051,59 @@ object PipelineQueries {
   /** q123 coarse-cell count (the 4 lowest-id vectors act as IVF centroids). */
   private val PqCoarseK = 4
 
-  /** One squared residual-difference term for q123: the doc residual
-    * (e − its centroid ce) minus the codeword (seed sd − its centroid cs),
-    * exactly the `(x − ce) − cb[t]` order PqResidualEncode evaluates, with
-    * cb[t] = one IEEE subtraction (seedCodebooksResidual's precompute). */
-  private def pqResidTermSql(j: Int): String = {
-    val r = s"(CAST(e.embedding[$j] AS DOUBLE)-CAST(ce.embedding[$j] AS DOUBLE))" +
+  /** One squared residual-difference term for q123/q124: the left alias's
+    * residual (a − its centroid ce) minus the codeword (seed sd − its
+    * centroid cs), exactly the `(x − ce) − cb[t]` order PqResidualEncode and
+    * residualAdcLut evaluate, with cb[t] = one IEEE subtraction
+    * (seedCodebooksResidual's precompute). */
+  private def pqResidTermSql(a: String, j: Int): String = {
+    val r = s"(CAST($a.embedding[$j] AS DOUBLE)-CAST(ce.embedding[$j] AS DOUBLE))" +
       s"-(CAST(sd.embedding[$j] AS DOUBLE)-CAST(cs.embedding[$j] AS DOUBLE))"
     s"(($r)*($r))"
   }
 
-  private def pqResidSubDistSql(s: Int): String =
-    (1 to PqDsub).map(d => pqResidTermSql(s * PqDsub + d)).mkString(" + ")
+  private def pqResidSubDistSql(a: String, s: Int): String =
+    (1 to PqDsub).map(d => pqResidTermSql(a, s * PqDsub + d)).mkString(" + ")
 
   /** Cosine of a row alias against a centroid alias with NearestCentroid's
     * exact operation shape: dot / (sqrt(vv) · sqrt(cc)), all ascending-dim
     * chains. */
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Shared q123/q124 oracle prefix: fixed coarse centroids (the PqCoarseK
+    * lowest-id vectors), per-row cosine cell assignment (ties to the HIGHER
+    * index — the NearestCentroid rule), residual seed codebooks (the PqKsub
+    * lowest-id rows' residuals under THEIR cells), and the per-(vector,
+    * subspace) residual argmin (ties to the LOWER codeword index). */
+  private def pqResidualCtes: String = {
+    val caseSql = s"CASE s.sub " +
+      (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("e", s)})").mkString(" ") +
+      " END"
+    s"""WITH co AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+       |    embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqCoarseK) zc),
+       |asg AS (SELECT vec_id, ccid AS cell FROM (
+       |    SELECT e.vec_id, c.ccid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
+       |    FROM embeddings e CROSS JOIN co c) a WHERE rn = 1),
+       |sd0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |    vec_id, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) zs),
+       |d AS (SELECT e.vec_id, ea.cell, s.sub, sd.cid, $caseSql AS dist
+       |  FROM embeddings e
+       |  JOIN asg ea ON e.vec_id = ea.vec_id
+       |  JOIN co ce ON ce.ccid = ea.cell
+       |  CROSS JOIN sd0 sd
+       |  JOIN asg sa ON sd.vec_id = sa.vec_id
+       |  JOIN co cs ON cs.ccid = sa.cell
+       |  CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub) s),
+       |r AS (SELECT vec_id, cell, sub, cid FROM (
+       |    SELECT vec_id, cell, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d) rr WHERE rn = 1)""".stripMargin
+  }
 
   /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
     * vectors) and the per-(vector, subspace) argmin code, ties to lower cid. */
@@ -1773,35 +1834,29 @@ object PipelineQueries {
          |  FROM qd GROUP BY vec_id)
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
          |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
-    "q123_pq_residual_encode" -> {
-      val caseSql = s"CASE s.sub " +
-        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql(s)})").mkString(" ") +
+    "q123_pq_residual_encode" ->
+      s"""$pqResidualCtes
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub, cid AS code
+         |FROM r ORDER BY vec_id, sub""".stripMargin,
+    "q124_pq_residual_adc_topk" -> {
+      val qCaseSql = s"CASE r.sub " +
+        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("q", s)})").mkString(" ") +
         " END"
-      s"""WITH co AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
-         |    embedding
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqCoarseK) zc),
-         |asg AS (SELECT vec_id, ccid AS cell FROM (
-         |    SELECT e.vec_id, c.ccid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
-         |    FROM embeddings e CROSS JOIN co c) a WHERE rn = 1),
-         |sd0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-         |    vec_id, embedding
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) zs),
-         |d AS (SELECT e.vec_id, ea.cell, s.sub, sd.cid, $caseSql AS dist
-         |  FROM embeddings e
-         |  JOIN asg ea ON e.vec_id = ea.vec_id
-         |  JOIN co ce ON ce.ccid = ea.cell
-         |  CROSS JOIN sd0 sd
+      s"""$pqResidualCtes,
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT r.vec_id, r.sub, $qCaseSql AS qdist
+         |  FROM r
+         |  JOIN co ce ON ce.ccid = r.cell
+         |  JOIN sd0 sd ON sd.cid = r.cid
          |  JOIN asg sa ON sd.vec_id = sa.vec_id
          |  JOIN co cs ON cs.ccid = sa.cell
-         |  CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub) s),
-         |r AS (SELECT vec_id, cell, sub, cid FROM (
-         |    SELECT vec_id, cell, sub, cid,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-         |    FROM d) rr WHERE rn = 1)
-         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub, cid AS code
-         |FROM r ORDER BY vec_id, sub""".stripMargin
+         |  CROSS JOIN q),
+         |p AS (SELECT vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY vec_id)
+         |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
+         |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
     },
     "q122_zorder_value" -> {
       // bit b of column i → interleaved position b·n + i (n = 2 dims)
