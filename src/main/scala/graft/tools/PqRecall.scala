@@ -118,7 +118,7 @@ object PqRecall {
     }
     val refSec = (System.nanoTime() - tRef0) / 1e9
 
-    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
     println(
       f"""{"metric":"pq_recall","dir":"$dir","n":$n,"m":$m,"ksub":$ksub,"top_k":$topK,"n_queries":${queries.length},"iters":$iters,"refine_factor":$refine,"train_sec":$trainSec%.2f,"index_build_sec":$buildSec%.2f,"quant_err_seed":$errSeed%.6f,"quant_err_trained":$err%.6f,"index_bytes":$idxBytes,"raw_bytes":$rawBytes,"bytes_ratio":${idxBytes.toDouble / rawBytes}%.4f,"exact_sec":$exactSec%.2f,"adc_sec":$adcSec%.2f,"refine_sec":$refSec%.2f,"recall_adc_mean":${mean(adcRecalls)}%.4f,"recall_adc_min":${adcRecalls.min}%.4f,"recall_refine_mean":${mean(refRecalls)}%.4f,"recall_refine_min":${refRecalls.min}%.4f}""")
     spark.stop()
