@@ -237,6 +237,30 @@ object SqlFunctions {
           strLit(f, "idCol", exprs(1)), strLit(f, "textCol", exprs(2)),
           intLit(f, "shingleSize", exprs(3)), intLit(f, "numHashes", exprs(4)),
           intLit(f, "bands", exprs(5)))) }),
+      // graft_pq_encode('tbl', 'idCol', 'vecCol', m, ksub): product-
+      // quantization codes from a pure-SQL FROM clause — (id, sub, code)
+      // rows, one per subspace. Codebooks are the deterministic seed (the
+      // ksub lowest-id vectors' subvectors, the q120 convention): geometry
+      // params are literals, the codebook matrix itself is data-derived at
+      // analysis time (same driver-side-work caveat as the pair TVFs above).
+      // Trained codebooks stay Column-API — a trained matrix is not a SQL
+      // literal.
+      ("graft_pq_encode", graft.operators.ProductQuantization.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_pq_encode", 5, exprs)
+        val f = "graft_pq_encode"
+        val df = tbl(strLit(f, "table", exprs(0)))
+        val idCol = strLit(f, "idCol", exprs(1))
+        val vecCol = strLit(f, "vecCol", exprs(2))
+        val m = intLit(f, "m", exprs(3))
+        val ksub = intLit(f, "ksub", exprs(4))
+        val pq = graft.operators.ProductQuantization
+        val cb = pq.seedCodebooks(df, vecCol, idCol, m, ksub)
+        import org.apache.spark.sql.functions.{col, posexplode}
+        plan(pq.encode(df, vecCol, cb)
+          .select(col(idCol), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+          .select(col(idCol), col("sub").cast("long").as("sub"),
+            col("code").cast("long").as("code"))) }),
       // graft_group_topk('tbl', 'g1,g2', 'score desc, id asc', k): the custom
       // whole-operator plan (bounded per-group heaps, k rows per
       // (partition, group) at the exchange — see graft.plans.GroupTopK) from

@@ -1005,6 +1005,18 @@ object PipelineQueries {
         nprobe = PqCoarseK, k = 20)
     }),
 
+    // q125: the PQ-encode TABLE function — q120's pipeline from a pure-SQL
+    // FROM clause (TableFunctionRegistry path, same Scala builder, one code
+    // path; the q118/q119 discipline applied to the round's flagship). Same
+    // oracle as q120.
+    "q125_sql_pq_encode" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql(s"""SELECT vec_id, sub, code
+          FROM graft_pq_encode('graft_emb', 'vec_id', 'embedding', $PqM, $PqKsub)
+          ORDER BY vec_id, sub""")
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1819,6 +1831,10 @@ object PipelineQueries {
          | ('0x' || substr(md5(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), 1, 8))::BIGINT % 100 AS bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q120_pq_encode" ->
+      s"""$pqAssignCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
+         |FROM r ORDER BY vec_id, sub""".stripMargin,
+    "q125_sql_pq_encode" ->
       s"""$pqAssignCtes
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
          |FROM r ORDER BY vec_id, sub""".stripMargin,

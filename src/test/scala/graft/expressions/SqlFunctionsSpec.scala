@@ -186,6 +186,31 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("graft_pq_encode TVF ≡ Scala ProductQuantization API, literal geometry enforced") {
+    import graft.operators.ProductQuantization
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.7 + d).toFloat).toArray)
+    }.toDF("vid", "v")
+    vecs.createOrReplaceTempView("pq_vecs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pq_encode('pq_vecs', 'vid', 'v', 4, 3)")
+      .orderBy(col("vid"), col("sub")).collect().toSeq
+    val cb = ProductQuantization.seedCodebooks(vecs, "v", "vid", 4, 3)
+    val viaApi = ProductQuantization.encode(vecs, "v", cb)
+      .select(col("vid"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("vid"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("vid"), col("sub")).collect().toSeq
+    assert(viaSql == viaApi && viaApi.size == 48)
+    // a non-integer literal must hit the builder's guard (a bare column name
+    // dies earlier, at identifier resolution — TVF args are not a row scope)
+    val bad = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_pq_encode('pq_vecs', 'vid', 'v', 'four', 3)").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(bad).exists(_.contains("must be an INTEGER literal")), bad.toString)
+  }
+
   test("layout functions: SQL ≡ Column API, variadic dims, literal bit width enforced") {
     import graft.operators.Layout
     Seq((1L, 5L, 3L, 7L), (2L, 1023L, 0L, 4L), (3L, 2000L, -4L, 1L))
