@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   * NaN distances never win (NaN < x is false); an all-NaN row keeps index 0.
   *
   * Output: array<int> of length m (containsNull=false). Null input array, or
-  * any null element, → null (same rationale as [[VecDot.nullable]]).
+  * any null element, → null (same rationale as [[VecDot.nullable]]). A
+  * vector whose length differs from m·dsub RAISES (eval + codegen): a
+  * corpus/codebook geometry mismatch would otherwise tie every trailing
+  * subspace at d2=0 and emit plausible-looking wrong codes — same loudness
+  * discipline as [[PqResidualEncode]]'s cell-range check.
   */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
@@ -57,6 +61,11 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // loud geometry check (the PqResidualEncode cell-range discipline): a
+    // mismatched corpus would otherwise tie every trailing subspace at d2=0
+    // and emit plausible-looking code 0s instead of an error
+    if (n != m * dsub) throw new IllegalArgumentException(
+      s"pq_encode expects ${m * dsub}-dim vectors (m=$m × dsub=$dsub), got $n")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -69,8 +78,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
         val cent = cents(c)
         var d2 = 0.0
         var t = 0
-        val lim = math.min(dsub, math.max(0, n - off))
-        while (t < lim) {
+        while (t < dsub) {
           if (v.isNullAt(off + t)) return null
           val x = if (elemDouble) v.getDouble(off + t) else v.getFloat(off + t).toDouble
           val diff = x - cent(t)
@@ -96,13 +104,16 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
       val off = ctx.freshName("off"); val bi = ctx.freshName("bi")
       val best = ctx.freshName("best"); val c = ctx.freshName("c")
       val cent = ctx.freshName("cent"); val d2 = ctx.freshName("d2")
-      val t = ctx.freshName("t"); val lim = ctx.freshName("lim")
+      val t = ctx.freshName("t")
       val x = ctx.freshName("x"); val diff = ctx.freshName("diff")
       // CAUTION: no generated line may BEGIN (after whitespace) with '|' —
       // outer codegen templates stripMargin their composed strings (see the
       // NearestCentroid q65 incident).
       s"""
          |int $n = $v.numElements();
+         |if ($n != ${m * dsub}) {
+         |  throw new IllegalArgumentException("pq_encode expects ${m * dsub}-dim vectors (m=${m} x dsub=${dsub}), got " + $n);
+         |}
          |int $s = 0;
          |int[] $codes = new int[${m}];
          |outer: while ($s < ${m}) {
@@ -113,8 +124,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
          |  for (int $c = 0; $c < $cents.length; $c++) {
          |    double[] $cent = $cents[$c];
          |    double $d2 = 0.0;
-         |    int $lim = java.lang.Math.min(${dsub}, java.lang.Math.max(0, $n - $off));
-         |    for (int $t = 0; $t < $lim; $t++) {
+         |    for (int $t = 0; $t < ${dsub}; $t++) {
          |      if ($v.isNullAt($off + $t)) { ${ev.isNull} = true; break outer; }
          |      double $x = ${get(v, s"($off + $t)")};
          |      double $diff = $x - $cent[$t];

@@ -108,7 +108,8 @@ object ProductQuantization {
     * below the sign bit (the q120/q121 geometry). */
   def packCodes(codes: Column, m: Int, ksub: Int): Column = {
     val width = codeWidth(ksub)
-    require(m * width <= 64, s"packed codes need $m*$width bits > 64")
+    require(m * width <= 64,
+      s"packed codes need $m×$width = ${m * width} bits — more than the 64 a long holds")
     (0 until m).map(s =>
       shiftleft(element_at(codes, s + 1).cast("long"), s * width))
       .reduce(_ + _)
@@ -129,6 +130,9 @@ object ProductQuantization {
     * [[PqEncode]] uses, so the table is reproducible as an oracle chain). */
   def adcLut(query: Seq[Double], codebooks: Codebooks): Seq[Seq[Double]] = {
     val m = codebooks.length
+    require(query.length == m * codebooks.head.head.length,
+      s"query has ${query.length} dims but the codebook geometry is " +
+        s"$m×${codebooks.head.head.length} — a mismatched query silently ranks garbage")
     val qsub = subspaces(query, m)
     codebooks.zipWithIndex.map { case (cents, s) =>
       cents.map { cent =>
@@ -144,11 +148,18 @@ object ProductQuantization {
   /** ADC distance column over a PACKED code column: Σ_s lut(s)(code_s),
     * ascending s, left-assoc. m element_at lookups into m ksub-literal
     * arrays — m·ksub literal nodes total (128 at the default geometry),
-    * safely inside the codegen budget that forced [[PqEncode]] native. */
+    * safely inside the codegen budget that forced [[PqEncode]] native.
+    *
+    * The explicit null guard is load-bearing: a null packed code (a
+    * null-poisoned embedding propagates PqEncode → packCodes → null) must
+    * yield a NULL distance, but `element_at` with a runtime-null index
+    * returns the element-type DEFAULT (0.0) under codegen — measured, not
+    * hypothetical — which would rank every dirty row as distance-0 nearest. */
   def adcDistance(packed: Column, lut: Seq[Seq[Double]], ksub: Int): Column =
-    lut.zipWithIndex.map { case (row, s) =>
-      element_at(array(row.map(lit): _*), unpackCode(packed, s, ksub) + 1)
-    }.reduce(_ + _)
+    when(packed.isNotNull,
+      lut.zipWithIndex.map { case (row, s) =>
+        element_at(array(row.map(lit): _*), unpackCode(packed, s, ksub) + 1)
+      }.reduce(_ + _))
 
   /** ADC top-k: the PQ search path. Scans only (id, packed) — 12 bytes a
     * row — and ranks by the LUT sum; exact distances never enter the plan.
@@ -156,13 +167,20 @@ object ProductQuantization {
     * PQ quantization error (recall measured separately, like IVF's);
     * `refine` re-ranks the top `refine·k` ADC candidates with exact L2 over
     * the original vectors when the caller keeps them — the standard
-    * two-stage ADC+refine shape. */
+    * two-stage ADC+refine shape.
+    *
+    * Null-poisoned rows (a null embedding propagates PqEncode → packCodes →
+    * a null adc_dist) are EXCLUDED, never ranked: Spark's default ascending
+    * sort is nulls-first, which would surface exactly the dirty rows as the
+    * nearest neighbors — and the exact cosine path sorts desc (nulls last),
+    * so without the filter ADC and exact search disagree on dirty data. */
   def adcTopK(encoded: DataFrame, packedCol: String, idCol: String,
               codebooks: Codebooks, query: Seq[Double], k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val ksub = codebooks.head.length
     encoded.select(col(idCol),
       adcDistance(col(packedCol), adcLut(query, codebooks), ksub).as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
@@ -185,19 +203,28 @@ object ProductQuantization {
     require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
     val cand = adcTopK(encoded, packedCol, idCol, codebooks, query, k * refineFactor)
       .select(col(idCol))
+    exactRefineTopK(cand, original, vecCol, idCol, query, k)
+  }
+
+  /** Stage-2 exact re-rank shared by every single-query refine path
+    * ([[adcTopKRefined]], [[ivfPqResidualTopK]]): broadcast-join the
+    * candidate id set against the original vectors and rank by exact squared
+    * L2 via the dot identity |v|² − 2·v·q + |q|² (native codegen kernels; the
+    * additive constant |q|² keeps ranking unchanged but makes the reported
+    * distance the true squared L2). Null vectors (null l2_dist) are excluded,
+    * matching [[adcTopK]]'s dirty-row contract. */
+  private def exactRefineTopK(cand: DataFrame, original: DataFrame,
+                              vecCol: String, idCol: String,
+                              query: Seq[Double], k: Int): DataFrame = {
     val qLit = array(query.map(lit): _*)
     val v = col(vecCol).cast("array<double>")
-    // exact squared L2 via the dot identity: |v|² − 2·v·q + |q|² (native
-    // codegen kernels; the additive constant |q|² keeps ranking unchanged
-    // but makes the reported distance the true squared L2)
-    val qq = {
-      var s = 0.0; query.foreach(x => s += x * x); s
-    }
+    var qq = 0.0; query.foreach(x => qq += x * x)
     original.join(broadcast(cand), Seq(idCol))
       .select(col(idCol),
         (graft.expressions.NativeVec.dot(v, v)
           - lit(2.0) * graft.expressions.NativeVec.dot(v, qLit) + lit(qq))
           .as("l2_dist"))
+      .filter(col("l2_dist").isNotNull)
       .orderBy(col("l2_dist"), col(idCol))
       .limit(k)
   }
@@ -227,13 +254,12 @@ object ProductQuantization {
                 refine: Int = 0): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
     require(refine >= 0, s"refine must be >= 0: $refine")
-    // probe ranking MUST use the same metric the cells were ASSIGNED with
-    // (SimilaritySearch.assignCells / NearestCentroid rank by cosine): a
-    // probe ranked by a different metric silently searches the wrong cells —
-    // fewer results, no error. Same convention as ivfTopKAssigned.
-    val probed = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosineToQuery(query, c), i) }
-      .take(nprobe).map(_._2)
+    // probe ranking MUST use the same metric AND tie rule the cells were
+    // ASSIGNED with (SimilaritySearch.assignCells / NearestCentroid rank by
+    // cosine, ties to the HIGHER index): a probe ranked differently silently
+    // searches the wrong cells — fewer results, no error. Same convention as
+    // ivfTopKAssigned.
+    val probed = probeCells(centroids, query, nprobe)
     val scoped = encoded.filter(col(cellCol).isin(probed: _*))
     if (refine == 0) adcTopK(scoped, packedCol, idCol, codebooks, query, k)
     else {
@@ -249,6 +275,17 @@ object ProductQuantization {
     while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** The nprobe cosine-nearest cell ids for one query, ties toward the
+    * HIGHER index — the [[graft.expressions.NearestCentroid]] assignment
+    * rule, so a row assigned to one of two tied cells is always covered by a
+    * probe set that reaches either. Shared by every single-query IVF-PQ
+    * entry point (the batch path ranks the same way distributedly). */
+  private[operators] def probeCells(centroids: Seq[Seq[Double]],
+                                    query: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosineToQuery(query, c), -i) }
+      .take(nprobe).map(_._2)
 
   // ─── residual encoding (true IVFADC: quantize vec − coarseCentroid) ───────
 
@@ -328,6 +365,10 @@ object ProductQuantization {
     * order matches [[PqResidualEncode]]: `(q[off+t] − cen[off+t]) − cb[t]`. */
   def residualAdcLut(query: Seq[Double], coarse: Seq[Seq[Double]], cell: Int,
                      codebooks: Codebooks): Seq[Seq[Double]] = {
+    require(query.length == codebooks.length * codebooks.head.head.length,
+      s"query has ${query.length} dims but the codebook geometry is " +
+        s"${codebooks.length}×${codebooks.head.head.length} — a mismatched " +
+        "query silently ranks garbage")
     val cen = coarse(cell)
     codebooks.zipWithIndex.map { case (cents, s) =>
       val off = s * codebooks.head.head.length
@@ -346,12 +387,28 @@ object ProductQuantization {
     }
   }
 
+  /** ADC distance over a packed code column from a FLATTENED lut column
+    * (array<double> of length m·ksub, lut[s·ksub + c]): Σ_s ascending,
+    * left-assoc — the chain [[adcDistance]] uses, with the table riding in a
+    * DATA column instead of literal nodes. m element_at nodes in the plan,
+    * independent of how many distinct LUTs flow through the column — the
+    * shape that keeps [[ivfPqResidualTopK]] and the batch join constant-size
+    * at any nprobe × n_queries. */
+  def adcDistanceFromLutCol(packed: Column, lutFlat: Column,
+                            m: Int, ksub: Int): Column =
+    when(packed.isNotNull && lutFlat.isNotNull,
+      (0 until m).map(s =>
+        element_at(lutFlat, unpackCode(packed, s, ksub) + lit(s * ksub) + 1))
+        .reduce(_ + _))
+
   /** IVFADC search over RESIDUAL codes: probe the nprobe cosine-nearest
-    * cells (assignment metric, see [[ivfPqTopK]]), rank each probed cell's
-    * rows with that cell's residual LUT, take the global k. The per-cell
-    * scans are a UNION of nprobe partition-pruned branches — each branch's
-    * LUT is its own m×ksub literal set, so the plan stays inside the codegen
-    * budget at any kCent (only nprobe branches materialize). `refine`
+    * cells (assignment metric + tie rule, see [[ivfPqTopK]]), rank each
+    * probed cell's rows with that cell's residual LUT, take the global k.
+    * The probed cells are ONE `isin` partition-pruned scan joined against a
+    * BROADCAST (cell → flattened m×ksub LUT) table — m element_at nodes in
+    * the plan regardless of nprobe (the per-branch literal formulation grew
+    * the plan by m·ksub literals per probed cell; spec-pinned equal).
+    * Null-poisoned rows are excluded ([[adcTopK]]'s contract). `refine`
     * re-ranks `refine·k` candidates exactly, as [[adcTopKRefined]]. */
   def ivfPqResidualTopK(encoded: DataFrame, packedCol: String, idCol: String,
                         cellCol: String, coarse: Seq[Seq[Double]],
@@ -362,32 +419,128 @@ object ProductQuantization {
                         refine: Int = 0): DataFrame = {
     require(nprobe > 0 && k > 0, s"bad nprobe=$nprobe/k=$k")
     require(refine >= 0, s"refine must be >= 0: $refine")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
     val ksub = codebooks.head.length
-    val probed = coarse.zipWithIndex
-      .sortBy { case (c, i) => (-cosineToQuery(query, c), i) }
-      .take(nprobe).map(_._2)
-    val branches = probed.map { cell =>
-      encoded.filter(col(cellCol) === lit(cell))
-        .select(col(idCol),
-          adcDistance(col(packedCol), residualAdcLut(query, coarse, cell, codebooks), ksub)
-            .as("adc_dist"))
-    }
-    val adc = branches.reduce(_ unionByName _)
+    val probed = probeCells(coarse, query, nprobe)
+    val lutDf = probed.map { cell =>
+      cell -> residualAdcLut(query, coarse, cell, codebooks).flatten
+    }.toDF("_lut_cell", "_lut")
+    val adc = encoded.filter(col(cellCol).isin(probed: _*))
+      .join(broadcast(lutDf), col(cellCol) === col("_lut_cell"))
+      .select(col(idCol),
+        adcDistanceFromLutCol(col(packedCol), col("_lut"), m, ksub).as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist"), col(idCol))
     if (refine == 0) adc.limit(k)
     else {
       val orig = original.getOrElse(sys.error("refine > 0 needs the original vectors"))
-      val cand = adc.limit(k * refine).select(col(idCol))
-      val qLit = array(query.map(lit): _*)
+      exactRefineTopK(adc.limit(k * refine).select(col(idCol)),
+        orig, vecCol, idCol, query, k)
+    }
+  }
+
+  /** Batch (query-TABLE) IVFADC search — the pipeline form of [[ivfPqTopK]]/
+    * [[ivfPqResidualTopK]]: every row of `queries` retrieves its top-k
+    * neighbors from the quantized index in ONE distributed plan, no
+    * driver-side query loop. This is the shape a training-data pipeline's
+    * dominant ANN workloads take (dedup sweeps, k-NN graph construction,
+    * retrieval joins over millions of queries).
+    *
+    * Stages, all constant plan size in n_queries × nprobe:
+    *   1. PROBE: queries × the kCent-row broadcast centroid table, cosine
+    *      ranked per query through [[graft.plans.GroupTopK]] (bounded heaps,
+    *      no window sort), ties toward the HIGHER cell — the assignment rule,
+    *      so probe sets cover tied assignments ([[probeCells]] distributed).
+    *   2. LUT: one [[graft.expressions.PqAdcLut]] native expression per
+    *      (query, cell) probe pair — the flattened m×ksub table as a DATA
+    *      column (m·ksub·dsub flops once per pair), never literal plan nodes.
+    *   3. ADC: probe pairs join the encoded corpus on the cell column —
+    *      partition pruning when the index is written `partitionBy(cellCol)`
+    *      — and each candidate row costs m `element_at` lookups
+    *      ([[adcDistanceFromLutCol]]); per-query top-k via GroupTopK.
+    *   4. optional REFINE: the k·refine ADC candidates per query re-rank
+    *      exactly against `original` (|v|² − 2·v·q + |q|², native dot
+    *      kernels), per-query top-k again.
+    *
+    * `broadcastLuts` (default true) broadcasts the probe-pair LUT table into
+    * stage 3 — right while n_queries·nprobe·(m·ksub + dims) doubles fit an
+    * executor (≈1 KB per pair at the 8×16 geometry: fine to ~10⁵ pairs).
+    * Beyond that set it false: the join shuffles by cell instead, which is
+    * correct at production kCent (thousands of cells); AQE's skew split
+    * handles hot cells. Null-poisoned queries and corpus rows are EXCLUDED
+    * (the [[adcTopK]] contract — and null queries have no meaningful probes).
+    *
+    * `residual = true` reads codes built by [[encodeResidual]] (true IVFADC);
+    * `false` reads plain [[encode]] codes — probing is identical, only the
+    * LUT chain differs. Output: (query_id, idCol, adc_dist) at refine=0,
+    * (query_id, idCol, l2_dist) re-ranked exactly at refine ≥ 1; row order
+    * unspecified (GroupTopK output — sort downstream if needed). */
+  def ivfPqTopKJoin(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                    encoded: DataFrame, packedCol: String, idCol: String,
+                    cellCol: String, coarse: Seq[Seq[Double]],
+                    codebooks: Codebooks, nprobe: Int, k: Int,
+                    residual: Boolean = true,
+                    original: Option[DataFrame] = None,
+                    vecCol: String = "embedding",
+                    refine: Int = 0,
+                    broadcastLuts: Boolean = true): DataFrame = {
+    require(nprobe > 0 && k > 0, s"bad nprobe=$nprobe/k=$k")
+    require(refine >= 0, s"refine must be >= 0: $refine")
+    require(idCol != "query_id",
+      "idCol 'query_id' collides with the output query-id column — rename it")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    // 1. probe assignment: per query, the nprobe cosine-nearest cells
+    val centDf = broadcast(
+      coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("_cell", "_cvec"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("_qv"))
+      .filter(col("_qv").isNotNull)
+    val scored = q.crossJoin(centDf)
+      .select(col("query_id"), col("_qv"), col("_cell"),
+        graft.expressions.NativeVec.cosine(col("_qv"), col("_cvec")).as("_cos"))
+      .filter(col("_cos").isNotNull)
+    val probes = graft.plans.GroupTopK.topK(scored,
+      Seq("query_id"), Seq("_cos" -> false, "_cell" -> false), nprobe)
+    // 2. one flattened LUT per probe pair (native expression, in-scan)
+    val luts = (if (residual)
+        probes.withColumn("_lut",
+          graft.expressions.PqAdcLut(col("_qv"), col("_cell"), coarse, codebooks))
+      else
+        probes.withColumn("_lut",
+          graft.expressions.PqAdcLut.plain(col("_qv"), codebooks)))
+      .select(col("query_id"), col("_cell"), col("_lut"))
+    // 3. cell join + ADC ranking
+    val lutSide = if (broadcastLuts) broadcast(luts) else luts
+    val adc = encoded.join(lutSide, encoded(cellCol) === lutSide("_cell"))
+      .select(col("query_id"), col(idCol),
+        adcDistanceFromLutCol(col(packedCol), col("_lut"), m, ksub).as("adc_dist"))
+      .filter(col("adc_dist").isNotNull)
+    if (refine == 0)
+      graft.plans.GroupTopK.topK(adc,
+        Seq("query_id"), Seq("adc_dist" -> true, idCol -> true), k)
+    else {
+      // 4. exact re-rank of the per-query candidate sets
+      val orig = original.getOrElse(sys.error("refine > 0 needs the original vectors"))
+      val cand = graft.plans.GroupTopK.topK(adc,
+          Seq("query_id"), Seq("adc_dist" -> true, idCol -> true), k * refine)
+        .select(col("query_id"), col(idCol))
       val v = col(vecCol).cast("array<double>")
-      var qq = 0.0; query.foreach(x => qq += x * x)
-      orig.join(broadcast(cand), Seq(idCol))
-        .select(col(idCol),
-          (graft.expressions.NativeVec.dot(v, v)
-            - lit(2.0) * graft.expressions.NativeVec.dot(v, qLit) + lit(qq))
+      val refined = cand
+        .join(orig.select(col(idCol), v.as("_nv")), Seq(idCol))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col(idCol),
+          (graft.expressions.NativeVec.dot(col("_nv"), col("_nv"))
+            - lit(2.0) * graft.expressions.NativeVec.dot(col("_nv"), col("_qv"))
+            + graft.expressions.NativeVec.dot(col("_qv"), col("_qv")))
             .as("l2_dist"))
-        .orderBy(col("l2_dist"), col(idCol))
-        .limit(k)
+        .filter(col("l2_dist").isNotNull)
+      graft.plans.GroupTopK.topK(refined,
+        Seq("query_id"), Seq("l2_dist" -> true, idCol -> true), k)
     }
   }
 

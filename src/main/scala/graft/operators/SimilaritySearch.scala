@@ -204,8 +204,11 @@ object SimilaritySearch {
               centroids: Seq[Seq[Double]], query: Seq[Double],
               nprobe: Int, k: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    // ties toward the HIGHER index — the NearestCentroid ASSIGNMENT rule, so
+    // at nprobe < kCent a row assigned to the higher of two tied cells is
+    // still reached by a probe set that covers either
     val probed = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosineScala(query, c), i) }
+      .sortBy { case (c, i) => (-cosineScala(query, c), -i) }
       .take(nprobe).map(_._2)
     bruteForceTopK(
       df.filter(nearestCentroid(col(vecCol), centroids).isin(probed: _*)),
@@ -228,8 +231,9 @@ object SimilaritySearch {
                       cellCol: String, centroids: Seq[Seq[Double]],
                       query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive: $nprobe")
+    // ties to the higher index — the assignment rule (see ivfTopK)
     val probed = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosineScala(query, c), i) }
+      .sortBy { case (c, i) => (-cosineScala(query, c), -i) }
       .take(nprobe).map(_._2)
     bruteForceTopK(df.filter(col(cellCol).isin(probed: _*)), vecCol, idCol, query, k)
   }

@@ -1017,6 +1017,35 @@ object PipelineQueries {
           ORDER BY vec_id, sub""")
     }),
 
+    // q126: BATCH (query-TABLE) residual IVFADC search — the pipeline form
+    // of q124: every query row (vec_id % 25 == 0, the q102 convention)
+    // retrieves its top-5 neighbors from the residual-quantized index in ONE
+    // distributed plan. nprobe=2 of the 4 coarse cells, so the oracle models
+    // the whole new surface: per-query probe SELECTION (cosine rank, ties to
+    // the HIGHER cell — the assignment rule), the per-(query, cell) residual
+    // LUT (PqAdcLut native expression ≡ the unrolled residual chains), the
+    // cell join, and per-query GroupTopK. A wrong probe rank, LUT entry,
+    // join, or heap all break the hash.
+    "q126_ivfpq_batch_join" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      pq.ivfPqTopKJoin(queries, "qid", "embedding", encoded, "packed", "vec_id",
+          "cell", coarse, cb, nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1063,19 +1092,28 @@ object PipelineQueries {
   /** q123 coarse-cell count (the 4 lowest-id vectors act as IVF centroids). */
   private val PqCoarseK = 4
 
-  /** One squared residual-difference term for q123/q124: the left alias's
-    * residual (a − its centroid ce) minus the codeword (seed sd − its
-    * centroid cs), exactly the `(x − ce) − cb[t]` order PqResidualEncode and
-    * residualAdcLut evaluate, with cb[t] = one IEEE subtraction
-    * (seedCodebooksResidual's precompute). */
-  private def pqResidTermSql(a: String, j: Int): String = {
-    val r = s"(CAST($a.embedding[$j] AS DOUBLE)-CAST(ce.embedding[$j] AS DOUBLE))" +
-      s"-(CAST(sd.embedding[$j] AS DOUBLE)-CAST(cs.embedding[$j] AS DOUBLE))"
-    s"(($r)*($r))"
-  }
+  /** 64-element residual array `a.embedding − c.embedding` as ONE list
+    * comprehension — each element one IEEE subtraction, exactly
+    * PqResidualEncode's `x − ce` (and seedCodebooksResidual's codeword
+    * precompute). Materializing residuals ONCE keeps every downstream
+    * distance chain at 2 array refs + 1 op per term: the inline 4-array
+    * 3-op formulation compiled ~10× larger expression trees, which
+    * fragmented DuckDB 1.0.0's allocator into tens of thousands of memory
+    * maps per query — two heavy queries from the 65530 vm.max_map_count
+    * wall the driver's single-process 126-query sweep must stay under. */
+  private def resListSql(a: String, c: String): String =
+    s"[CAST($a.embedding[j] AS DOUBLE) - CAST($c.embedding[j] AS DOUBLE) " +
+      "FOR j IN generate_series(1, 64)]"
 
-  private def pqResidSubDistSql(a: String, s: Int): String =
-    (1 to PqDsub).map(d => pqResidTermSql(a, s * PqDsub + d)).mkString(" + ")
+  /** Unrolled Σ_d (a.res[j] − b.res[j])² over subspace `s` — ascending-dim
+    * left-assoc, the `(x − ce) − cb[t]` chain with both residuals
+    * pre-materialized ([[resListSql]]): identical IEEE ops in identical
+    * order to PqResidualEncode / residualAdcLut / PqAdcLut. */
+  private def pqResidSubDistSql(a: String, b: String, s: Int): String =
+    (1 to PqDsub).map { d =>
+      val j = s * PqDsub + d
+      s"(($a.res[$j]-$b.res[$j])*($a.res[$j]-$b.res[$j]))"
+    }.mkString(" + ")
 
   /** Cosine of a row alias against a centroid alias with NearestCentroid's
     * exact operation shape: dot / (sqrt(vv) · sqrt(cc)), all ascending-dim
@@ -1083,35 +1121,38 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** Shared q123/q124 oracle prefix: fixed coarse centroids (the PqCoarseK
-    * lowest-id vectors), per-row cosine cell assignment (ties to the HIGHER
-    * index — the NearestCentroid rule), residual seed codebooks (the PqKsub
-    * lowest-id rows' residuals under THEIR cells), and the per-(vector,
-    * subspace) residual argmin (ties to the LOWER codeword index). */
+  /** Shared q123/q124/q126 oracle prefix: fixed coarse centroids (the
+    * PqCoarseK lowest-id vectors), per-row cosine cell assignment (ties to
+    * the HIGHER index — the NearestCentroid rule), per-row materialized
+    * residual arrays (`rez`, [[resListSql]]), the seed-codeword residuals
+    * (`sres` — the PqKsub lowest-id rows' residuals under THEIR cells,
+    * exactly seedCodebooksResidual), and the per-(vector, subspace) residual
+    * argmin (`r`, ties to the LOWER codeword index). */
   private def pqResidualCtes: String = {
     val caseSql = s"CASE s.sub " +
-      (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("e", s)})").mkString(" ") +
+      (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("rz", "sr", s)})").mkString(" ") +
       " END"
-    s"""WITH co AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+    s"""WITH co AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
        |    embedding
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqCoarseK) zc),
-       |asg AS (SELECT vec_id, ccid AS cell FROM (
+       |asg AS MATERIALIZED (SELECT vec_id, ccid AS cell FROM (
        |    SELECT e.vec_id, c.ccid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
        |    FROM embeddings e CROSS JOIN co c) a WHERE rn = 1),
-       |sd0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-       |    vec_id, embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) zs),
-       |d AS (SELECT e.vec_id, ea.cell, s.sub, sd.cid, $caseSql AS dist
+       |rez AS MATERIALIZED (SELECT e.vec_id, ea.cell, ${resListSql("e", "ce")} AS res
        |  FROM embeddings e
        |  JOIN asg ea ON e.vec_id = ea.vec_id
-       |  JOIN co ce ON ce.ccid = ea.cell
-       |  CROSS JOIN sd0 sd
-       |  JOIN asg sa ON sd.vec_id = sa.vec_id
-       |  JOIN co cs ON cs.ccid = sa.cell
+       |  JOIN co ce ON ce.ccid = ea.cell),
+       |sd0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |    vec_id
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKsub) zs),
+       |sres AS MATERIALIZED (SELECT sd.cid, rz.res FROM sd0 sd JOIN rez rz ON rz.vec_id = sd.vec_id),
+       |d AS MATERIALIZED (SELECT rz.vec_id, rz.cell, s.sub, sr.cid, $caseSql AS dist
+       |  FROM rez rz
+       |  CROSS JOIN sres sr
        |  CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub) s),
-       |r AS (SELECT vec_id, cell, sub, cid FROM (
+       |r AS MATERIALIZED (SELECT vec_id, cell, sub, cid FROM (
        |    SELECT vec_id, cell, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
        |    FROM d) rr WHERE rn = 1)""".stripMargin
@@ -1124,10 +1165,10 @@ object PipelineQueries {
        |    embedding
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) z),
        |subs AS (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub),
-       |d AS (SELECT e.vec_id, s.sub, c.cid,
+       |d AS MATERIALIZED (SELECT e.vec_id, s.sub, c.cid,
        |    ${pqSubDistCaseSql("e", "c", "s.sub")} AS dist
        |  FROM embeddings e CROSS JOIN cb c CROSS JOIN subs s),
-       |r AS (SELECT vec_id, sub, cid FROM (
+       |r AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
        |    FROM d) rr WHERE rn = 1)""".stripMargin
@@ -1175,7 +1216,7 @@ object PipelineQueries {
          | $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q42_text_langid" ->
-      s"""WITH p AS (SELECT doc_id, lang,
+      s"""WITH p AS MATERIALIZED (SELECT doc_id, lang,
          | CASE WHEN CAST(array_length($tokensSql) AS DOUBLE) > 0
          |   AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
          |       / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05
@@ -1197,7 +1238,7 @@ object PipelineQueries {
         |  CAST(array_length($tokensSql) AS BIGINT) AS n,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
         |  FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
         |st(shard, rn, doc_id, acc, pack) AS (
         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) FROM r WHERE rn = 1
         |  UNION ALL
@@ -1273,7 +1314,7 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE)/CAST(least(sa.s, sb.s) AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "q85_sqrt_cap_sample" ->
-      """WITH r AS (SELECT doc_id, source,
+      """WITH r AS MATERIALIZED (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
         |  count(*) OVER (PARTITION BY source) AS gn
         |  FROM documents)
@@ -1322,7 +1363,7 @@ object PipelineQueries {
         |SELECT doc_id, host, domain FROM hd
         |WHERE host NOT IN (SELECT host FROM blocked) ORDER BY doc_id""".stripMargin,
     "q82_chunk_overlap" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM documents),
          |n0 AS (SELECT doc_id, t, len(t) AS n FROM d),
          |c AS (SELECT doc_id, t, n,
          |  CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 23) // 24) + 1 END AS nchunks FROM n0),
@@ -1359,7 +1400,7 @@ object PipelineQueries {
         |SELECT doc_id, n_chars FROM documents, b
         |WHERE n_chars >= lo_v AND n_chars <= hi_v ORDER BY doc_id""".stripMargin,
     "q75_stratified_sample" ->
-      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+      """WITH r AS MATERIALIZED (SELECT doc_id, source, row_number() OVER (
         |  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
@@ -1409,7 +1450,7 @@ object PipelineQueries {
          |WHERE comp.id IS NULL OR comp.component = f.doc_id
          |ORDER BY doc_id""".stripMargin,
     "q78_stratified_fraction" ->
-      """WITH r AS (SELECT doc_id, source,
+      """WITH r AS MATERIALIZED (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
         |  count(*) OVER (PARTITION BY source) AS gn
         |  FROM documents)
@@ -1419,10 +1460,10 @@ object PipelineQueries {
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
          |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
          |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-         |sc AS (SELECT doc_id, term, tf,
+         |sc AS MATERIALIZED (SELECT doc_id, term, tf,
          |  CAST(tf AS DOUBLE) * ((CAST(n AS DOUBLE) + 1.0) / (CAST(dfc AS DOUBLE) + 1.0)) AS score
          |  FROM tf JOIN dfq USING (term), n),
-         |r AS (SELECT *, row_number() OVER (
+         |r AS MATERIALIZED (SELECT *, row_number() OVER (
          |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
          |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, score
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
@@ -1495,7 +1536,7 @@ object PipelineQueries {
     "q89_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
         |  FROM documents),
-        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |r AS MATERIALIZED (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
         |             count(*) OVER (PARTITION BY source) AS nd FROM h)
         |SELECT source,
         | CAST(least(nd, 16) AS BIGINT) AS n_minima,
@@ -1527,7 +1568,7 @@ object PipelineQueries {
          |       WHEN doc_id % 4 = 3 THEN repeat('${langSuffix("es")}', 4)
          |       ELSE '' END AS text FROM documents),
          |tk AS (SELECT doc_id, $tokensSql AS t FROM aug),
-         |sc AS (SELECT doc_id,
+         |sc AS MATERIALIZED (SELECT doc_id,
          |  CAST(len(list_filter(t, x -> list_contains([${langListSql("en")}], x))) AS BIGINT) AS s_en,
          |  CAST(len(list_filter(t, x -> list_contains([${langListSql("de")}], x))) AS BIGINT) AS s_de,
          |  CAST(len(list_filter(t, x -> list_contains([${langListSql("fr")}], x))) AS BIGINT) AS s_fr,
@@ -1566,14 +1607,14 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "q119_sql_group_topk" ->
       s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
-         |r AS (SELECT source, doc_id, quality,
+         |r AS MATERIALIZED (SELECT source, doc_id, quality,
          |  row_number() OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id) AS rn FROM q)
          |SELECT source, doc_id, quality FROM r WHERE rn <= 3
          |ORDER BY source, doc_id""".stripMargin,
     "q112_group_topk_plan" ->
       s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
-         |r AS (SELECT source, doc_id, quality,
+         |r AS MATERIALIZED (SELECT source, doc_id, quality,
          |  row_number() OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id) AS rn FROM q)
          |SELECT source, doc_id, quality FROM r WHERE rn <= 3
@@ -1626,7 +1667,7 @@ object PipelineQueries {
         |WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
     "q106_quality_topm" ->
       s"""WITH q AS (SELECT source, doc_id, ($qualitySql) AS quality FROM documents),
-         |r AS (SELECT source, doc_id, quality,
+         |r AS MATERIALIZED (SELECT source, doc_id, quality,
          |  row_number() OVER (PARTITION BY source
          |    ORDER BY quality DESC, doc_id) AS rn FROM q)
          |SELECT source, doc_id, quality FROM r WHERE rn <= 10
@@ -1642,7 +1683,7 @@ object PipelineQueries {
          |FROM surv s LEFT JOIN wt ON s.component = wt.component
          |ORDER BY s.doc_id""".stripMargin,
     "q105_corpus_report" ->
-      s"""WITH d AS (SELECT source,
+      s"""WITH d AS MATERIALIZED (SELECT source,
          |  CAST(array_length($tokensSql) AS BIGINT) AS nt,
          |  CAST(len(regexp_extract_all(text,
          |    '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS nb,
@@ -1679,12 +1720,12 @@ object PipelineQueries {
     "q102_knn_join" ->
       s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS bucket
          |  FROM embeddings),
-         |sc AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |sc AS MATERIALIZED (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
          |  (${dotSql("q", "b")}) /
          |    (sqrt(${dotSql("q", "q")}) * sqrt(${dotSql("b", "b")})) AS cosine
          | FROM bk q JOIN bk b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
          | WHERE q.vec_id % 25 = 0),
-         |r AS (SELECT query_id, neighbor_id, cosine,
+         |r AS MATERIALIZED (SELECT query_id, neighbor_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
@@ -1702,7 +1743,7 @@ object PipelineQueries {
          |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
          | FROM documents),
          |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1),
-         |pr AS (SELECT substr(p, CAST(i AS INT), 2) AS pair, freq
+         |pr AS MATERIALIZED (SELECT substr(p, CAST(i AS INT), 2) AS pair, freq
          |  FROM f, LATERAL unnest(generate_series(1, length(p) - 1)) AS g(i)
          |  WHERE length(p) >= 2)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
@@ -1739,7 +1780,7 @@ object PipelineQueries {
         |  '([?&])(?:utm_[A-Za-z0-9]+|gclid|fbclid)=[^&]*', '\1', 'g'),
         |  '([?&])&+', '\1', 'g'), '[?&]$', '', 'g') AS s
         | FROM n1),
-        |p AS (SELECT doc_id, s,
+        |p AS MATERIALIZED (SELECT doc_id, s,
         |  lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(regexp_replace(
         |    lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
@@ -1841,10 +1882,10 @@ object PipelineQueries {
     "q121_pq_adc_topk" ->
       s"""$pqAssignCtes,
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |qd AS (SELECT r.vec_id, r.sub,
+         |qd AS MATERIALIZED (SELECT r.vec_id, r.sub,
          |    ${pqSubDistCaseSql("q", "c2", "r.sub")} AS qdist
          |  FROM r JOIN cb c2 ON r.cid = c2.cid CROSS JOIN q),
-         |p AS (SELECT vec_id,
+         |p AS MATERIALIZED (SELECT vec_id,
          |    ${(0 until PqM).map(s =>
                s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
          |  FROM qd GROUP BY vec_id)
@@ -1855,24 +1896,62 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub, cid AS code
          |FROM r ORDER BY vec_id, sub""".stripMargin,
     "q124_pq_residual_adc_topk" -> {
+      // query residual vs EACH cell materialized once (qrez), then the
+      // distance chain reads two precomputed arrays — see resListSql
       val qCaseSql = s"CASE r.sub " +
-        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("q", s)})").mkString(" ") +
+        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("qr", "sr", s)})").mkString(" ") +
         " END"
       s"""$pqResidualCtes,
          |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |qd AS (SELECT r.vec_id, r.sub, $qCaseSql AS qdist
+         |qrez AS MATERIALIZED (SELECT c.ccid AS cell, ${resListSql("q", "c")} AS res
+         |  FROM q CROSS JOIN co c),
+         |qd AS MATERIALIZED (SELECT r.vec_id, r.sub, $qCaseSql AS qdist
          |  FROM r
-         |  JOIN co ce ON ce.ccid = r.cell
-         |  JOIN sd0 sd ON sd.cid = r.cid
-         |  JOIN asg sa ON sd.vec_id = sa.vec_id
-         |  JOIN co cs ON cs.ccid = sa.cell
-         |  CROSS JOIN q),
-         |p AS (SELECT vec_id,
+         |  JOIN qrez qr ON qr.cell = r.cell
+         |  JOIN sres sr ON sr.cid = r.cid),
+         |p AS MATERIALIZED (SELECT vec_id,
          |    ${(0 until PqM).map(s =>
                s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
          |  FROM qd GROUP BY vec_id)
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
          |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+    },
+    "q126_ivfpq_batch_join" -> {
+      // per-(query, probed-cell) residual arrays materialized once (qrez ≈
+      // n_queries·nprobe rows), then every distance chain reads two
+      // precomputed arrays — the same decomposition that keeps the whole
+      // residual-oracle family's expression trees (and DuckDB's memory-map
+      // footprint) an order of magnitude down; see resListSql
+      val qCaseSql = s"CASE r.sub " +
+        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("qr", "sr", s)})").mkString(" ") +
+        " END"
+      s"""$pqResidualCtes,
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |pr AS MATERIALIZED (SELECT query_id, ccid AS cell FROM (
+         |    SELECT q.query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q", "c")} DESC, c.ccid DESC) AS rn
+         |    FROM qs q CROSS JOIN co c) p WHERE rn <= 2),
+         |qrez AS MATERIALIZED (SELECT p.query_id, p.cell, ${resListSql("q", "ce")} AS res
+         |  FROM pr p
+         |  JOIN qs q ON q.query_id = p.query_id
+         |  JOIN co ce ON ce.ccid = p.cell),
+         |qd AS MATERIALIZED (SELECT qr.query_id, r.vec_id, r.sub, $qCaseSql AS qdist
+         |  FROM r
+         |  JOIN qrez qr ON qr.cell = r.cell
+         |  JOIN sres sr ON sr.cid = r.cid),
+         |p2 AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY query_id, vec_id),
+         |sc AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist FROM p2)
+         |SELECT query_id, vec_id, adc_dist FROM (
+         |  SELECT query_id, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, vec_id) AS rn
+         |  FROM sc) t WHERE rn <= 5
+         |ORDER BY query_id, adc_dist, vec_id""".stripMargin
     },
     "q122_zorder_value" -> {
       // bit b of column i → interleaved position b·n + i (n = 2 dims)

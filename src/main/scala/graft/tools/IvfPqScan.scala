@@ -126,7 +126,7 @@ object IvfPqScan {
     val indexDisk = treeBytes(new java.io.File(s"$tmp/index"))
     def probedDisk(q: Seq[Double], np: Int): Long = {
       val probed = cents.zipWithIndex
-        .sortBy { case (c, i) => (-cosQ(q, c), i) }.take(np).map(_._2)
+        .sortBy { case (c, i) => (-cosQ(q, c), -i) }.take(np).map(_._2)
       probed.map(cell => treeBytes(new java.io.File(s"$tmp/index/ivf_cell=$cell"))).sum
     }
     def cosQ(a: Seq[Double], b: Seq[Double]): Double = {

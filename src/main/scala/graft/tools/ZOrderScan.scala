@@ -43,6 +43,9 @@ object ZOrderScan {
     val numFiles = args.lift(2).map(_.toInt).getOrElse(64)
     val nBoxes = args.lift(3).map(_.toInt).getOrElse(6)
     val boxBits = args.lift(4).map(_.toInt).getOrElse(7)
+    // boxes must fit strictly inside the domain: boxBits >= bits makes
+    // dom - side <= 0 below (modulo-by-zero or negative corners)
+    require(boxBits < bits, s"boxBits=$boxBits must be < bits=$bits")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

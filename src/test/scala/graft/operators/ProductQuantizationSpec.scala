@@ -209,6 +209,181 @@ class ProductQuantizationSpec extends SparkSpec {
       s"residual ($trainedErr) must beat plain ($plainErr) on clustered data")
   }
 
+  test("PqEncode: a corpus/codebook geometry mismatch raises instead of encoding silently") {
+    // m=2, dsub=2 → expects 4-dim vectors; 3- and 5-dim rows must be loud
+    val cb: pq.Codebooks = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
+    for (bad <- Seq(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0, 4.0, 5.0))) {
+      val err = intercept[Exception] {
+        vecDf(1L -> bad).select(PqEncode($"v", cb)).collect()
+      }
+      assert(err.getMessage.contains("pq_encode expects 4-dim"),
+        s"wrong error for ${bad.length}-dim input: ${err.getMessage}")
+    }
+    // residual twin: same loudness
+    val errR = intercept[Exception] {
+      vecDf(1L -> Seq(1.0, 2.0, 3.0)).withColumn("cell", lit(0))
+        .select(graft.expressions.PqResidualEncode(
+          $"v", $"cell", Seq(Seq(0.0, 0.0, 0.0, 0.0)), cb)).collect()
+    }
+    assert(errR.getMessage.contains("pq_residual_encode expects 4-dim"))
+  }
+
+  test("adcTopK / refine exclude null-poisoned rows instead of ranking them first") {
+    // a null embedding element → null codes → null packed → null adc_dist;
+    // asc sort default is nulls-FIRST, so without the filter the dirty row
+    // would surface as the single nearest neighbor
+    val cb: pq.Codebooks = Seq(Seq(Seq(0.0, 0.0), Seq(9.0, 9.0)))
+    val clean = Seq((1L, Seq[Option[Double]](Some(0.1), Some(0.1))),
+      (2L, Seq[Option[Double]](Some(8.0), Some(8.0))),
+      (3L, Seq[Option[Double]](Some(1.0), None))).toDF("id", "v")
+    val encoded = pq.encode(clean, "v", cb)
+      .select($"id", pq.packCodes($"pq_codes", m = 1, ksub = 2).as("packed"))
+    val got = pq.adcTopK(encoded, "packed", "id", cb, Seq(0.0, 0.0), k = 3)
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), s"null-poisoned row must be excluded, got $got")
+    val refined = pq.adcTopKRefined(encoded, "packed", "id", clean, "v", cb,
+      Seq(0.0, 0.0), k = 3, refineFactor = 1)
+      .select($"id").as[Long].collect().toSeq
+    assert(refined == Seq(1L, 2L), s"refine must also exclude dirty rows, got $refined")
+  }
+
+  test("probe selection breaks exact cosine ties toward the HIGHER index — the assignment rule") {
+    // centroids 1 and 2 are the same direction (cosine ties exactly);
+    // NearestCentroid assigns tied rows to the higher index, so the probe
+    // must pick index 2 over 1 or an nprobe=1 search misses those rows
+    val cents = Seq(Seq(-1.0, 0.0), Seq(1.0, 1.0), Seq(2.0, 2.0))
+    assert(pq.probeCells(cents, Seq(1.0, 1.0), nprobe = 1) == Seq(2))
+    assert(pq.probeCells(cents, Seq(1.0, 1.0), nprobe = 2) == Seq(2, 1))
+    // end-to-end: a row exactly on the tied direction is assigned to cell 2
+    // (higher), and the nprobe=1 residual search must find it
+    val df = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(-2.0, 0.1))).toDF("id", "v")
+    val assigned = SimilaritySearch.assignCells(df, "v", cents, "cell")
+    assert(assigned.filter($"id" === 1L).select($"cell").as[Int].head() == 2)
+    val cb: pq.Codebooks = Seq(Seq(Seq(0.0)), Seq(Seq(0.0)))
+    val encoded = pq.encodeResidual(assigned, "v", "cell", cents, cb)
+      .select($"id", pq.packCodes($"pq_codes", m = 2, ksub = 1).as("packed"), $"cell")
+    val got = pq.ivfPqResidualTopK(encoded, "packed", "id", "cell", cents, cb,
+      query = Seq(1.0, 1.0), nprobe = 1, k = 1)
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"nprobe=1 probe missed the tied-cell row: $got")
+  }
+
+  test("broadcast-LUT ivfPqResidualTopK equals the per-branch driver recomputation") {
+    val dims = 8; val m = 4; val kCent = 3; val ksub = 3
+    val df = syntheticCorpus(36, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    val query = (0 until dims).map(d => math.cos(d * 0.9)).toSeq
+    val encoded = pq.encodeResidual(assigned, "v", "cell", coarse, cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell",
+        $"pq_codes")
+    for (nprobe <- Seq(1, 2, kCent)) {
+      val got = pq.ivfPqResidualTopK(encoded.select($"id", $"packed", $"cell"),
+        "packed", "id", "cell", coarse, cb, query, nprobe, k = 8)
+        .as[(Long, Double)].collect().toSeq
+      // driver replay of the old branch formulation: per probed cell, that
+      // cell's residual LUT summed over the row's (unpacked) codes
+      val probed = pq.probeCells(coarse, query, nprobe)
+      val luts = probed.map(c => c -> pq.residualAdcLut(query, coarse, c, cb)).toMap
+      val expect = encoded.select($"id", $"cell", $"pq_codes")
+        .as[(Long, Int, Seq[Int])].collect()
+        .filter { case (_, cell, _) => luts.contains(cell) }
+        .map { case (id, cell, codes) =>
+          id -> codes.zipWithIndex.map { case (c, s) => luts(cell)(s)(c) }.reduce(_ + _)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(8).toSeq
+      assert(got == expect, s"nprobe=$nprobe mismatch")
+    }
+  }
+
+  test("PqAdcLut: residual mode equals residualAdcLut flattened; plain mode equals adcLut — bit-exact") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(30, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooks(df, "v", "id", m, ksub, iters = 2)
+    // residual: every (vector, its-own-cell) pair vs the driver builder
+    val gotR = assigned
+      .select($"id", $"cell",
+        graft.expressions.PqAdcLut($"v", $"cell", coarse, cb).as("lut"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val vecs = df.select($"id", $"v").as[(Long, Seq[Double])].collect().toMap
+    gotR.foreach { case (id, cell, lut) =>
+      val expect = pq.residualAdcLut(vecs(id), coarse, cell, cb).flatten
+      assert(lut == expect, s"residual LUT mismatch for id=$id cell=$cell")
+    }
+    // plain: the zero-extended empty centroid collapses to adcLut
+    val gotP = df.select($"id", graft.expressions.PqAdcLut.plain($"v", cb).as("lut"))
+      .as[(Long, Seq[Double])].collect()
+    gotP.foreach { case (id, lut) =>
+      assert(lut == pq.adcLut(vecs(id), cb).flatten, s"plain LUT mismatch for id=$id")
+    }
+  }
+
+  test("PqAdcLut: null element nulls, bad cell and bad geometry raise") {
+    val cb: pq.Codebooks = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
+    val coarse = Seq(Seq(0.0, 0.0, 0.0, 0.0))
+    val withNull = Seq((1L, Seq[Option[Double]](Some(1.0), None, Some(2.0), Some(3.0)), 0))
+      .toDF("id", "v", "cell")
+    assert(withNull.select(graft.expressions.PqAdcLut($"v", $"cell", coarse, cb))
+      .collect().head.isNullAt(0))
+    val badCell = intercept[Exception] {
+      Seq((1L, Seq(1.0, 2.0, 3.0, 4.0), 5)).toDF("id", "v", "cell")
+        .select(graft.expressions.PqAdcLut($"v", $"cell", coarse, cb)).collect()
+    }
+    assert(badCell.getMessage.contains("outside coarse matrix"))
+    val badGeom = intercept[Exception] {
+      Seq((1L, Seq(1.0, 2.0, 3.0), 0)).toDF("id", "v", "cell")
+        .select(graft.expressions.PqAdcLut($"v", $"cell", coarse, cb)).collect()
+    }
+    assert(badGeom.getMessage.contains("pq_adc_lut expects 4-dim"))
+  }
+
+  test("ivfPqTopKJoin: per-query batch results equal the single-query paths (residual + plain, ADC + refine, both LUT join modes)") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3; val k = 5
+    val df = syntheticCorpus(40, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    val cbR = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    val cbP = pq.trainCodebooks(df, "v", "id", m, ksub, 2)
+    val encR = pq.encodeResidual(assigned, "v", "cell", coarse, cbR)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+      .cache()
+    val encP = pq.encode(assigned, "v", cbP)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+      .cache()
+    val queries = df.filter($"id" % 10 === 0)
+      .select($"id".as("qid"), $"v")  // 4 queries
+    val qvecs = queries.as[(Long, Seq[Double])].collect().toMap
+    for (nprobe <- Seq(1, kCent); bcast <- Seq(true, false)) {
+      val batchR = pq.ivfPqTopKJoin(queries, "qid", "v", encR, "packed", "id",
+          "cell", coarse, cbR, nprobe, k, residual = true, broadcastLuts = bcast)
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._2)).sorted.toSeq).toMap
+      qvecs.foreach { case (qid, qv) =>
+        val single = pq.ivfPqResidualTopK(encR, "packed", "id", "cell", coarse,
+            cbR, qv, nprobe, k)
+          .as[(Long, Double)].collect().map(r => (r._2, r._1)).sorted.toSeq
+        assert(batchR.getOrElse(qid, Nil) == single,
+          s"residual batch != single for qid=$qid nprobe=$nprobe bcast=$bcast")
+      }
+    }
+    // plain codes + refine leg vs ivfPqTopK
+    val batchP = pq.ivfPqTopKJoin(queries, "qid", "v", encP, "packed", "id",
+        "cell", coarse, cbP, nprobe = 2, k = k, residual = false,
+        original = Some(df), vecCol = "v", refine = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._2)).sorted.toSeq).toMap
+    qvecs.foreach { case (qid, qv) =>
+      val single = pq.ivfPqTopK(encP, "packed", "id", "cell", coarse, cbP, qv,
+          nprobe = 2, k = k, original = Some(df), vecCol = "v", refine = 3)
+        .as[(Long, Double)].collect().map(r => (r._2, r._1)).sorted.toSeq
+      assert(batchP.getOrElse(qid, Nil) == single,
+        s"plain refine batch != single for qid=$qid")
+    }
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)
