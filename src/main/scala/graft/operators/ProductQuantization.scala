@@ -514,9 +514,17 @@ object ProductQuantization {
         probes.withColumn("_lut",
           graft.expressions.PqAdcLut.plain(col("_qv"), codebooks)))
       .select(col("query_id"), col("_cell"), col("_lut"))
-    // 3. cell join + ADC ranking
+    // 3. cell join + ADC ranking. The probe-UNION cell list is collected
+    // (≤ kCent ints; one extra small job re-running the probe stage) and
+    // applied as a STATIC isin filter: a join on the partition column alone
+    // does NOT prune partitions at planning time (measured: a 14-of-16-cell
+    // probe union still scanned all 200k index rows via the join), so
+    // without this filter a localized batch would pay a full index scan.
+    val probedCells = probes.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val lutSide = if (broadcastLuts) broadcast(luts) else luts
-    val adc = encoded.join(lutSide, encoded(cellCol) === lutSide("_cell"))
+    val adc = encoded.filter(col(cellCol).isin(probedCells: _*))
+      .join(lutSide, encoded(cellCol) === lutSide("_cell"))
       .select(col("query_id"), col(idCol),
         adcDistanceFromLutCol(col(packedCol), col("_lut"), m, ksub).as("adc_dist"))
       .filter(col("adc_dist").isNotNull)

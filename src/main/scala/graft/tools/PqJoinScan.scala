@@ -28,8 +28,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * The smallest leg also asserts batch == loop result equality (the spec
   * pins it exhaustively at fixture scale; this re-checks at corpus scale).
   *
+  * `pool=spread` (default) draws queries evenly across the id space — their
+  * probe union covers the whole coarse grid, so the batch leg isolates pure
+  * scan amortization. `pool=cell0` draws queries from ONE coarse cell —
+  * the localized-workload shape (all queries about one region) where the
+  * probe UNION stays small and batch amortization COMPOSES with partition
+  * pruning (batch_disk ≈ a few cells of the index).
+  *
   * Usage: PqJoinScan <embDir> [kCent=16] [m=8] [ksub=256] [topK=20]
-  *                   [nprobe=4] [iters=4] [nqList=8,64,512]
+  *                   [nprobe=4] [iters=4] [nqList=8,64,512] [pool=spread]
   */
 object PqJoinScan {
 
@@ -50,6 +57,8 @@ object PqJoinScan {
     val nprobe = args.lift(5).map(_.toInt).getOrElse(4)
     val iters = args.lift(6).map(_.toInt).getOrElse(4)
     val nqList = args.lift(7).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(8, 64, 512))
+    val poolMode = args.lift(8).getOrElse("spread")
+    require(poolMode == "spread" || poolMode == "cell0", s"bad pool=$poolMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -77,11 +86,17 @@ object PqJoinScan {
     ColumnBridge.unpersistFrame(assigned, blocking = true)
     val index = spark.read.parquet(s"$tmp/index")
 
-    // query pools: evenly-spread ids, one pool per leg size
-    val ids = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id")).orderBy(col("vec_id")).collect().map(_.getLong(0))
+    // query pools: evenly-spread ids (default), or one coarse cell's rows
+    // (localized workload — probe unions stay small)
+    val ids = (poolMode match {
+      case "cell0" => spark.read.parquet(s"$tmp/index")
+        .filter(col("ivf_cell") === 0).select(col("vec_id")).orderBy(col("vec_id"))
+      case _ => spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }).collect().map(_.getLong(0))
+    val poolN = ids.length.toLong
     def pool(nq: Int): Seq[Long] =
-      (0 until nq).map(i => ids(((i.toLong * n) / nq).toInt)).distinct
+      (0 until nq).map(i => ids(((i.toLong * poolN) / nq).toInt)).distinct
 
     def treeBytes(p: java.io.File): Long =
       if (p.isFile) p.length()
@@ -154,7 +169,7 @@ object PqJoinScan {
         loop.map(l => f""""loop_wall_sec":${l._1}%.2f,"loop_records":${l._2},""").getOrElse("") +
         f""""loop_disk_bytes":$loopDisk,"batch_vs_loop_disk":${batchDisk.toDouble / loopDisk}%.4f}"""
     }
-    println(s"""{"metric":"pq_join_scan","dir":"$dir","rows":$n,"k_cent":$kCent,"m":$m,"ksub":$ksub,"top_k":$topK,"nprobe":$nprobe,"build_sec":${f"$buildSec%.1f"},"index_disk_bytes":$indexDisk,"results_equal_batch_vs_loop":${equal.getOrElse(false)},"legs":[${legs.mkString(",")}]}""")
+    println(s"""{"metric":"pq_join_scan","dir":"$dir","pool":"$poolMode","rows":$n,"k_cent":$kCent,"m":$m,"ksub":$ksub,"top_k":$topK,"nprobe":$nprobe,"build_sec":${f"$buildSec%.1f"},"index_disk_bytes":$indexDisk,"results_equal_batch_vs_loop":${equal.getOrElse(false)},"legs":[${legs.mkString(",")}]}""")
     spark.stop()
   }
 }
