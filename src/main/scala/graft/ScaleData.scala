@@ -202,10 +202,36 @@ object ScaleData {
       .select("vec_id", "embedding", "label")
   }
 
+  /** CLUSTERED synthetic embeddings: `nClusters` deterministic trig-grid
+    * centers (scale 2.0) plus small per-(row, dim) jitter (amplitude 0.25) —
+    * the corpus shape where a coarse quantizer explains real variance, i.e.
+    * residual PQ's favorable regime (the PipelineOpsSpec clustered-fixture
+    * geometry at corpus scale; the base test corpus's neighbor gap sits
+    * BELOW per-vector quantization error, which is why r10_pq_residual_ab's
+    * single-stage ADC delta measured within noise). Row count and id/label
+    * layout follow the replica convention; the embedding VALUES are fully
+    * synthetic (cluster = vec_id mod nClusters), deterministic, in-scan. */
+  def scaleEmbeddingsClustered(spark: SparkSession, srcDir: String, n: Int,
+                               nClusters: Int = 64) = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val tagged = emb.withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("vec_id", col("vec_id") + col("r") * IdStride)
+    val c = pmod(col("vec_id"), lit(nClusters)).cast("double")
+    val clustered = transform(sequence(lit(0), size(col("embedding")) - 1), d =>
+      (sin(c * lit(13.37) + d.cast("double") * lit(0.71)) * lit(2.0) +
+        cos(col("vec_id").cast("double") * lit(0.913)
+          + d.cast("double") * lit(0.377)) * lit(0.25)).cast("float"))
+    tagged
+      .withColumn("embedding", clustered)
+      .drop("r")
+      .select("vec_id", "embedding", "label")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleData <srcDir> <outDir> <replicas> [tables]  (tables: comma list of " +
-        "documents,embeddings,events,documents_sparse,documents_zipf,events_dense; default " +
+        "documents,embeddings,events,documents_sparse,documents_zipf,events_dense," +
+        "embeddings_clustered; default " +
         "the three dense tables; variants write the same <outDir>/<base>.parquet name)")
     val Array(srcDir, outDir, nStr) = args.take(3)
     val n = nStr.toInt
@@ -228,6 +254,8 @@ object ScaleData {
       ("documents_sparse", "documents", () => scaleDocumentsSparse(spark, srcDir, n)),
       ("documents_zipf", "documents", () => scaleDocumentsZipf(spark, srcDir, n)),
       ("embeddings", "embeddings", () => scaleEmbeddings(spark, srcDir, n)),
+      ("embeddings_clustered", "embeddings",
+        () => scaleEmbeddingsClustered(spark, srcDir, n)),
       ("events", "events", () => scaleEvents(spark, srcDir, n)),
       ("events_dense", "events", () => scaleEventsDense(spark, srcDir, n)))
       .filter { case (sel, _, _) => tables(sel) }
