@@ -91,6 +91,33 @@ object Sinks {
       .parquet(path)
   }
 
+  /** [[writePartitionedParquet]] with WITHIN-partition clustering: rows in
+    * each partition value are sorted by `clusterBy` before the writer rolls
+    * files at the record cap, so every rolled file (and row group) covers a
+    * contiguous `clusterBy` range — parquet min/max stats stay tight on the
+    * clustered dimensions and predicate scans prune files the hash layout
+    * would have to read. Same shuffle count as the plain sink (the
+    * repartition); the sort is task-local. The natural `clusterBy` for
+    * multi-dimensional predicates is a [[graft.operators.Layout.zValue]]. */
+  def writePartitionedParquetClustered(df: DataFrame, path: String,
+                                       partitionCols: Seq[String],
+                                       clusterBy: org.apache.spark.sql.Column,
+                                       maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partitionCols.nonEmpty, "use plain df.write for unpartitioned output")
+    // sort by (partitionCols, clusterBy), not clusterBy alone: the dynamic-
+    // partition writer requires an ordering on the partition columns and
+    // RE-SORTS the task's rows by them when unsatisfied — an unstable sort
+    // that scrambles the clustering (measured: out-of-order z-values inside
+    // a written file). A child ordering prefixed by the partition columns
+    // satisfies the writer's requirement, so the cluster order survives.
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col) :+ clusterBy: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Compact a fragmented parquet dataset: rewrite `inPath` to `outPath` with
     * file count sized from the INPUT'S ACTUAL BYTES (ceil(totalBytes /
     * targetFileBytes)), not a guessed partition number. This is the maintenance

@@ -54,24 +54,62 @@ object CurationPipeline {
     * the broadcast decontamination shrink the corpus before the only expensive
     * shuffles (LSH dedup); redaction and chunking are zero-shuffle column
     * work on survivors; the final write is the only wide output. Returns the
-    * chunk frame it wrote. */
+    * chunk frame it wrote.
+    *
+    * `zorderBy` (empty = the plain hash layout) lists chunk-frame columns to
+    * Z-ORDER cluster the shards on ([[Layout.zValue]] within each shard
+    * before the record-capped file roll): a mixture-sampling training scan
+    * (per-source + length-band predicates) then prunes files/row groups on
+    * ALL listed dimensions instead of reading whole shards. Input columns
+    * named here (e.g. `source`) ride [[Chunker.chunkByTokens]]'s explode
+    * onto every chunk; string dimensions are hash-bucketed, numeric ones
+    * clamp-bucketed, 10 bits each. Same shuffle count as the hash layout —
+    * the clustering sort is task-local. `passthroughCols` carries input
+    * columns onto the chunks WITHOUT clustering on them (metadata a training
+    * reader filters or weights by). */
   def curateForTraining(docs: DataFrame, evalDocs: DataFrame, outPath: String,
                         idCol: String = "doc_id", textCol: String = "text",
                         minQuality: Double = 0.5, decontaminationGrams: Int = 3,
                         chunkSize: Int = 256, stride: Int = 192,
                         numShards: Int = 16,
-                        lineDedupMaxDocs: Option[Int] = None): DataFrame = {
+                        lineDedupMaxDocs: Option[Int] = None,
+                        zorderBy: Seq[String] = Nil,
+                        passthroughCols: Seq[String] = Nil,
+                        maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    val passthrough = (zorderBy ++ passthroughCols).distinct
+      .filter(docs.columns.contains)
+      .filterNot(Seq(idCol, textCol).contains)
     val cleaned = lineDedupMaxDocs.fold(docs) { maxDocs =>
       LineDedup.removeRepeatedLines(docs, idCol, textCol, maxDocs)
         .filter(col("clean_text") =!= "")
-        .select(col(idCol), col("clean_text").as(textCol))
+        .select(col(idCol) +: col("clean_text").as(textCol) +:
+          passthrough.map(col): _*)
     }
     val kept = Decontamination.decontaminate(
       curate(cleaned, idCol, textCol), evalDocs, idCol, textCol, decontaminationGrams)
     val redacted = kept.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-    val chunks = Chunker.chunkByTokens(redacted, idCol, textCol, chunkSize, stride)
+    val chunks = Chunker.chunkByTokens(redacted, idCol, textCol, chunkSize, stride,
+        keepCols = passthrough)
       .withColumn("shard", TextFunctions.hashBucket(col(idCol), numShards))
-    graft.io.Sinks.writePartitionedParquet(chunks, outPath, Seq("shard"))
+    if (zorderBy.isEmpty)
+      graft.io.Sinks.writePartitionedParquet(chunks, outPath, Seq("shard"),
+        maxRecordsPerFile)
+    else {
+      val missing = zorderBy.filterNot(chunks.columns.contains)
+      require(missing.isEmpty,
+        s"zorderBy columns $missing exist neither on the input docs nor the chunk frame")
+      val bits = 10
+      val dims = zorderBy.map { c =>
+        chunks.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            TextFunctions.hashBucket(col(c), 1 << bits)
+          case _ => Layout.bucket(col(c), bits)
+        }
+      }
+      graft.io.Sinks.writePartitionedParquetClustered(
+        chunks, outPath, Seq("shard"), Layout.zValue(dims, bits),
+        maxRecordsPerFile)
+    }
     chunks
   }
 

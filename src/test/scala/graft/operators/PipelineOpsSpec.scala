@@ -888,6 +888,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(written.columns.contains("shard"))
   }
 
+  test("curateForTraining: zorderBy layout keeps the chunk set identical, carries the source column, and clusters files by z-range") {
+    val mk = (i: Long, src: String, reps: Int) =>
+      (i, src, "the quick brown fox jumps over the lazy dog number " + i + " runs home " * reps)
+    val docs = ((1L to 6L).map(i => mk(i, "web", 2 + (i % 3).toInt)) ++
+      (7L to 12L).map(i => mk(i, "books", 4 + (i % 2).toInt)))
+      .toDF("doc_id", "source", "text")
+    val evalSet = Seq((90L, "zz held out zz")).toDF("doc_id", "text")
+    val outZ = tempDir().resolve("chunksZ").toString
+    val outH = tempDir().resolve("chunksH").toString
+    val z = graft.operators.CurationPipeline.curateForTraining(
+      docs, evalSet, outZ, minQuality = 0.3, chunkSize = 16, stride = 12,
+      numShards = 2, zorderBy = Seq("source", "n_chunk_tokens"))
+    val h = graft.operators.CurationPipeline.curateForTraining(
+      docs, evalSet, outH, minQuality = 0.3, chunkSize = 16, stride = 12,
+      numShards = 2)
+    // same logical content in both layouts; z layout carries the source dim
+    assert(z.columns.contains("source"))
+    val zRows = spark.read.parquet(outZ)
+      .select("doc_id", "chunk_idx", "chunk").as[(Long, Long, String)]
+      .collect().toSet
+    val hRows = spark.read.parquet(outH)
+      .select("doc_id", "chunk_idx", "chunk").as[(Long, Long, String)]
+      .collect().toSet
+    assert(zRows == hRows, "layout must not change the chunk set")
+    // within each written FILE, rows are z-ordered (sortWithinPartitions
+    // before the record-capped file roll → every file covers a contiguous
+    // z-range with tight min/max stats); group per file, not per read split
+    // (a split may coalesce several small files)
+    val lay = graft.operators.Layout
+    val written = spark.read.parquet(outZ)
+    val zvals = written
+      .withColumn("_z", lay.zValue(Seq(
+        graft.functions.TextFunctions.hashBucket(col("source"), 1 << 10),
+        lay.bucket(col("n_chunk_tokens"), 10)), 10))
+      .select(org.apache.spark.sql.functions.input_file_name().as("_f"), col("_z"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    zvals.groupBy(_._1).values.foreach { part =>
+      val seq = part.map(_._2).toSeq
+      assert(seq == seq.sorted, "z-values within a written file must be sorted")
+    }
+    // missing column is loud
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.CurationPipeline.curateForTraining(
+        docs, evalSet, tempDir().resolve("x").toString, minQuality = 0.3,
+        chunkSize = 16, stride = 12, numShards = 2, zorderBy = Seq("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("curateForTraining: optional C4 line strip runs first and drops emptied docs") {
     val boiler = "subscribe to our newsletter today"
     val docs = Seq(
