@@ -261,6 +261,34 @@ object SqlFunctions {
           .select(col(idCol), posexplode(col("pq_codes")).as(Seq("sub", "code")))
           .select(col(idCol), col("sub").cast("long").as("sub"),
             col("code").cast("long").as("code"))) }),
+      // graft_adc_topk('tbl', 'idCol', 'vecCol', m, ksub, queryId, k): the
+      // SEARCH side of the PQ surface from a pure-SQL FROM clause — packed-
+      // code ADC top-k against the row whose id = queryId (the q121
+      // convention), seed codebooks as graft_pq_encode. (id, adc_dist) rows,
+      // ascending distance. Query vector and codebooks are data-derived at
+      // analysis time (same driver-side-work caveat as the pair TVFs).
+      ("graft_adc_topk", graft.operators.ProductQuantization.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_adc_topk", 7, exprs)
+        val f = "graft_adc_topk"
+        val df = tbl(strLit(f, "table", exprs(0)))
+        val idCol = strLit(f, "idCol", exprs(1))
+        val vecCol = strLit(f, "vecCol", exprs(2))
+        val m = intLit(f, "m", exprs(3))
+        val ksub = intLit(f, "ksub", exprs(4))
+        val queryId = intLit(f, "queryId", exprs(5))
+        val k = intLit(f, "k", exprs(6))
+        val pq = graft.operators.ProductQuantization
+        import org.apache.spark.sql.functions.{col, lit}
+        val cb = pq.seedCodebooks(df, vecCol, idCol, m, ksub)
+        val q = df.filter(col(idCol) === lit(queryId))
+          .select(col(vecCol).cast("array<double>")).collect().headOption
+          .map(_.getSeq[Double](0).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$f: no row with $idCol = $queryId"))
+        val encoded = pq.encode(df, vecCol, cb)
+          .select(col(idCol), pq.packCodes(col("pq_codes"), m, ksub).as("packed"))
+        plan(pq.adcTopK(encoded, "packed", idCol, cb, q, k)) }),
       // graft_group_topk('tbl', 'g1,g2', 'score desc, id asc', k): the custom
       // whole-operator plan (bounded per-group heaps, k rows per
       // (partition, group) at the exchange — see graft.plans.GroupTopK) from

@@ -1046,6 +1046,42 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
     }),
 
+    // q127: the ADC-search TABLE function — q121's packed-code top-k from a
+    // pure-SQL FROM clause (q125 covered the encode side; this completes the
+    // pure-SQL story for the PQ index family — one code path through the
+    // same Scala builders). Same oracle as q121.
+    "q127_sql_adc_topk" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql(s"""SELECT vec_id, adc_dist
+          FROM graft_adc_topk('graft_emb', 'vec_id', 'embedding', $PqM, $PqKsub, 0, 20)
+          ORDER BY adc_dist, vec_id""")
+    }),
+
+    // q128: OPQ-style ROTATED PQ encode (Ge et al. 2013; the FAISS
+    // RandomRotation pre-transform rung) — every embedding is rotated by ONE
+    // deterministic orthogonal matrix (fixed-seed Gaussians + modified
+    // Gram-Schmidt, a native MatVec expression per row: the 64×64 literal
+    // composition would blow the codegen budget), then q120's seed-codebook
+    // encode runs in rotated space. The oracle replays the WHOLE chain:
+    // the rotation as ascending-index multiply-add chains against the
+    // literal matrix (Double.toString round-trips exactly), rotated seed
+    // codebooks, and the per-subspace argmin over rotated distances. A
+    // wrong matrix entry, chain order, or rotated codebook breaks the hash.
+    "q128_opq_rotated_encode" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val rot = graft.operators.Rotation.rotationMatrix(64)
+      val rotated = emb.select(col("vec_id"),
+        graft.operators.Rotation.rotate(col("embedding"), rot).as("rv"))
+      val cb = pq.seedCodebooks(rotated, "rv", "vec_id", m = PqM, ksub = PqKsub)
+      pq.encode(rotated, "rv", cb)
+        .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1891,6 +1927,18 @@ object PipelineQueries {
          |  FROM qd GROUP BY vec_id)
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
          |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
+    "q127_sql_adc_topk" ->
+      s"""$pqAssignCtes,
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qd AS MATERIALIZED (SELECT r.vec_id, r.sub,
+         |    ${pqSubDistCaseSql("q", "c2", "r.sub")} AS qdist
+         |  FROM r JOIN cb c2 ON r.cid = c2.cid CROSS JOIN q),
+         |p AS MATERIALIZED (SELECT vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY vec_id)
+         |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
+         |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
     "q123_pq_residual_encode" ->
       s"""$pqResidualCtes
          |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub, cid AS code
@@ -1952,6 +2000,37 @@ object PipelineQueries {
          |      ORDER BY adc_dist, vec_id) AS rn
          |  FROM sc) t WHERE rn <= 5
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
+    },
+    "q128_opq_rotated_encode" -> {
+      val rot = graft.operators.Rotation.rotationMatrix(64)
+      // Double.toString round-trips exactly, so the literal matrix parsed by
+      // DuckDB is bit-identical to the MatVec reference object
+      val rLit = rot.map(row => "[" + row.map(_.toString).mkString(",") + "]")
+        .mkString("[", ",", "]")
+      val rotChain = (1 to 64)
+        .map(t => s"rm[j][$t]*CAST(e.embedding[$t] AS DOUBLE)").mkString(" + ")
+      val caseSql = s"CASE s.sub " + (0 until PqM).map { sb =>
+        val terms = (1 to PqDsub).map { dd =>
+          val j = sb * PqDsub + dd
+          s"((r0.rv[$j]-c.rv[$j])*(r0.rv[$j]-c.rv[$j]))"
+        }.mkString(" + ")
+        s"WHEN $sb THEN ($terms)"
+      }.mkString(" ") + " END"
+      s"""WITH rmat AS MATERIALIZED (SELECT $rLit AS rm),
+         |rot AS MATERIALIZED (SELECT e.vec_id,
+         |    [$rotChain FOR j IN generate_series(1, 64)] AS rv
+         |  FROM embeddings e CROSS JOIN rmat),
+         |cb AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, rv
+         |  FROM (SELECT vec_id, rv FROM rot ORDER BY vec_id LIMIT $PqKsub) z),
+         |d AS MATERIALIZED (SELECT r0.vec_id, s.sub, c.cid, $caseSql AS dist
+         |  FROM rot r0 CROSS JOIN cb c
+         |  CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub) s),
+         |r AS (SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |    FROM d) rr WHERE rn = 1)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code
+         |FROM r ORDER BY vec_id, sub""".stripMargin
     },
     "q122_zorder_value" -> {
       // bit b of column i → interleaved position b·n + i (n = 2 dims)
