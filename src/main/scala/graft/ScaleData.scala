@@ -227,11 +227,34 @@ object ScaleData {
       .select("vec_id", "embedding", "label")
   }
 
+  /** ANISOTROPIC synthetic embeddings: per-dimension scale decays
+    * geometrically (0.93^d — ~100× amplitude spread across 64 dims, ~1e4
+    * variance spread between the first and last of 8 subspaces), so a plain
+    * m-way PQ split wastes most of its per-subspace budget on near-zero
+    * subspaces while the first subspace bears nearly all the error — the
+    * regime OPQ-style rotation exists to fix (Ge et al. 2013 §1: variance
+    * balancing). Values are deterministic trig pseudo-noise per (row, dim);
+    * id/label layout follows the replica convention. */
+  def scaleEmbeddingsAnisotropic(spark: SparkSession, srcDir: String, n: Int) = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val tagged = emb.withColumn("r", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("vec_id", col("vec_id") + col("r") * IdStride)
+    val v = col("vec_id").cast("double")
+    val decayed = transform(sequence(lit(0), size(col("embedding")) - 1), d =>
+      ((sin(v * lit(0.917) + d.cast("double") * lit(2.083)) +
+        cos(v * lit(0.311) + d.cast("double") * lit(5.677)) * lit(0.5)) *
+        pow(lit(0.93), d.cast("double"))).cast("float"))
+    tagged
+      .withColumn("embedding", decayed)
+      .drop("r")
+      .select("vec_id", "embedding", "label")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
       "usage: ScaleData <srcDir> <outDir> <replicas> [tables]  (tables: comma list of " +
         "documents,embeddings,events,documents_sparse,documents_zipf,events_dense," +
-        "embeddings_clustered; default " +
+        "embeddings_clustered,embeddings_aniso; default " +
         "the three dense tables; variants write the same <outDir>/<base>.parquet name)")
     val Array(srcDir, outDir, nStr) = args.take(3)
     val n = nStr.toInt
@@ -256,6 +279,8 @@ object ScaleData {
       ("embeddings", "embeddings", () => scaleEmbeddings(spark, srcDir, n)),
       ("embeddings_clustered", "embeddings",
         () => scaleEmbeddingsClustered(spark, srcDir, n)),
+      ("embeddings_aniso", "embeddings",
+        () => scaleEmbeddingsAnisotropic(spark, srcDir, n)),
       ("events", "events", () => scaleEvents(spark, srcDir, n)),
       ("events_dense", "events", () => scaleEventsDense(spark, srcDir, n)))
       .filter { case (sel, _, _) => tables(sel) }

@@ -552,6 +552,140 @@ object ProductQuantization {
     }
   }
 
+  /** k-NN GRAPH over the quantized index: every row of `nodes` retrieves its
+    * k nearest OTHER rows through ONE [[ivfPqTopKJoin]] plan with the corpus
+    * itself as the query table — the candidate-generation prerequisite for
+    * graph-based curation (SemDeDup-style cluster pruning, connected-
+    * component dedup, diversity sampling) at scales where the LSH family's
+    * bucket heuristics lose recall. Self-matches are excluded EXACTLY:
+    * ranking k+1 candidates, dropping `query_id == idCol`, and re-taking k
+    * yields the first k non-self entries of the full ranking whether or not
+    * the row's own code happened to surface (a row's probe set always covers
+    * its assigned cell — probe metric + tie rule equal the assignment's).
+    *
+    * `broadcastLuts` defaults FALSE here, unlike the batch join: the LUT
+    * table carries one row per (node, probe) — corpus-sized, far beyond
+    * broadcast range — so the cell-keyed shuffle join is the scale path
+    * (AQE splits hot cells). Output: (query_id, idCol, adc_dist) at
+    * refine=0, (query_id, idCol, l2_dist) exactly re-ranked at refine ≥ 1;
+    * ≤ k rows per node (fewer only when the probed cells hold < k+1 rows). */
+  def knnGraphIvfPq(nodes: DataFrame, idCol: String, vecCol: String,
+                    encoded: DataFrame, packedCol: String, cellCol: String,
+                    coarse: Seq[Seq[Double]], codebooks: Codebooks,
+                    nprobe: Int, k: Int,
+                    residual: Boolean = true,
+                    original: Option[DataFrame] = None,
+                    refine: Int = 0,
+                    broadcastLuts: Boolean = false): DataFrame = {
+    val res = ivfPqTopKJoin(
+      nodes.select(col(idCol).as("_graft_qid"), col(vecCol)),
+      "_graft_qid", vecCol, encoded, packedCol, idCol, cellCol, coarse,
+      codebooks, nprobe, k + 1, residual, original, vecCol, refine,
+      broadcastLuts)
+    val distCol = if (refine > 0) "l2_dist" else "adc_dist"
+    graft.plans.GroupTopK.topK(res.filter(col("query_id") =!= col(idCol)),
+      Seq("query_id"), Seq(distCol -> true, idCol -> true), k)
+  }
+
+  /** SDC code-to-code tables (Jégou et al. 2011 §III.A): table(s)[i·ksub+j]
+    * = L2²(codebook(s)(i), codebook(s)(j)), dimensions accumulated ascending
+    * left-assoc (the oracle-replayable chain every PQ builder here uses).
+    * m·ksub² doubles total — 4 MB at 8×256, a codegen reference object. */
+  def sdcTables(codebooks: Codebooks): Array[Array[Double]] = {
+    val ksub = codebooks.head.length
+    require(codebooks.forall(_.length == ksub),
+      "sdcTables needs the same centroid count in every subspace")
+    codebooks.map { cents =>
+      val t = new Array[Double](ksub * ksub)
+      var i = 0
+      while (i < ksub) {
+        var j = 0
+        while (j < ksub) {
+          val a = cents(i); val b = cents(j)
+          var d2 = 0.0
+          var d = 0
+          while (d < a.length) { val diff = a(d) - b(d); d2 += diff * diff; d += 1 }
+          t(i * ksub + j) = d2
+          j += 1
+        }
+        i += 1
+      }
+      t
+    }.toArray
+  }
+
+  /** Symmetric (code-to-code) distance column between two PACKED code
+    * columns — one native [[graft.expressions.PqSdcDistance]] over the
+    * [[sdcTables]] reference object. */
+  def sdcDistance(a: Column, b: Column, codebooks: Codebooks): Column = {
+    val ksub = codebooks.head.length
+    graft.expressions.PqSdcDistance(a, b, sdcTables(codebooks), ksub,
+      codeWidth(ksub))
+  }
+
+  /** k-NN GRAPH via SYMMETRIC distance — the corpus×corpus shape where the
+    * ADC batch path's per-(node, probe) LUT column becomes the dominant
+    * shuffle (16 KB/pair at 8×256; corpus-sized when the corpus IS the query
+    * table). Here BOTH join sides carry only (id, 8-byte packed code, cell)
+    * and every distance is m array lookups into ONE broadcast m·ksub² table
+    * — nothing per-pair is materialized. The price is accuracy (both sides
+    * quantized: SDC recall ≤ ADC recall, ibid. Table 1) — measured, and
+    * recoverable by re-ranking the graph's edges exactly downstream.
+    *
+    * Probing is CELL ADJACENCY, not per-row ranking: node rows in cell c
+    * probe the nprobe cosine-nearest cells TO c's centroid (own cell always
+    * first; ties toward the higher index, the assignment rule) — a
+    * kCent×nprobe driver table broadcast into one join, zero per-row probe
+    * work. With balanced cells the candidate-pair count is n²·nprobe/kCent:
+    * kCent — not nprobe — is the scale lever (grow it with the corpus).
+    *
+    * PLAIN codes only: residual codes put each side's coarse centroid inside
+    * the reconstruction, so code-to-code tables would need kCent²·m·ksub²
+    * entries — the blowup SDC exists to avoid. Self-pairs are filtered
+    * BEFORE ranking (exact non-self top-k; no k+1 trick needed — the filter
+    * here sits upstream of the GroupTopK). `nodes` is usually `encoded`
+    * itself (the full graph); any (idCol, packedCol, cellCol) subset works
+    * and keeps the whole corpus as candidates, with the probe union applied
+    * as a static partition-pruning `isin` (the [[ivfPqTopKJoin]] lesson).
+    * Output: (query_id, idCol, sdc_dist), ≤ k rows per node. */
+  def knnGraphSdc(nodes: DataFrame, encoded: DataFrame, idCol: String,
+                  packedCol: String, cellCol: String,
+                  coarse: Seq[Seq[Double]], codebooks: Codebooks,
+                  nprobe: Int, k: Int): DataFrame = {
+    require(nprobe > 0 && k > 0, s"bad nprobe=$nprobe/k=$k")
+    require(idCol != "query_id",
+      "idCol 'query_id' collides with the output query-id column — rename it")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // driver-side cell adjacency (kCent×nprobe pairs): own cell pinned first
+    // — cosine(c, c) is 1 only up to rounding, and the own cell must always
+    // be probed (it holds the node's nearest codes by construction)
+    val adj = coarse.indices.flatMap { c =>
+      val ranked = coarse.indices
+        .filterNot(_ == c)
+        .sortBy(i => (-cosineToQuery(coarse(c), coarse(i)), -i))
+      (c +: ranked).take(nprobe).map(p => (c, p))
+    }
+    val adjDf = broadcast(adj.toDF("_qcell", "_pcell"))
+    val q = nodes
+      .select(col(idCol).as("query_id"), col(packedCol).as("_qpacked"),
+        col(cellCol).cast("int").as("_qcell"))
+      .filter(col("_qpacked").isNotNull)
+      .join(adjDf, "_qcell")
+    val nodeCells = nodes.select(col(cellCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val probedCells = adj.collect { case (c, p) if nodeCells(c) => p }.distinct
+    val x = encoded.select(col(idCol), col(packedCol).as("_xpacked"),
+      col(cellCol).cast("int").as("_xcell"))
+      .filter(col("_xcell").isin(probedCells: _*))
+    val cand = q.join(x, col("_pcell") === col("_xcell"))
+      .select(col("query_id"), col(idCol),
+        sdcDistance(col("_qpacked"), col("_xpacked"), codebooks).as("sdc_dist"))
+      .filter(col("sdc_dist").isNotNull && col("query_id") =!= col(idCol))
+    graft.plans.GroupTopK.topK(cand,
+      Seq("query_id"), Seq("sdc_dist" -> true, idCol -> true), k)
+  }
+
   /** Mean squared quantization error of a RESIDUAL codebook (residual twin
     * of [[quantizationError]]; the Lloyd objective over residual space). */
   def quantizationErrorResidual(df: DataFrame, vecCol: String, cellCol: String,

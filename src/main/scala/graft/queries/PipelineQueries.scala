@@ -1082,6 +1082,57 @@ object PipelineQueries {
         .orderBy(col("vec_id"), col("sub"))
     }),
 
+    // q129: k-NN GRAPH over the quantized index — knnGraphIvfPq's full
+    // chain (probe rank incl. the higher-cell tie rule, per-pair residual
+    // LUTs, cell join, k+1 ranking, EXACT self-exclusion, re-take k) on the
+    // q126 geometry. The oracle ranks all non-self candidates directly —
+    // mathematically identical to rank-(k+1)-drop-self-retake-k, so a graph
+    // that ever leaks a self edge or trims the wrong candidate hash-fails.
+    "q129_knn_graph" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      val nodes = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      pq.knnGraphIvfPq(nodes, "vec_id", "embedding", encoded, "packed", "cell",
+          coarse, cb, nprobe = 2, k = 5, broadcastLuts = true)
+        .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
+    }),
+
+    // q130: k-NN graph via SYMMETRIC distance (SDC, Jégou et al. 2011
+    // §III.A) — the corpus×corpus scale shape: both join sides carry only
+    // packed codes, every distance is m lookups into ONE m·ksub² broadcast
+    // table (no per-pair LUT column). nprobe = kCent covers every cell, so
+    // the oracle replays pure code-to-code ranking with no cell model: code
+    // assignment (q120's seed-codebook convention), the unrolled
+    // centroid-centroid distance chains, and the non-self rank. A wrong
+    // table entry, unpack, or self-filter breaks the hash.
+    "q130_knn_graph_sdc" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooks(emb, "embedding", "vec_id", m = PqM, ksub = PqKsub)
+      val encoded = pq.encode(assigned, "embedding", cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      val nodes = encoded.filter(pmod(col("vec_id"), lit(25)) === 0)
+      pq.knnGraphSdc(nodes, encoded, "vec_id", "packed", "cell", coarse, cb,
+          nprobe = PqCoarseK, k = 5)
+        .orderBy(col("query_id"), col("sdc_dist"), col("vec_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -2000,6 +2051,68 @@ object PipelineQueries {
          |      ORDER BY adc_dist, vec_id) AS rn
          |  FROM sc) t WHERE rn <= 5
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
+    },
+    "q129_knn_graph" -> {
+      // q126's chain with nodes-as-queries and EXACT self-exclusion: ranking
+      // all non-self candidates equals rank-(k+1)-drop-self-retake-k
+      val qCaseSql = s"CASE r.sub " +
+        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("qr", "sr", s)})").mkString(" ") +
+        " END"
+      s"""$pqResidualCtes,
+         |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |pr AS MATERIALIZED (SELECT query_id, ccid AS cell FROM (
+         |    SELECT q.query_id, c.ccid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q", "c")} DESC, c.ccid DESC) AS rn
+         |    FROM qs q CROSS JOIN co c) p WHERE rn <= 2),
+         |qrez AS MATERIALIZED (SELECT p.query_id, p.cell, ${resListSql("q", "ce")} AS res
+         |  FROM pr p
+         |  JOIN qs q ON q.query_id = p.query_id
+         |  JOIN co ce ON ce.ccid = p.cell),
+         |qd AS MATERIALIZED (SELECT qr.query_id, r.vec_id, r.sub, $qCaseSql AS qdist
+         |  FROM r
+         |  JOIN qrez qr ON qr.cell = r.cell
+         |  JOIN sres sr ON sr.cid = r.cid),
+         |p2 AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY query_id, vec_id),
+         |sc AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist FROM p2)
+         |SELECT query_id, vec_id, adc_dist FROM (
+         |  SELECT query_id, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, vec_id) AS rn
+         |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
+         |ORDER BY query_id, adc_dist, vec_id""".stripMargin
+    },
+    "q130_knn_graph_sdc" -> {
+      // pure code-to-code ranking (nprobe = kCent covers every cell, so no
+      // cell model is needed): q120's code assignment, then for every
+      // (query, candidate, sub) the distance between the two ASSIGNED
+      // codebook centroids — the sdcTables entry the Spark side looks up —
+      // summed subspaces-ascending, non-self rank <= 5
+      s"""$pqAssignCtes,
+         |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0),
+         |qd AS MATERIALIZED (SELECT rq.vec_id AS query_id, rx.vec_id, rq.sub,
+         |    ${pqSubDistCaseSql("c1", "c2", "rq.sub")} AS sdist
+         |  FROM r rq
+         |  JOIN qs q0 ON q0.query_id = rq.vec_id
+         |  JOIN r rx ON rx.sub = rq.sub
+         |  JOIN cb c1 ON c1.cid = rq.cid
+         |  JOIN cb c2 ON c2.cid = rx.cid),
+         |p AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN sdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY query_id, vec_id),
+         |sc AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS sdc_dist FROM p)
+         |SELECT query_id, vec_id, sdc_dist FROM (
+         |  SELECT query_id, vec_id, sdc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sdc_dist, vec_id) AS rn
+         |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
+         |ORDER BY query_id, sdc_dist, vec_id""".stripMargin
     },
     "q128_opq_rotated_encode" -> {
       val rot = graft.operators.Rotation.rotationMatrix(64)

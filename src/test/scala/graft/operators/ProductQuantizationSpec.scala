@@ -384,6 +384,126 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphIvfPq: no self edges, exactly k neighbors per node, and full-coverage refine equals the brute-force non-self graph") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3; val k = 4
+    val df = syntheticCorpus(40, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    val cbR = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    val encR = pq.encodeResidual(assigned, "v", "cell", coarse, cbR)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+      .cache()
+    // ADC leg: structural contract (self-exclusion, degree k) at nprobe=1
+    val adcGraph = pq.knnGraphIvfPq(df, "id", "v", encR, "packed", "cell",
+        coarse, cbR, nprobe = 1, k = k)
+      .as[(Long, Long, Double)].collect()
+    assert(adcGraph.forall { case (q, n, _) => q != n }, "self edge surfaced")
+    val deg = adcGraph.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(deg.size == 40 && deg.values.forall(_ == k),
+      s"expected degree $k for all 40 nodes, got ${deg.values.toSeq.distinct}")
+    // exactness: nprobe=kCent covers every cell; refine*(k+1) >= n re-ranks
+    // every candidate exactly -> the graph IS the brute-force non-self graph
+    val exactGraph = pq.knnGraphIvfPq(df, "id", "v", encR, "packed", "cell",
+        coarse, cbR, nprobe = kCent, k = k, original = Some(df), refine = 10,
+        broadcastLuts = true)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._2)).sorted.toSeq).toMap
+    val vecs = df.as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (qid, qv) =>
+      val brute = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (l2(v, qv), id) }.sorted.take(k).toSeq
+      val got = exactGraph.getOrElse(qid, Nil)
+      assert(got.map(_._2) == brute.map(_._2),
+        s"exact graph neighbors differ for node $qid: $got vs $brute")
+      got.zip(brute).foreach { case ((gd, _), (bd, _)) =>
+        assert(math.abs(gd - bd) < 1e-9, s"distance drift for node $qid") }
+    }
+  }
+
+  test("sdcDistance: equals the driver-side table sum; null code nulls; garbage code raises") {
+    val dims = 8; val m = 4; val ksub = 3
+    val df = syntheticCorpus(30, dims).cache()
+    val cb = pq.trainCodebooks(df, "v", "id", m, ksub, iters = 2)
+    val enc = pq.encode(df, "v", cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"),
+        $"pq_codes")
+    val rows = enc.as[(Long, Long, Seq[Int])].collect()
+    val table = pq.sdcTables(cb)
+    // all pairs vs the driver reference: Σ_s table(s)[ci·ksub+cj]
+    val pairs = enc.as("a").crossJoin(enc.select($"id".as("bid"),
+        $"packed".as("bpacked"), $"pq_codes".as("bcodes")).as("b"))
+      .select($"id", $"bid",
+        pq.sdcDistance($"packed", $"bpacked", cb).as("d"))
+      .as[(Long, Long, Double)].collect()
+    val codes = rows.map(r => r._1 -> r._3).toMap
+    pairs.foreach { case (a, b, d) =>
+      val expect = (0 until m).map(s =>
+        table(s)(codes(a)(s) * ksub + codes(b)(s))).foldLeft(0.0)(_ + _)
+      assert(d == expect, s"SDC drift for pair ($a, $b)")
+    }
+    // table symmetry + zero diagonal (L2² is a metric on centroids)
+    (0 until m).foreach { s =>
+      (0 until ksub).foreach { i =>
+        assert(table(s)(i * ksub + i) == 0.0)
+        (0 until ksub).foreach { j =>
+          assert(table(s)(i * ksub + j) == table(s)(j * ksub + i)) }
+      }
+    }
+    // null code -> null distance
+    val withNull = Seq((Some(0L), Option.empty[Long])).toDF("a", "b")
+    assert(withNull.select(pq.sdcDistance($"a", $"b", cb)).collect().head.isNullAt(0))
+    // a long that unpacks outside ksub raises loudly
+    val bad = intercept[Exception] {
+      Seq((3L, 3L)).toDF("a", "b")
+        .select(pq.sdcDistance($"a", $"b", cb)).collect()
+    }
+    assert(bad.getMessage.contains("outside ksub"))
+  }
+
+  test("knnGraphSdc: no self edges, degree k, full-probe graph equals the driver SDC ranking, subset nodes keep full-corpus candidates") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3; val k = 4
+    val df = syntheticCorpus(40, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell").cache()
+    val cb = pq.trainCodebooks(df, "v", "id", m, ksub, iters = 2)
+    val enc = pq.encode(assigned, "v", cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell",
+        $"pq_codes")
+      .cache()
+    val encIdx = enc.select($"id", $"packed", $"cell")
+    val graph = pq.knnGraphSdc(encIdx, encIdx, "id", "packed", "cell",
+        coarse, cb, nprobe = kCent, k = k)
+      .as[(Long, Long, Double)].collect()
+    assert(graph.forall { case (q, n, _) => q != n }, "self edge surfaced")
+    val deg = graph.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(deg.size == 40 && deg.values.forall(_ == k))
+    // nprobe = kCent covers every cell -> the graph IS the driver-side SDC
+    // ranking over all non-self pairs
+    val table = pq.sdcTables(cb)
+    val codes = enc.select($"id", $"pq_codes").as[(Long, Seq[Int])].collect().toMap
+    def sdc(a: Long, b: Long): Double = (0 until m).map(s =>
+      table(s)(codes(a)(s) * ksub + codes(b)(s))).foldLeft(0.0)(_ + _)
+    val got = graph.groupBy(_._1).view
+      .mapValues(_.map(r => (r._3, r._2)).sorted.toSeq).toMap
+    codes.keys.foreach { qid =>
+      val expect = codes.keys.filter(_ != qid)
+        .map(x => (sdc(qid, x), x)).toSeq.sorted.take(k)
+      assert(got(qid) == expect, s"SDC graph differs for node $qid")
+    }
+    // subset nodes: graph only for those nodes, candidates still corpus-wide
+    val sub = encIdx.filter($"id" < 5)
+    val subGraph = pq.knnGraphSdc(sub, encIdx, "id", "packed", "cell",
+        coarse, cb, nprobe = kCent, k = k)
+      .as[(Long, Long, Double)].collect()
+    assert(subGraph.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val subGot = subGraph.groupBy(_._1).view
+      .mapValues(_.map(r => (r._3, r._2)).sorted.toSeq).toMap
+    (0L to 4L).foreach { qid =>
+      assert(subGot(qid) == got(qid), s"subset graph differs for node $qid") }
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)

@@ -232,6 +232,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental ANN index ingest: streamed cell-assign + PQ encode appends rows identical to the batch encoder") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val pq = graft.operators.ProductQuantization
+    val m = 4; val ksub = 3
+    // codebooks and coarse grid are TRAINED OFFLINE and frozen; ingest is
+    // then pure stateless column work (native NearestCentroid + PqEncode +
+    // packCodes expressions), so new embeddings stream straight into the
+    // cell-partitioned index with no state, watermark, or output-mode limits
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        math.sin(i % 4 * 10 + d) * 2.0 + math.cos(i * 0.7 + d * 0.3) * 0.25))
+    }.toDF("vec_id", "embedding")
+    val coarse = graft.operators.SimilaritySearch
+      .kmeansCentroids(base, "embedding", "vec_id", 3, iters = 2)
+    val cb = pq.trainCodebooks(base, "embedding", "vec_id", m, ksub, iters = 2)
+    def ingest(df: org.apache.spark.sql.DataFrame) =
+      pq.encode(
+          graft.operators.SimilaritySearch.assignCells(df, "embedding", coarse),
+          "embedding", cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), m, ksub).as("packed"),
+          col("ivf_cell"))
+    val arrivals = base.as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = ingest(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("pqidx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.take(12).toSeq)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(12).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("pqidx").as[(Long, Long, Int)].collect().toSet
+      val batch = ingest(base).as[(Long, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        "streamed index rows must equal the batch encoder's")
+    } finally q.stop()
+  }
+
   test("batch shadow: windowedCounts on a static frame equals groupBy semantics") {
     val df = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0)).toDF("ts", "event_type", "value")
     val out = EventPipeline.windowedCounts(df).collect()
