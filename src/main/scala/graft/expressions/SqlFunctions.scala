@@ -289,6 +289,31 @@ object SqlFunctions {
         val encoded = pq.encode(df, vecCol, cb)
           .select(col(idCol), pq.packCodes(col("pq_codes"), m, ksub).as("packed"))
         plan(pq.adcTopK(encoded, "packed", idCol, cb, q, k)) }),
+      // graft_knn_graph_sdc('tbl', 'idCol', 'vecCol', m, ksub, k): the FULL
+      // k-NN graph by symmetric (code-to-code) distance from a pure-SQL FROM
+      // clause — seed codebooks as graft_pq_encode, one synthetic coarse cell
+      // (no IVF pruning: every pair is considered; the cell-adjacency scale
+      // path stays Scala-side where a trained coarse grid exists).
+      // (query_id, idCol, sdc_dist) rows, ≤ k per node, self-excluded.
+      ("graft_knn_graph_sdc", graft.operators.ProductQuantization.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_knn_graph_sdc", 6, exprs)
+        val f = "graft_knn_graph_sdc"
+        val df = tbl(strLit(f, "table", exprs(0)))
+        val idCol = strLit(f, "idCol", exprs(1))
+        val vecCol = strLit(f, "vecCol", exprs(2))
+        val m = intLit(f, "m", exprs(3))
+        val ksub = intLit(f, "ksub", exprs(4))
+        val k = intLit(f, "k", exprs(5))
+        val pq = graft.operators.ProductQuantization
+        import org.apache.spark.sql.functions.{col, lit}
+        val cb = pq.seedCodebooks(df, vecCol, idCol, m, ksub)
+        val encoded = pq.encode(df, vecCol, cb)
+          .select(col(idCol),
+            pq.packCodes(col("pq_codes"), m, ksub).as("packed"),
+            lit(0).as("_cell"))
+        plan(pq.knnGraphSdc(encoded, encoded, idCol, "packed", "_cell",
+          Seq(Seq(0.0)), cb, nprobe = 1, k = k)) }),
       // graft_group_topk('tbl', 'g1,g2', 'score desc, id asc', k): the custom
       // whole-operator plan (bounded per-group heaps, k rows per
       // (partition, group) at the exchange — see graft.plans.GroupTopK) from

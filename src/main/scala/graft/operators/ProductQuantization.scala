@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expressions.PqEncode
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization for embedding columns (Jégou et al. 2011): the vector
@@ -684,6 +684,66 @@ object ProductQuantization {
       .filter(col("sdc_dist").isNotNull && col("query_id") =!= col(idCol))
     graft.plans.GroupTopK.topK(cand,
       Seq("query_id"), Seq("sdc_dist" -> true, idCol -> true), k)
+  }
+
+  /** A loaded quantized index: the small driver-side geometry (coarse
+    * matrix, codebooks — kCent·dims + m·ksub·dsub doubles) plus the lazy
+    * cell-partitioned code frame. Everything any search entry point here
+    * takes. */
+  final case class PqIndex(coarse: Seq[Seq[Double]], codebooks: Codebooks,
+                           residual: Boolean, m: Int, ksub: Int,
+                           codes: DataFrame)
+
+  /** Persist a quantized index: codes written `partitionBy(cell)` — the
+    * layout every probe `isin` here prunes at FILE level — plus the coarse
+    * matrix, codebooks, and a one-row meta (geometry + encoding mode) as
+    * small parquet tables. Doubles round-trip parquet bit-exactly, so a
+    * reloaded index searches identically (spec-pinned): build once at
+    * corpus-ingest time, search from any later session — the index is a
+    * dataset, not a driver object. Column names are normalized to
+    * (vec_id, packed, cell) on disk. */
+  def savePqIndex(codes: DataFrame, idCol: String, packedCol: String,
+                  cellCol: String, coarse: Seq[Seq[Double]],
+                  codebooks: Codebooks, residual: Boolean,
+                  path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(coarse.nonEmpty && codebooks.nonEmpty, "empty index geometry")
+    codes.select(col(idCol).as("vec_id"), col(packedCol).as("packed"),
+        col(cellCol).cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent) } }
+      .toDF("sub", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((codebooks.length, codebooks.head.length, residual))
+      .toDF("m", "ksub", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[savePqIndex]] index. The geometry tables collect driver-side
+    * (they are the same small reference objects every search builds); the
+    * code frame stays lazy and cell-partitioned. */
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("m"), col("ksub"), col("residual"))
+      .as[(Int, Int, Boolean)].collect().head
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .select(col("cell"), col("centroid")).orderBy(col("cell"))
+      .as[(Int, Seq[Double])].collect().map(_._2.toSeq).toSeq
+    val codebooks: Codebooks = spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("cid"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toSeq).toSeq }
+    require(codebooks.length == meta._1 &&
+        codebooks.forall(_.length == meta._2),
+      s"codebook table disagrees with meta geometry m=${meta._1} ksub=${meta._2}")
+    PqIndex(coarse, codebooks, meta._3, meta._1, meta._2,
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Mean squared quantization error of a RESIDUAL codebook (residual twin

@@ -1133,6 +1133,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("sdc_dist"), col("vec_id"))
     }),
 
+    // q131: the SDC k-NN graph TABLE function — q130's code-to-code graph
+    // from a pure-SQL FROM clause (the TVF builds the FULL graph; the WHERE
+    // keeps the q130 node subset — per-node top-k is independent of other
+    // nodes, so the rows are identical and the oracle is shared).
+    "q131_sql_knn_graph" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      s.sql(s"""SELECT query_id, vec_id, sdc_dist
+          FROM graft_knn_graph_sdc('graft_emb', 'vec_id', 'embedding', $PqM, $PqKsub, 5)
+          WHERE query_id % 25 = 0
+          ORDER BY query_id, sdc_dist, vec_id""")
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1244,6 +1257,35 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
        |    FROM d) rr WHERE rn = 1)""".stripMargin
   }
+
+  /** q130/q131 oracle: pure code-to-code SDC ranking (no cell model — the
+    * q130 run probes every cell, the q131 TVF uses one synthetic cell):
+    * q120's code assignment, then for every (query, candidate, sub) the
+    * distance between the two ASSIGNED codebook centroids — the sdcTables
+    * entry the Spark side looks up — summed subspaces-ascending, non-self
+    * rank <= 5. */
+  private def sdcKnnGraphOracle: String =
+    s"""$pqAssignCtes,
+       |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0),
+       |qd AS MATERIALIZED (SELECT rq.vec_id AS query_id, rx.vec_id, rq.sub,
+       |    ${pqSubDistCaseSql("c1", "c2", "rq.sub")} AS sdist
+       |  FROM r rq
+       |  JOIN qs q0 ON q0.query_id = rq.vec_id
+       |  JOIN r rx ON rx.sub = rq.sub
+       |  JOIN cb c1 ON c1.cid = rq.cid
+       |  JOIN cb c2 ON c2.cid = rx.cid),
+       |p AS MATERIALIZED (SELECT query_id, vec_id,
+       |    ${(0 until PqM).map(s =>
+             s"MAX(CASE WHEN sub = $s THEN sdist END) AS p$s").mkString(", ")}
+       |  FROM qd GROUP BY query_id, vec_id),
+       |sc AS MATERIALIZED (SELECT query_id, vec_id,
+       |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS sdc_dist FROM p)
+       |SELECT query_id, vec_id, sdc_dist FROM (
+       |  SELECT query_id, vec_id, sdc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sdc_dist, vec_id) AS rn
+       |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
+       |ORDER BY query_id, sdc_dist, vec_id""".stripMargin
 
   /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
     * vectors) and the per-(vector, subspace) argmin code, ties to lower cid. */
@@ -2086,34 +2128,11 @@ object PipelineQueries {
          |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
     },
-    "q130_knn_graph_sdc" -> {
-      // pure code-to-code ranking (nprobe = kCent covers every cell, so no
-      // cell model is needed): q120's code assignment, then for every
-      // (query, candidate, sub) the distance between the two ASSIGNED
-      // codebook centroids — the sdcTables entry the Spark side looks up —
-      // summed subspaces-ascending, non-self rank <= 5
-      s"""$pqAssignCtes,
-         |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0),
-         |qd AS MATERIALIZED (SELECT rq.vec_id AS query_id, rx.vec_id, rq.sub,
-         |    ${pqSubDistCaseSql("c1", "c2", "rq.sub")} AS sdist
-         |  FROM r rq
-         |  JOIN qs q0 ON q0.query_id = rq.vec_id
-         |  JOIN r rx ON rx.sub = rq.sub
-         |  JOIN cb c1 ON c1.cid = rq.cid
-         |  JOIN cb c2 ON c2.cid = rx.cid),
-         |p AS MATERIALIZED (SELECT query_id, vec_id,
-         |    ${(0 until PqM).map(s =>
-               s"MAX(CASE WHEN sub = $s THEN sdist END) AS p$s").mkString(", ")}
-         |  FROM qd GROUP BY query_id, vec_id),
-         |sc AS MATERIALIZED (SELECT query_id, vec_id,
-         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS sdc_dist FROM p)
-         |SELECT query_id, vec_id, sdc_dist FROM (
-         |  SELECT query_id, vec_id, sdc_dist,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sdc_dist, vec_id) AS rn
-         |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
-         |ORDER BY query_id, sdc_dist, vec_id""".stripMargin
-    },
+    "q130_knn_graph_sdc" -> sdcKnnGraphOracle,
+    // q131 computes the FULL graph through the TVF and filters to the q130
+    // node subset — per-node top-k is independent of other nodes, so the
+    // rows (and the oracle) are identical
+    "q131_sql_knn_graph" -> sdcKnnGraphOracle,
     "q128_opq_rotated_encode" -> {
       val rot = graft.operators.Rotation.rotationMatrix(64)
       // Double.toString round-trips exactly, so the literal matrix parsed by

@@ -211,6 +211,26 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(messages(bad).exists(_.contains("must be an INTEGER literal")), bad.toString)
   }
 
+  test("graft_knn_graph_sdc TVF ≡ Scala knnGraphSdc full graph") {
+    import graft.operators.ProductQuantization
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (0 until 8).map(d => math.sin(i * 0.7 + d).toFloat).toArray)
+    }.toDF("vid", "v")
+    vecs.createOrReplaceTempView("pq_vecs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_knn_graph_sdc('pq_vecs', 'vid', 'v', 4, 3, 3)")
+      .orderBy(col("query_id"), col("sdc_dist"), col("vid")).collect().toSeq
+    val cb = ProductQuantization.seedCodebooks(vecs, "v", "vid", 4, 3)
+    val enc = ProductQuantization.encode(vecs, "v", cb)
+      .select(col("vid"),
+        ProductQuantization.packCodes(col("pq_codes"), 4, 3).as("packed"),
+        lit(0).as("_cell"))
+    val viaApi = ProductQuantization.knnGraphSdc(enc, enc, "vid", "packed",
+        "_cell", Seq(Seq(0.0)), cb, nprobe = 1, k = 3)
+      .orderBy(col("query_id"), col("sdc_dist"), col("vid")).collect().toSeq
+    assert(viaSql == viaApi && viaApi.size == 36)
+  }
+
   test("layout functions: SQL ≡ Column API, variadic dims, literal bit width enforced") {
     import graft.operators.Layout
     Seq((1L, 5L, 3L, 7L), (2L, 1023L, 0L, 4L), (3L, 2000L, -4L, 1L))

@@ -504,6 +504,32 @@ class ProductQuantizationSpec extends SparkSpec {
       assert(subGot(qid) == got(qid), s"subset graph differs for node $qid") }
   }
 
+  test("savePqIndex/loadPqIndex: geometry round-trips bit-exactly, codes stay cell-partitioned, and a reloaded index searches identically") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(40, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    val enc = pq.encodeResidual(assigned, "v", "cell", coarse, cb)
+      .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+    val path = tempDir().resolve("pqindex").toString
+    pq.savePqIndex(enc, "id", "packed", "cell", coarse, cb,
+      residual = true, path)
+    val idx = pq.loadPqIndex(spark, path)
+    assert(idx.coarse == coarse, "coarse matrix drifted through parquet")
+    assert(idx.codebooks == cb, "codebooks drifted through parquet")
+    assert(idx.residual && idx.m == m && idx.ksub == ksub)
+    assert(new java.io.File(s"$path/codes").listFiles()
+      .exists(_.getName.startsWith("cell=")), "codes must be cell-partitioned")
+    val q = df.filter($"id" === 7L).select($"v").as[Seq[Double]].collect().head
+    val before = pq.ivfPqResidualTopK(enc, "packed", "id", "cell", coarse, cb,
+        q, nprobe = 2, k = 5).as[(Long, Double)].collect().toSeq
+    val after = pq.ivfPqResidualTopK(idx.codes, "packed", "vec_id", "cell",
+        idx.coarse, idx.codebooks, q, nprobe = 2, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(before == after, "reloaded index must search identically")
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)
