@@ -376,4 +376,37 @@ object SimilaritySearch {
       .select(col(idCol), col("cluster"),
         coalesce(col("_dup"), lit(false)) === false as "keep")
   }
+
+  /** SemDeDup verdict over PRECOMPUTED candidate edges — the k-NN-graph
+    * composition of [[semanticDedupByCluster]]: candidate generation comes
+    * from ANY edge frame carrying (query_id, idCol) — a quantized graph
+    * ([[graft.operators.ProductQuantization.knnGraphSdc]] /
+    * `knnGraphIvfPq`), [[knnJoinLsh]], whatever the corpus affords — and
+    * only those n·k pairs are EXACTLY cosine-verified against the raw
+    * vectors (vs cluster-population² pairs in the bucketed form). The
+    * verdict rule is identical: a row is dropped when ANY candidate
+    * neighbor with a LOWER id matches at ≥ `threshold` (edges are
+    * symmetrized with least/greatest first, so direction of discovery
+    * doesn't matter). Quantized candidate generation bounds recall the way
+    * the graph does — a dup pair must surface in one side's top-k, which is
+    * the k-NN-dedup bargain at 100 TB. Output: (idCol, keep), one row per
+    * input row. */
+  def semanticDedupByKnnGraph(df: DataFrame, vecCol: String, idCol: String,
+                              edges: DataFrame, threshold: Double): DataFrame = {
+    val e = edges.select(
+        least(col("query_id"), col(idCol)).as("_a"),
+        greatest(col("query_id"), col(idCol)).as("_b"))
+      .filter(col("_a") =!= col("_b")).distinct()
+    val v = df.select(col(idCol), col(vecCol))
+    val dropped = e
+      .join(v.select(col(idCol).as("_a"), col(vecCol).as("_va")), Seq("_a"))
+      .join(v.select(col(idCol).as("_b"), col(vecCol).as("_vb")), Seq("_b"))
+      .filter(NativeVec.cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("_b").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    // AQE sizes the verdict join (same rationale as semanticDedupByCluster)
+    df.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_dup"), lit(false)) === false as "keep")
+  }
 }

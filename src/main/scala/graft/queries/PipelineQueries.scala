@@ -1146,6 +1146,28 @@ object PipelineQueries {
           ORDER BY query_id, sdc_dist, vec_id""")
     }),
 
+    // q132: SemDeDup driven by the quantized k-NN graph — candidate pairs
+    // come from the SDC graph (k=5 edges per node, code-to-code distance),
+    // and ONLY those n·k pairs are exactly cosine-verified (vs the bucketed
+    // form's cluster-population² pairs): the 100 TB shape of semantic dedup.
+    // Subset corpus (vec_id % 5) keeps the oracle's all-pairs graph replay
+    // affordable; seed codebooks come from the SUBSET's own lowest ids. The
+    // q95 verdict rule (greedy lower-id drop at cosine >= 0.3) unchanged.
+    "q132_semantic_dedup_pq" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cb = pq.seedCodebooks(emb, "embedding", "vec_id", m = PqM, ksub = PqKsub)
+      val enc = pq.encode(emb, "embedding", cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          lit(0).as("cell"))
+      val edges = pq.knnGraphSdc(enc, enc, "vec_id", "packed", "cell",
+        Seq(Seq(0.0)), cb, nprobe = 1, k = 5)
+      SimilaritySearch.semanticDedupByKnnGraph(emb, "embedding", "vec_id",
+          edges, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1288,19 +1310,24 @@ object PipelineQueries {
        |ORDER BY query_id, sdc_dist, vec_id""".stripMargin
 
   /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
-    * vectors) and the per-(vector, subspace) argmin code, ties to lower cid. */
-  private def pqAssignCtes: String =
-    s"""WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+    * vectors) and the per-(vector, subspace) argmin code, ties to lower cid.
+    * `src` is the corpus CTE/table the codes are assigned over; `pre`
+    * injects its definition right after WITH (q132 dedups a filtered
+    * subset, whose seed codebook is the subset's own lowest ids). */
+  private def pqAssignCtesOver(src: String, pre: String = ""): String =
+    s"""WITH ${pre}cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |    embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqKsub) z),
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $PqKsub) z),
        |subs AS (SELECT unnest([${(0 until PqM).mkString(",")}]) AS sub),
        |d AS MATERIALIZED (SELECT e.vec_id, s.sub, c.cid,
        |    ${pqSubDistCaseSql("e", "c", "s.sub")} AS dist
-       |  FROM embeddings e CROSS JOIN cb c CROSS JOIN subs s),
+       |  FROM $src e CROSS JOIN cb c CROSS JOIN subs s),
        |r AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
        |    FROM d) rr WHERE rn = 1)""".stripMargin
+
+  private def pqAssignCtes: String = pqAssignCtesOver("embeddings")
 
   private val qualitySql =
     """(CASE WHEN CAST(length(text) AS DOUBLE) >= 50.0 AND CAST(length(text) AS DOUBLE) <= 5000.0 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -2129,6 +2156,39 @@ object PipelineQueries {
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
     },
     "q130_knn_graph_sdc" -> sdcKnnGraphOracle,
+    "q132_semantic_dedup_pq" -> {
+      // the q130 SDC machinery over the %5 SUBSET (its own seed codebook),
+      // FULL graph (every subset row queries), k=5 edges symmetrized, exact
+      // cosine verify, greedy lower-id drop at >= 0.3
+      s"""${pqAssignCtesOver("e0",
+             "e0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),\n")},
+         |qd AS MATERIALIZED (SELECT rq.vec_id AS query_id, rx.vec_id, rq.sub,
+         |    ${pqSubDistCaseSql("c1", "c2", "rq.sub")} AS sdist
+         |  FROM r rq
+         |  JOIN r rx ON rx.sub = rq.sub
+         |  JOIN cb c1 ON c1.cid = rq.cid
+         |  JOIN cb c2 ON c2.cid = rx.cid),
+         |p AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s =>
+               s"MAX(CASE WHEN sub = $s THEN sdist END) AS p$s").mkString(", ")}
+         |  FROM qd GROUP BY query_id, vec_id),
+         |sc AS MATERIALIZED (SELECT query_id, vec_id,
+         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS sdc_dist FROM p),
+         |edges AS MATERIALIZED (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sdc_dist, vec_id) AS rn
+         |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5),
+         |pairs AS (SELECT DISTINCT LEAST(query_id, vec_id) AS a,
+         |    GREATEST(query_id, vec_id) AS b FROM edges),
+         |dropped AS (SELECT DISTINCT p2.b FROM pairs p2
+         |  JOIN e0 ea ON ea.vec_id = p2.a
+         |  JOIN e0 eb ON eb.vec_id = p2.b
+         |  WHERE (${cosSql("ea", "eb")}) >= 0.3)
+         |SELECT e.vec_id, (d.b IS NULL) AS keep
+         |FROM e0 e LEFT JOIN dropped d ON d.b = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
     // q131 computes the FULL graph through the TVF and filters to the q130
     // node subset — per-node top-k is independent of other nodes, so the
     // rows (and the oracle) are identical

@@ -66,6 +66,33 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
   }
 
+  test("semanticDedupByKnnGraph: graph-candidate verdicts equal the all-pairs greedy rule when edges cover the dup pairs") {
+    val pq = graft.operators.ProductQuantization
+    // exhaustive codebook (ksub = n) -> codes are exact -> the full SDC
+    // graph's top-k candidates include every true neighbor
+    val cb = pq.seedCodebooks(vecs, "embedding", "vec_id", m = 1, ksub = 5)
+    val enc = pq.encode(vecs, "embedding", cb)
+      .select($"vec_id", pq.packCodes($"pq_codes", 1, 5).as("packed"),
+        lit(0).as("cell"))
+    val edges = pq.knnGraphSdc(enc, enc, "vec_id", "packed", "cell",
+      Seq(Seq(0.0)), cb, nprobe = 1, k = 4)
+    val out = SimilaritySearch.semanticDedupByKnnGraph(vecs, "embedding",
+        "vec_id", edges, threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // all-pairs reference at the same threshold: a-b (0.98) and b-c (0.996)
+    // trip; a-c (0.928) does not; verdict drops any row with a LOWER-id
+    // match -> 2 and 3 dropped, everything else kept
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+    // edges that do NOT cover a pair cannot drop it (k bounds recall):
+    // an empty edge frame keeps everything
+    val none = SimilaritySearch.semanticDedupByKnnGraph(vecs, "embedding",
+        "vec_id", edges.filter(lit(false)), threshold = 0.0)
+      .collect().map(_.getBoolean(1))
+    assert(none.forall(identity))
+  }
+
   test("knnJoinLsh: per-query top-k by cosine, self-pairs excluded, bucket-bounded") {
     val out = SimilaritySearch.knnJoinLsh(vecs, vecs, "embedding", "vec_id",
       "vec_id", planes, k = 2)
