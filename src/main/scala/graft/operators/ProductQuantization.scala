@@ -692,7 +692,8 @@ object ProductQuantization {
     * takes. */
   final case class PqIndex(coarse: Seq[Seq[Double]], codebooks: Codebooks,
                            residual: Boolean, m: Int, ksub: Int,
-                           codes: DataFrame)
+                           codes: DataFrame,
+                           rotationSeed: Option[Long] = None)
 
   /** Persist a quantized index: codes written `partitionBy(cell)` — the
     * layout every probe `isin` here prunes at FILE level — plus the coarse
@@ -705,7 +706,8 @@ object ProductQuantization {
   def savePqIndex(codes: DataFrame, idCol: String, packedCol: String,
                   cellCol: String, coarse: Seq[Seq[Double]],
                   codebooks: Codebooks, residual: Boolean,
-                  path: String): Unit = {
+                  path: String,
+                  rotationSeed: Option[Long] = None): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
     require(coarse.nonEmpty && codebooks.nonEmpty, "empty index geometry")
@@ -718,8 +720,12 @@ object ProductQuantization {
       cents.zipWithIndex.map { case (cent, c) => (s, c, cent) } }
       .toDF("sub", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((codebooks.length, codebooks.head.length, residual))
-      .toDF("m", "ksub", "residual")
+    // rotation_seed: an index built in ROTATED space ([[Rotation.rotate]])
+    // is only searchable when queries rotate the same way — the seed fully
+    // determines the deterministic matrix, so persisting it keeps the index
+    // self-describing (null = no pre-transform)
+    Seq((codebooks.length, codebooks.head.length, residual, rotationSeed))
+      .toDF("m", "ksub", "residual", "rotation_seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -729,8 +735,8 @@ object ProductQuantization {
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta")
-      .select(col("m"), col("ksub"), col("residual"))
-      .as[(Int, Int, Boolean)].collect().head
+      .select(col("m"), col("ksub"), col("residual"), col("rotation_seed"))
+      .as[(Int, Int, Boolean, Option[Long])].collect().head
     val coarse = spark.read.parquet(s"$path/coarse")
       .select(col("cell"), col("centroid")).orderBy(col("cell"))
       .as[(Int, Seq[Double])].collect().map(_._2.toSeq).toSeq
@@ -743,7 +749,7 @@ object ProductQuantization {
         codebooks.forall(_.length == meta._2),
       s"codebook table disagrees with meta geometry m=${meta._1} ksub=${meta._2}")
     PqIndex(coarse, codebooks, meta._3, meta._1, meta._2,
-      spark.read.parquet(s"$path/codes"))
+      spark.read.parquet(s"$path/codes"), meta._4)
   }
 
   /** Mean squared quantization error of a RESIDUAL codebook (residual twin

@@ -30,6 +30,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Usage: KnnGraphScan <embDir> [kCent=64] [m=8] [ksub=256] [k=10]
   *                     [nprobe=1] [iters=4] [recallNodes=16]
   *                     [exactNodes=2000] [refineFactor=5]
+  *                     [arms=adc,sdc,refine]
+  *
+  * `arms` selects which graph arms run — the decade (×1000) leg runs
+  * `arms=sdc`: at 2M nodes the ADC arm's LUT column is n·nprobe·16 KB ≈
+  * 128 GB of shuffle, and SKIPPING it because it is unaffordable is the
+  * measurement (the r10 loop-leg discipline); the computed LUT bytes are
+  * reported either way as `adc_lut_bytes_computed`.
   */
 object KnnGraphScan {
 
@@ -57,6 +64,10 @@ object KnnGraphScan {
     val recallNodes = args.lift(7).map(_.toInt).getOrElse(16)
     val exactNodes = args.lift(8).map(_.toInt).getOrElse(2000)
     val refineFactor = args.lift(9).map(_.toInt).getOrElse(5)
+    val arms = args.lift(10).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("adc", "sdc", "refine"))
+    require(arms.subsetOf(Set("adc", "sdc", "refine")) && arms("sdc"),
+      s"arms must be a subset of adc,sdc,refine and include sdc: $arms")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,17 +106,17 @@ object KnnGraphScan {
       (wall, meters.records.get() - r0, meters.shuffleWrite.get() - s0, edges)
     }
 
-    val adc = measured("adc_graph")(
+    val adc = if (!arms("adc")) None else Some(measured("adc_graph")(
       pq.knnGraphIvfPq(emb, "vec_id", "embedding", index, "packed", "ivf_cell",
-        cents, cb, nprobe, k, residual = false, broadcastLuts = false))
+        cents, cb, nprobe, k, residual = false, broadcastLuts = false)))
     val sdc = measured("sdc_graph")(
       pq.knnGraphSdc(index, index, "vec_id", "packed", "ivf_cell",
         cents, cb, nprobe, k))
     // SDC + exact refine: widen the SDC graph, re-rank its edges exactly
-    val sdcWide = measured("sdc_wide")(
+    val sdcWide = if (!arms("refine")) None else Some(measured("sdc_wide")(
       pq.knnGraphSdc(index, index, "vec_id", "packed", "ivf_cell",
-        cents, cb, nprobe, k * refineFactor))
-    val refine = {
+        cents, cb, nprobe, k * refineFactor)))
+    val refine = if (!arms("refine")) None else Some {
       ColumnBridge.drainListenerBus(spark)
       val s0 = meters.shuffleWrite.get()
       val t0 = System.nanoTime()
@@ -157,8 +168,9 @@ object KnnGraphScan {
         got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / k }
       rs.sum / rs.size
     }
-    val (rAdc, rSdc, rRef) =
-      (recallOf("adc_graph"), recallOf("sdc_graph"), recallOf("sdc_refined"))
+    val rSdc = recallOf("sdc_graph")
+    val rAdc = adc.map(_ => recallOf("adc_graph"))
+    val rRef = refine.map(_ => recallOf("sdc_refined"))
 
     // exact-graph baseline on a node subsample, extrapolated linearly
     val exIds = (0 until exactNodes).map(i => ids(((i.toLong * n) / exactNodes).toInt))
@@ -179,8 +191,18 @@ object KnnGraphScan {
     val exWall = (System.nanoTime() - exT0) / 1e9
     val exFull = exWall * n.toDouble / exIds.length
 
+    // the ADC arm's LUT materialization, computed even when the arm is
+    // skipped: n·nprobe pairs × m·ksub doubles — the quantity SDC removes
+    val lutBytesComputed = n * nprobe.toLong * m * ksub * 8L
+    val adcJson = adc.map(a =>
+      f""""adc":{"wall_sec":${a._1}%.1f,"records":${a._2},"shuffle_bytes":${a._3},"edges":${a._4},"recall":${rAdc.get}%.4f},""").getOrElse(
+      """"adc":"SKIPPED (arms): LUT materialization alone is adc_lut_bytes_computed",""")
+    val wideJson = sdcWide.map(w =>
+      f""""sdc_wide_k${k * refineFactor}":{"wall_sec":${w._1}%.1f,"shuffle_bytes":${w._3}},""").getOrElse("")
+    val refJson = refine.map(r =>
+      f""""sdc_refine":{"wall_sec":${r._1}%.1f,"shuffle_bytes":${r._2},"recall":${rRef.get}%.4f},""").getOrElse("")
     println(
-      f"""{"metric":"knn_graph_scan","dir":"$dir","rows":$n,"k_cent":$kCent,"m":$m,"ksub":$ksub,"k":$k,"nprobe":$nprobe,"build_sec":$buildSec%.1f,"adc":{"wall_sec":${adc._1}%.1f,"records":${adc._2},"shuffle_bytes":${adc._3},"edges":${adc._4},"recall":$rAdc%.4f},"sdc":{"wall_sec":${sdc._1}%.1f,"records":${sdc._2},"shuffle_bytes":${sdc._3},"edges":${sdc._4},"recall":$rSdc%.4f},"sdc_wide_k${k * refineFactor}":{"wall_sec":${sdcWide._1}%.1f,"shuffle_bytes":${sdcWide._3}},"sdc_refine":{"wall_sec":${refine._1}%.1f,"shuffle_bytes":${refine._2},"recall":$rRef%.4f},"exact_subsample":{"nodes":${exIds.length},"wall_sec":$exWall%.1f,"extrapolated_full_graph_sec":$exFull%.0f},"recall_nodes":$recallNodes}""")
+      f"""{"metric":"knn_graph_scan","dir":"$dir","rows":$n,"k_cent":$kCent,"m":$m,"ksub":$ksub,"k":$k,"nprobe":$nprobe,"build_sec":$buildSec%.1f,"adc_lut_bytes_computed":$lutBytesComputed,$adcJson"sdc":{"wall_sec":${sdc._1}%.1f,"records":${sdc._2},"shuffle_bytes":${sdc._3},"edges":${sdc._4},"recall":$rSdc%.4f},$wideJson$refJson"exact_subsample":{"nodes":${exIds.length},"wall_sec":$exWall%.1f,"extrapolated_full_graph_sec":$exFull%.0f},"recall_nodes":$recallNodes}""")
     spark.stop()
   }
 }

@@ -528,6 +528,13 @@ class ProductQuantizationSpec extends SparkSpec {
         idx.coarse, idx.codebooks, q, nprobe = 2, k = 5)
       .as[(Long, Double)].collect().toSeq
     assert(before == after, "reloaded index must search identically")
+    // rotation seed: absent by default, round-trips when set (a rotated-
+    // space index is only searchable with the same query pre-transform)
+    assert(idx.rotationSeed.isEmpty)
+    val path2 = tempDir().resolve("pqindexRot").toString
+    pq.savePqIndex(enc, "id", "packed", "cell", coarse, cb,
+      residual = true, path2, rotationSeed = Some(42L))
+    assert(pq.loadPqIndex(spark, path2).rotationSeed.contains(42L))
   }
 
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
