@@ -28,4 +28,4 @@ print(f"run total={d['value']:.1f}s contended={d['contended_run']} bursty={d['bu
       f"calib={d['calibration_pre_sec']:.2f}/{d['calibration_post_sec']:.2f}")
 EOF
 done
-echo "R10 SERIES COMPLETE $(date +%H:%M:%S)"
+echo "R11 SERIES COMPLETE $(date +%H:%M:%S)"
