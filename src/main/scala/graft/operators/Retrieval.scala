@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 ranked retrieval (Robertson–Spärck Jones Okapi weighting) over a
@@ -98,5 +99,49 @@ object Retrieval {
         concat_ws(",", transform(
           slice(array_sort(collect_list(col(idCol))), 1, headPostings),
           x => x.cast("string"))).as("postings_head"))
+  }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttner 2009): fuse N ranked
+    * candidate lists into one by score = Σ_lists 1/(k0 + rank_list), rank
+    * 1-based, items absent from a list contributing 0 — THE standard hybrid
+    * retrieval combiner (BM25 list × embedding-ANN list), robust to the
+    * lists' incomparable raw scores because only ranks survive.
+    *
+    * Each list arrives as (frame, ordering): the frame carries `idCol`
+    * (and `queryCol` in batch mode), the ordering ranks it (ties broken by
+    * ascending id — every ranking here is deterministic or it isn't a
+    * ranking). Contributions join FULL-outer and add in LIST order
+    * (left-assoc, fixed arity — the oracle-replayable IEEE shape; a groupBy
+    * sum would add in shuffle order). Inputs are top-k candidate LISTS by
+    * contract — per query they are k rows, so the rank windows are bounded;
+    * batch mode (`queryCol` set) partitions the windows by query and takes
+    * the fused top-k through GroupTopK. Output: ([queryCol,] idCol,
+    * rrf_score) — topK rows per query, descending score, ties to the lower
+    * id. */
+  def rrfFuse(lists: Seq[(DataFrame, Seq[(String, Boolean)])], idCol: String,
+              topK: Int, k0: Int = 60,
+              queryCol: Option[String] = None): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topK > 0 && k0 >= 0, s"bad topK=$topK/k0=$k0")
+    val keyCols = queryCol.toSeq :+ idCol
+    val contribs = lists.zipWithIndex.map { case ((df, ord), i) =>
+      require(ord.nonEmpty, s"list $i needs an ordering")
+      val sort = ord.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc } :+ col(idCol).asc
+      val w = queryCol.fold(Window.orderBy(sort: _*))(q =>
+        Window.partitionBy(col(q)).orderBy(sort: _*))
+      df.select(keyCols.map(col) :+
+        (lit(1.0) / (lit(k0) + row_number().over(w)).cast("double"))
+          .as(s"_rrf$i"): _*)
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, keyCols, "full"))
+    val fused = joined.select(keyCols.map(col) :+
+      lists.indices.map(i => coalesce(col(s"_rrf$i"), lit(0.0)))
+        .reduce(_ + _).as("rrf_score"): _*)
+    queryCol match {
+      case Some(q) => graft.plans.GroupTopK.topK(fused,
+        Seq(q), Seq("rrf_score" -> false, idCol -> true), topK)
+      case None => fused.orderBy(col("rrf_score").desc, col(idCol)).limit(topK)
+    }
   }
 }

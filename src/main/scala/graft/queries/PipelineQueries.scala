@@ -1168,6 +1168,25 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // q133: RECIPROCAL RANK FUSION (Cormack, Clarke & Büttner 2009) — the
+    // standard hybrid-retrieval combiner (BM25 list × ANN list; spec drives
+    // that composition), arithmetic pinned here over two deterministic
+    // 40-item rankings of documents (by char length desc, by token count
+    // asc): rank windows, 1/(k0+rank) contributions, absent-item zeros via
+    // the FULL join, fixed-order addition — all replayed in the oracle.
+    "q133_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy(col("len").desc, col("doc_id")).limit(40)
+      val b = docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("ntok"))
+        .orderBy(col("ntok"), col("doc_id")).limit(40)
+      graft.operators.Retrieval.rrfFuse(
+          Seq((a, Seq("len" -> false)), (b, Seq("ntok" -> true))),
+          "doc_id", topK = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -2156,6 +2175,19 @@ object PipelineQueries {
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
     },
     "q130_knn_graph_sdc" -> sdcKnnGraphOracle,
+    "q133_rrf_fusion" ->
+      s"""WITH la AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rn
+         |  FROM documents ORDER BY length(text) DESC, doc_id LIMIT 40),
+         |lb AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY array_length($tokensSql), doc_id) AS rn
+         |  FROM documents ORDER BY array_length($tokensSql), doc_id LIMIT 40)
+         |SELECT doc_id, rrf_score FROM (
+         |  SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+         |    COALESCE(1.0/(60+CAST(la.rn AS DOUBLE)), 0.0)
+         |      + COALESCE(1.0/(60+CAST(lb.rn AS DOUBLE)), 0.0) AS rrf_score
+         |  FROM la FULL JOIN lb ON la.doc_id = lb.doc_id) f
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
     "q132_semantic_dedup_pq" -> {
       // the q130 SDC machinery over the %5 SUBSET (its own seed codebook),
       // FULL graph (every subset row queries), k=5 edges symmetrized, exact

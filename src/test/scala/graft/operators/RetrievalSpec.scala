@@ -82,4 +82,58 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.invertedIndex(docs, "doc_id", "text", headPostings = 0))
   }
+
+  test("rrfFuse: hand-computed fusion, absent items contribute zero, list order is the IEEE addition order") {
+    // list A ranks 1,2,3; list B ranks 3,2,4 — docs in both lists (2 and 3)
+    // must beat docs in one (1 and 4); 1/(k0+r) is convex, so ranks {1,3}
+    // edge out {2,2}
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "sa")
+    val b = Seq((3L, 0.1), (2L, 0.5), (4L, 0.9)).toDF("id", "sb")
+    val out = Retrieval.rrfFuse(
+        Seq((a, Seq("sa" -> false)), (b, Seq("sb" -> true))),
+        "id", topK = 4, k0 = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r(n: Int) = 1.0 / (60 + n)
+    assert(out(1L) == r(1) + 0.0)
+    assert(out(2L) == r(2) + r(2))
+    assert(out(3L) == r(3) + r(1))
+    assert(out(4L) == 0.0 + r(3))
+    assert(out(3L) > out(2L) && out(2L) > out(1L) && out(1L) > out(4L))
+  }
+
+  test("rrfFuse: hybrid BM25 x embedding-ANN composition, batch mode per query through GroupTopK") {
+    val pq = graft.operators.ProductQuantization
+    // text relevance says 1 > 2; vector similarity says 2 > 1; doc 3 is
+    // nowhere -> fusion must put {1, 2} (tied consensus, lower id first)
+    // ahead of everything else
+    val docs = Seq(
+      (1L, "spark spark spark query"),
+      (2L, "spark query other words"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(0.8, 0.6, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))).toDF("doc_id", "v")
+    val textList = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), 2)
+    val annList = SimilaritySearch.bruteForceTopK(vecs, "v", "doc_id",
+      Seq(1.0, 0.0, 0.0), 2)
+    val fused = Retrieval.rrfFuse(
+        Seq((textList, Seq("score" -> false)), (annList, Seq("cosine" -> false))),
+        "doc_id", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fused.map(_._1).take(2).toSet == Set(1L, 2L))
+    assert(fused.head._1 == 1L, "equal consensus must tie-break to the lower id")
+    assert(!fused.map(_._1).contains(3L) || fused.map(_._1).indexOf(3L) == 2)
+    // batch mode: two queries, per-query windows + per-query top-k
+    val qa = Seq((10L, 1L, 0.9), (10L, 2L, 0.8), (20L, 2L, 0.9), (20L, 3L, 0.8))
+      .toDF("qid", "id", "s")
+    val qb = Seq((10L, 2L, 0.9), (10L, 1L, 0.8), (20L, 3L, 0.9), (20L, 2L, 0.8))
+      .toDF("qid", "id", "s")
+    val batch = Retrieval.rrfFuse(Seq((qa, Seq("s" -> false)), (qb, Seq("s" -> false))),
+        "id", topK = 1, k0 = 60, queryCol = Some("qid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rr(n: Int) = 1.0 / (60 + n)
+    // per query both items score r(1)+r(2) — ties to the LOWER id
+    assert(batch == Map(10L -> 1L, 20L -> 2L))
+  }
 }
