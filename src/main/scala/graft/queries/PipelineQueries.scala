@@ -1187,6 +1187,41 @@ object PipelineQueries {
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
 
+    // q134: SQ8 SCALAR-QUANTIZED encode — the compression ladder's middle
+    // rung (raw 1× / SQ8 4× / PQ 32×): per-dim uint8 against trained
+    // [min, max] bounds, all built-ins. The oracle recomputes the bounds,
+    // the clamp(round(·)) encode, and the 8-codes-per-long packing is
+    // covered by unpacking in q135; here codes are flattened per dim.
+    "q134_sq8_encode" -> ((s, dir) => {
+      val sq = graft.operators.ScalarQuantization
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = sq.sqTrain(emb, "embedding")
+      emb.select(col("vec_id"),
+          posexplode(sq.sqEncode(col("embedding"), mins, maxs))
+            .as(Seq("d", "code")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("d"))
+    }),
+
+    // q135: SQ8 top-k search — packed 64-byte codes, per-dim affine decode
+    // (min + code·span/255), ascending-dim L2² chain, no LUT. The oracle
+    // replays bounds → codes → decode → distance with each stage
+    // materialized as a list (the resListSql decomposition), so every
+    // distance term stays 2-array/1-op.
+    "q135_sq8_topk" -> ((s, dir) => {
+      val sq = graft.operators.ScalarQuantization
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = sq.sqTrain(emb, "embedding")
+      val enc = emb.select(col("vec_id"),
+        sq.sqPack(sq.sqEncode(col("embedding"), mins, maxs), 64).as("packed"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toSeq
+      sq.sqTopK(enc, "packed", "vec_id", q, mins, maxs, k = 20)
+        .orderBy(col("sq_dist"), col("vec_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1327,6 +1362,24 @@ object PipelineQueries {
        |      ORDER BY sdc_dist, vec_id) AS rn
        |  FROM sc WHERE vec_id <> query_id) t WHERE rn <= 5
        |ORDER BY query_id, sdc_dist, vec_id""".stripMargin
+
+  /** q134/q135 oracle prefix: per-dim [min, max] bounds as two one-row
+    * 64-lists — the sqTrain twin (min/max are exact, no summation). */
+  private def sq8BoundsCtes: String =
+    s"""WITH bnd AS MATERIALIZED (SELECT s.j AS j,
+       |    min(CAST(e.embedding[s.j] AS DOUBLE)) AS mn,
+       |    max(CAST(e.embedding[s.j] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) s
+       |  GROUP BY s.j),
+       |bl AS MATERIALIZED (SELECT list(mn ORDER BY j) AS mnl, list(mx ORDER BY j) AS mxl FROM bnd)""".stripMargin
+
+  /** Per-row SQ8 code list: clamp(round(((x − mn)/span)·255), 0, 255),
+    * zero-span dims encode 0 — op-for-op ScalarQuantization.sqEncode
+    * (round HALF_UP = DuckDB half-away on these non-negative arguments). */
+  private def sq8CodeListSql: String =
+    "[CASE WHEN bl.mxl[j] > bl.mnl[j] THEN CAST(least(greatest(round(" +
+      "(CAST(e.embedding[j] AS DOUBLE) - bl.mnl[j]) / (bl.mxl[j] - bl.mnl[j]) * 255.0" +
+      ", 0), 0.0), 255.0) AS INT) ELSE 0 END FOR j IN generate_series(1, 64)]"
 
   /** Shared q120/q121 oracle prefix: fixed codebook (the ksub lowest-id
     * vectors) and the per-(vector, subspace) argmin code, ties to lower cid.
@@ -2175,6 +2228,27 @@ object PipelineQueries {
          |ORDER BY query_id, adc_dist, vec_id""".stripMargin
     },
     "q130_knn_graph_sdc" -> sdcKnnGraphOracle,
+    "q134_sq8_encode" ->
+      s"""$sq8BoundsCtes,
+         |codes AS MATERIALIZED (SELECT e.vec_id, $sq8CodeListSql AS cl
+         |  FROM embeddings e CROSS JOIN bl)
+         |SELECT vec_id, CAST(j - 1 AS BIGINT) AS d, CAST(cl[j] AS BIGINT) AS code
+         |FROM codes, (SELECT unnest(generate_series(1, 64)) AS j) s
+         |ORDER BY vec_id, d""".stripMargin,
+    "q135_sq8_topk" ->
+      s"""$sq8BoundsCtes,
+         |codes AS MATERIALIZED (SELECT e.vec_id, $sq8CodeListSql AS cl
+         |  FROM embeddings e CROSS JOIN bl),
+         |dec AS MATERIALIZED (SELECT c.vec_id,
+         |    [bl.mnl[j] + (CAST(c.cl[j] AS DOUBLE) * (bl.mxl[j] - bl.mnl[j])) / 255.0
+         |      FOR j IN generate_series(1, 64)] AS dv
+         |  FROM codes c CROSS JOIN bl),
+         |qv AS (SELECT [CAST(embedding[j] AS DOUBLE) FOR j IN generate_series(1, 64)] AS qe
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${(1 to 64).map(j =>
+             s"((dv[$j]-qe[$j])*(dv[$j]-qe[$j]))").mkString(" + ")} AS sq_dist
+         |FROM dec CROSS JOIN qv
+         |ORDER BY sq_dist, vec_id LIMIT 20""".stripMargin,
     "q133_rrf_fusion" ->
       s"""WITH la AS (SELECT doc_id,
          |    row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rn
