@@ -66,28 +66,48 @@ object ScalarQuantization {
         slice(codes, g * 8 + 1, lit(8)), m = 8, ksub = 256))
   }
 
-  /** L2² between the DECODED codes and a query vector — dimensions
-    * ascending, left-assoc: Σ_d (min_d + (code_d·span_d)/255 − q_d)².
-    * Plain built-in arithmetic (~4 flops/dim), no LUT — SQ8's decode is
-    * affine, which is exactly why it needs no ADC machinery. */
+  /** DECODED vector array from packed codes: dec_d = min_d +
+    * (code_d·span_d)/255 — affine, per-dim static shifts (the transform
+    * lambda can't shift by a runtime amount: shiftright takes Int bits). */
+  def sqDecode(packed: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(mins.length == maxs.length && mins.nonEmpty, "bad bounds")
+    array(mins.indices.map { d =>
+      val code = ProductQuantization
+        .unpackCode(element_at(packed, d / 8 + 1), d % 8, 256)
+        .cast("double")
+      lit(mins(d)) + (code * lit(maxs(d) - mins(d))) / lit(255.0)
+    }: _*)
+  }
+
+  /** L2² between the DECODED codes and a query vector via the dot identity
+    * |dec|² − 2·dec·q + |q|² over NATIVE dot kernels (the exact-search
+    * formulation every oracle here replays with ascending-dim chains).
+    * NOT Σ(dec_d − q_d)² as 64 inlined terms: that builds a 63-deep `Add`
+    * tree whose Catalyst canonicalization cost dominated the whole query
+    * (measured ~16 s of pure planning at ANY data size) — the decode array
+    * plus three constant-size dot kernels plans in milliseconds and
+    * computes the same oracle-replayable IEEE shape. */
   def sqDistance(packed: Column, query: Seq[Double],
                  mins: Seq[Double], maxs: Seq[Double]): Column = {
     require(query.length == mins.length && mins.length == maxs.length,
       s"query has ${query.length} dims but bounds have ${mins.length}")
-    val dims = query.length
-    (0 until dims).map { d =>
-      val code = ProductQuantization
-        .unpackCode(element_at(packed, d / 8 + 1), d % 8, 256)
-        .cast("double")
-      val dec = lit(mins(d)) + (code * lit(maxs(d) - mins(d))) / lit(255.0)
-      val diff = dec - lit(query(d))
-      diff * diff
-    }.reduce(_ + _)
+    val dec = sqDecode(packed, mins, maxs)
+    val qLit = array(query.map(lit): _*)
+    var qq = 0.0
+    query.foreach(x => qq += x * x)
+    (graft.expressions.NativeVec.dot(dec, dec)
+      - lit(2.0) * graft.expressions.NativeVec.dot(dec, qLit) + lit(qq))
   }
 
   /** Top-k by SQ8 distance over a packed-code frame: scan-side arithmetic
     * into TakeOrderedAndProject (no global sort). (idCol, sq_dist)
-    * ascending, ties by id; null-poisoned rows are excluded. */
+    * ascending, ties by id; null-poisoned rows are excluded.
+    *
+    * Search a MATERIALIZED code frame (parquet / checkpoint — an index is a
+    * dataset): if `encoded` is the unevaluated encode+pack projection, the
+    * optimizer inlines the whole pack chain into each of the dims decode
+    * references here — measured 16.5 s vs 0.9 s on identical data at
+    * sf0.1. */
   def sqTopK(encoded: DataFrame, packedCol: String, idCol: String,
              query: Seq[Double], mins: Seq[Double], maxs: Seq[Double],
              k: Int): DataFrame = {

@@ -1213,8 +1213,13 @@ object PipelineQueries {
       val sq = graft.operators.ScalarQuantization
       val emb = t(s, dir, "embeddings")
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
+      // MATERIALIZE the code frame before searching: composing encode+pack
+      // and search in one plan inlines the whole pack chain into each of
+      // the 64 decode references (measured 16.5 s vs 0.9 s at sf0.1) — and
+      // a real index is a written dataset anyway (savePqIndex's shape)
       val enc = emb.select(col("vec_id"),
-        sq.sqPack(sq.sqEncode(col("embedding"), mins, maxs), 64).as("packed"))
+          sq.sqPack(sq.sqEncode(col("embedding"), mins, maxs), 64).as("packed"))
+        .localCheckpoint()
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toSeq
@@ -2245,8 +2250,9 @@ object PipelineQueries {
          |  FROM codes c CROSS JOIN bl),
          |qv AS (SELECT [CAST(embedding[j] AS DOUBLE) FOR j IN generate_series(1, 64)] AS qe
          |  FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, ${(1 to 64).map(j =>
-             s"((dv[$j]-qe[$j])*(dv[$j]-qe[$j]))").mkString(" + ")} AS sq_dist
+         |SELECT vec_id, (${(1 to 64).map(j => s"dv[$j]*dv[$j]").mkString(" + ")})
+         |  - 2.0*(${(1 to 64).map(j => s"dv[$j]*qe[$j]").mkString(" + ")})
+         |  + (${(1 to 64).map(j => s"qe[$j]*qe[$j]").mkString(" + ")}) AS sq_dist
          |FROM dec CROSS JOIN qv
          |ORDER BY sq_dist, vec_id LIMIT 20""".stripMargin,
     "q133_rrf_fusion" ->

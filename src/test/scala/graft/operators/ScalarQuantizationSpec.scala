@@ -58,8 +58,13 @@ class ScalarQuantizationSpec extends SparkSpec {
     val q = rows(5)._2
     val got = sq.sqTopK(enc, "packed", "id", q, mins, maxs, k = 10)
       .as[(Long, Double)].collect().toSeq
+    // the dot-identity fold sqDistance computes (ascending, left-assoc —
+    // NativeVec.dot's accumulation order)
+    def dot(a: Seq[Double], b: Seq[Double]) = {
+      var s = 0.0; (0 until dims).foreach(d => s += a(d) * b(d)); s
+    }
     def l2(a: Seq[Double], b: Seq[Double]) =
-      (0 until dims).map(d => (a(d) - b(d)) * (a(d) - b(d))).reduce(_ + _)
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
     val brute = rows.map { case (id, v) => (l2(v, q), id) }.sorted.take(10)
       .map { case (dist, id) => (id, dist) }
     assert(got == brute, "grid-aligned SQ8 must equal exact search bitwise")
