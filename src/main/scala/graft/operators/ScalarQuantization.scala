@@ -67,17 +67,12 @@ object ScalarQuantization {
   }
 
   /** DECODED vector array from packed codes: dec_d = min_d +
-    * (code_d·span_d)/255 — affine, per-dim static shifts (the transform
-    * lambda can't shift by a runtime amount: shiftright takes Int bits). */
-  def sqDecode(packed: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
-    require(mins.length == maxs.length && mins.nonEmpty, "bad bounds")
-    array(mins.indices.map { d =>
-      val code = ProductQuantization
-        .unpackCode(element_at(packed, d / 8 + 1), d % 8, 256)
-        .cast("double")
-      lit(mins(d)) + (code * lit(maxs(d) - mins(d))) / lit(255.0)
-    }: _*)
-  }
+    * (code_d·span_d)/255 — one native [[graft.expressions.SqDecode]]: the
+    * composed built-in form (64 static element_at+shift+affine terms) grew
+    * a generated method past Janino's 64 KB limit under CODEGEN_ONLY —
+    * caught by the codegen-only sweep spec. */
+  def sqDecode(packed: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    graft.expressions.SqDecode(packed, mins, maxs)
 
   /** L2² between the DECODED codes and a query vector via the dot identity
     * |dec|² − 2·dec·q + |q|² over NATIVE dot kernels (the exact-search
