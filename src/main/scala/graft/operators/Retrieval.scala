@@ -112,25 +112,41 @@ object Retrieval {
     * ascending id — every ranking here is deterministic or it isn't a
     * ranking). Contributions join FULL-outer and add in LIST order
     * (left-assoc, fixed arity — the oracle-replayable IEEE shape; a groupBy
-    * sum would add in shuffle order). Inputs are top-k candidate LISTS by
-    * contract — per query they are k rows, so the rank windows are bounded;
-    * batch mode (`queryCol` set) partitions the windows by query and takes
-    * the fused top-k through GroupTopK. Output: ([queryCol,] idCol,
-    * rrf_score) — topK rows per query, descending score, ties to the lower
-    * id. */
+    * sum would add in shuffle order). Inputs are top-k candidate LISTS, and
+    * the bound is STRUCTURAL, not just contractual: each list is pre-trimmed
+    * to its top `maxListSize` rows under its own ordering before ranking —
+    * unbatched via TakeOrderedAndProject (k rows per partition, never a
+    * global sort), batch mode via GroupTopK per query — so the rank windows
+    * (single-partition in unbatched mode) see at most `maxListSize` rows per
+    * query no matter what the caller feeds in. Items beyond the trim
+    * contribute 0, which IS the RRF definition (ranks past the candidate
+    * list don't exist). Batch mode (`queryCol` set) partitions the windows
+    * by query and takes the fused top-k through GroupTopK. Output:
+    * ([queryCol,] idCol, rrf_score) — topK rows per query, descending score,
+    * ties to the lower id. */
   def rrfFuse(lists: Seq[(DataFrame, Seq[(String, Boolean)])], idCol: String,
               topK: Int, k0: Int = 60,
-              queryCol: Option[String] = None): DataFrame = {
+              queryCol: Option[String] = None,
+              maxListSize: Int = 10000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(topK > 0 && k0 >= 0, s"bad topK=$topK/k0=$k0")
+    require(maxListSize >= topK,
+      s"maxListSize=$maxListSize must cover topK=$topK")
     val keyCols = queryCol.toSeq :+ idCol
     val contribs = lists.zipWithIndex.map { case ((df, ord), i) =>
       require(ord.nonEmpty, s"list $i needs an ordering")
-      val sort = ord.map { case (c, asc) =>
-        if (asc) col(c).asc else col(c).desc } :+ col(idCol).asc
+      val fullOrd = ord :+ (idCol -> true)
+      val sort = fullOrd.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }
+      // structural bound on the rank windows: only the top maxListSize of
+      // each list (per query in batch mode) can contribute
+      val trimmed = queryCol match {
+        case Some(q) => graft.plans.GroupTopK.topK(df, Seq(q), fullOrd, maxListSize)
+        case None    => df.orderBy(sort: _*).limit(maxListSize)
+      }
       val w = queryCol.fold(Window.orderBy(sort: _*))(q =>
         Window.partitionBy(col(q)).orderBy(sort: _*))
-      df.select(keyCols.map(col) :+
+      trimmed.select(keyCols.map(col) :+
         (lit(1.0) / (lit(k0) + row_number().over(w)).cast("double"))
           .as(s"_rrf$i"): _*)
     }

@@ -136,4 +136,28 @@ class RetrievalSpec extends SparkSpec {
     // per query both items score r(1)+r(2) — ties to the LOWER id
     assert(batch == Map(10L -> 1L, 20L -> 2L))
   }
+
+  test("rrfFuse: the list bound is structural — ranks past maxListSize contribute zero") {
+    // item 99 sits at rank 6 in list A (past the trim) and rank 1 in list B:
+    // its fused score must be r(1) alone, as if list A never mentioned it
+    val a = (1L to 5L).map(i => (i, 100.0 - i)).toDF("id", "sa")
+      .union(Seq((99L, 1.0)).toDF("id", "sa"))
+    val b = Seq((99L, 9.0), (1L, 8.0)).toDF("id", "sb")
+    val out = Retrieval.rrfFuse(
+        Seq((a, Seq("sa" -> false)), (b, Seq("sb" -> false))),
+        "id", topK = 5, k0 = 60, maxListSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r(n: Int) = 1.0 / (60 + n)
+    assert(out(99L) == r(1))                  // list-A rank 6 trimmed away
+    assert(out(1L) == r(1) + r(2))
+    // batch mode trims per query, not globally
+    val qa = Seq((10L, 1L, 0.9), (10L, 2L, 0.8), (20L, 3L, 0.9), (20L, 4L, 0.8))
+      .toDF("qid", "id", "s")
+    val batch = Retrieval.rrfFuse(Seq((qa, Seq("s" -> false))),
+        "id", topK = 1, queryCol = Some("qid"), maxListSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == Map(10L -> 1L, 20L -> 3L))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(
+      Seq((b, Seq("sb" -> false))), "id", topK = 5, maxListSize = 4))
+  }
 }
