@@ -114,4 +114,60 @@ object BpeTrainer {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(merges.result().asJava, schema)
   }
+
+  /** The trained merge table as driver rows (left, right, merged) in merge
+    * order — BOUNDED collect: the merge table IS the tokenizer model
+    * (vocab-sized by construction, one row per training round). */
+  def collectMerges(merges: DataFrame): Array[Array[String]] =
+    merges.orderBy(col("merge_idx"))
+      .select(col("left_sym"), col("right_sym"), col("merged"))
+      .collect()
+      .map(r => Array(r.getString(0), r.getString(1), r.getString(2)))
+
+  /** Token vocabulary (sym, id): the corpus pre-token alphabet in binary
+    * string order takes ids 0..A-1, merge products take A + merge_idx − 1;
+    * duplicate strings (two merges CAN produce the same product) keep the
+    * lowest id. Built driver-side — both inputs are vocab-sized by
+    * construction (the alphabet collect is the distinct single code points of
+    * the corpus; the one corpus-wide job is [[preTokenFrequencies]], already
+    * map-side combined). */
+  def vocab(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val alpha = preTokenFrequencies(docs, textCol)
+      .select(explode(transform(sequence(lit(1), length(col("pre_token"))),
+        i => col("pre_token").substr(i, lit(1)))).as("sym"))
+      .distinct().orderBy(col("sym"))
+      .collect().map(_.getString(0))
+    val entries = alpha.zipWithIndex.map { case (s, i) => (s, i) } ++
+      collectMerges(merges).zipWithIndex.map { case (m, i) => (m(2), alpha.length + i) }
+    val deduped = entries.groupBy(_._1).map { case (s, es) => (s, es.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    import spark.implicits._
+    deduped.toDF("sym", "id").select(col("sym"), col("id").cast("int").as("id"))
+  }
+
+  /** Append `outCol`: BPE token SYMBOLS of `textCol` under the trained merge
+    * table — sequential learn-order replay, the exact fold [[trainMerges]]
+    * applies (contract details on [[graft.expressions.BpeCodec]]). Scan-side:
+    * pre-tokenize + one native [[graft.expressions.BpeApply]] call per row,
+    * no shuffle, no explode. Losslessness invariant (spec-pinned):
+    * array_join(outCol, "") == the original text — merges only regroup
+    * characters, and the GPT-2 pre-tokenizer pattern covers every character. */
+  def encode(docs: DataFrame, textCol: String, merges: DataFrame,
+             outCol: String = "bpe_tokens"): DataFrame =
+    docs.withColumn(outCol, graft.expressions.BpeApply.symbols(
+      TextFunctions.bpeTokens(col(textCol)), collectMerges(merges)))
+
+  /** Append `outCol`: BPE token IDS of `textCol` under (merges, vocab) — the
+    * form downstream packing/length operators consume. Same scan-side shape
+    * as [[encode]]; symbols outside the vocab RAISE (loud on
+    * corpus/vocab alphabet mismatch). */
+  def encodeToIds(docs: DataFrame, textCol: String, merges: DataFrame,
+                  vocabDf: DataFrame, outCol: String = "token_ids"): DataFrame = {
+    val v = vocabDf.orderBy(col("id")).select(col("sym"), col("id").cast("int"))
+      .collect()
+    docs.withColumn(outCol, graft.expressions.BpeApply.ids(
+      TextFunctions.bpeTokens(col(textCol)), collectMerges(merges),
+      v.map(_.getString(0)), v.map(_.getInt(1))))
+  }
 }

@@ -102,6 +102,18 @@ object PipelineQueries {
     * All counts are integer sums; tie-break is binary string order on both
     * engines. */
   private def bpeTrainOracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_idx, lft AS left_sym, rgt AS right_sym,
+         |  lft || rgt AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"WITH ${bpeTrainCtes(rounds)}$unions ORDER BY merge_idx"
+  }
+
+  /** The q113 training replay's CTE body (pt, f, t0, then per-round c/b/d/e/
+    * f/g/h/t chains) WITHOUT the leading WITH — shared by the q113 oracle and
+    * the q136 encode oracle, whose central identity is that encoding the
+    * training corpus reads the symbols straight off t{rounds}. */
+  private def bpeTrainCtes(rounds: Int): String = {
     val t0 =
       s"""pt AS (SELECT unnest(regexp_extract_all(text,
          |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
@@ -131,11 +143,7 @@ object PipelineQueries {
          |    CASE WHEN sel THEN s || nxt ELSE s END AS s
          |  FROM h$r WHERE NOT absorbed)""".stripMargin
     }
-    val unions = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_idx, lft AS left_sym, rgt AS right_sym,
-         |  lft || rgt AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r""".stripMargin
-    }.mkString("\n", "\nUNION ALL\n", "\n")
-    s"WITH $t0,\n${roundCtes.mkString(",\n")}$unions ORDER BY merge_idx"
+    s"$t0,\n${roundCtes.mkString(",\n")}"
   }
 
   /** One BM25 term's score expression in DuckDB SQL — the exact arithmetic
@@ -1227,6 +1235,29 @@ object PipelineQueries {
         .orderBy(col("sq_dist"), col("vec_id"))
     }),
 
+    // q136: BPE APPLY — encode the corpus to token ids with the TRAINED merge
+    // table (train → vocab → scan-side native encode; the tokenizer story's
+    // missing half). The oracle's central identity: sequential learn-order
+    // replay of the merges over the training corpus reproduces the training
+    // table's final state, so DuckDB reads each distinct word's symbols off
+    // t{rounds} of the q113 replay, joins them back to per-document pre-token
+    // sequences, and prices symbols with the alphabet+merges vocabulary.
+    "q136_bpe_encode" -> ((s, dir) => {
+      val bpe = graft.operators.BpeTrainer
+      val docs = t(s, dir, "documents")
+      val merges = bpe.trainMerges(docs, "text", rounds = BpeTrainRounds)
+      val voc = bpe.vocab(docs, "text", merges)
+      bpe.encodeToIds(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "text", merges, voc)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token_id"))
+        .join(broadcast(voc.select(col("sym").as("token_sym"),
+          col("id").as("token_id"))), Seq("token_id"))
+        .select(col("doc_id"), col("pos"), col("token_sym"), col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1982,6 +2013,37 @@ object PipelineQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
+    "q136_bpe_encode" -> {
+      val r = BpeTrainRounds
+      val mergesUnion = (1 to r).map { i =>
+        s"SELECT $i AS midx, lft || rgt AS merged FROM b$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bpeTrainCtes(r)},
+         |alpha AS (SELECT DISTINCT substr(p, CAST(ai AS INT), 1) AS sym
+         |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS ga(ai)),
+         |aid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id
+         |  FROM alpha),
+         |mu AS ($mergesUnion),
+         |mid AS (SELECT merged AS sym,
+         |  CAST((SELECT count(*) FROM alpha) + midx - 1 AS INT) AS id FROM mu),
+         |voc AS (SELECT sym, CAST(min(id) AS INT) AS id
+         |  FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid) u GROUP BY sym),
+         |wsym AS MATERIALIZED (SELECT word, i, s FROM t$r
+         |  UNION ALL SELECT p AS word, 1 AS i, p AS s FROM f WHERE length(p) = 1),
+         |dtl AS (SELECT doc_id, regexp_extract_all(text,
+         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |dpt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
+         |    tl[CAST(pi AS INT)] AS word
+         |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+         |sq AS (SELECT d.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY d.doc_id
+         |      ORDER BY d.pti, w.i) AS BIGINT) AS pos, w.s
+         |  FROM dpt d JOIN wsym w ON d.word = w.word)
+         |SELECT q.doc_id, q.pos, q.s AS token_sym, v.id AS token_id
+         |FROM sq q JOIN voc v ON q.s = v.sym
+         |ORDER BY doc_id, pos""".stripMargin
+    },
     "q115_capped_buckets" ->
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'big'

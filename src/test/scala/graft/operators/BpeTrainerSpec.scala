@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class BpeTrainerSpec extends SparkSpec {
   import spark.implicits._
@@ -123,5 +124,119 @@ class BpeTrainerSpec extends SparkSpec {
     // exhaustion: more rounds than merges available stops cleanly
     val all = BpeTrainer.trainMerges(docs, "text", rounds = 50).collect()
     assert(all.length < 50)
+  }
+
+  // ── encode: BPE apply with the trained merges ─────────────────────────────
+
+  private def mergesDf(rows: (String, String)*) =
+    rows.zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r, l + r, 0L) }
+      .toDF("merge_idx", "left_sym", "right_sym", "merged", "cnt")
+
+  test("encode replays merges SEQUENTIALLY in learn order, greedy L2R non-overlapping") {
+    // learn order decides: (a,b) fires first, so (b,c) never matches in "abc"
+    val docs = Seq((1L, "abc"), (2L, "aaaaa")).toDF("doc_id", "text")
+    val out = BpeTrainer.encode(docs, "text", mergesDf("a" -> "b", "b" -> "c", "a" -> "a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(out(1L) === Seq("ab", "c"))
+    // greedy L2R non-overlapping: aaaaa -> aa, aa, a
+    assert(out(2L) === Seq("aa", "aa", "a"))
+  }
+
+  test("encode of the training corpus reproduces the training-table state (q136's identity)") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new new")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", rounds = 6)
+    // independent replay over the frequency map with referenceBpe's fuse rule
+    val freqs = BpeTrainer.preTokenFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val learned = BpeTrainer.collectMerges(merges)
+    def applyAll(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      learned.foreach { m =>
+        val fused = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m(0) && syms(i + 1) == m(1)) {
+            fused += m(2); i += 2
+          } else { fused += syms(i); i += 1 }
+        }
+        syms = fused.result()
+      }
+      syms
+    }
+    val got = BpeTrainer.encode(docs, "text", merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    import graft.functions.TextFunctions
+    val pretoks = docs.select($"doc_id",
+        TextFunctions.bpeTokens($"text").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(got(id) === pretoks(id).flatMap(applyAll))
+    }
+    freqs.keys.foreach(w => assert(applyAll(w).mkString === w)) // sanity
+  }
+
+  test("encode is lossless: token symbols concatenate back to the original text") {
+    val docs = Seq(
+      (1L, "the quick brown fox, 1999 — naïve café!"),
+      (2L, "it's we've they'll  spaced\ttabs"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs.filter($"doc_id" =!= 3L), "text", rounds = 4)
+    val bad = BpeTrainer.encode(docs, "text", merges)
+      .filter(concat_ws("", col("bpe_tokens")) =!= col("text")).count()
+    assert(bad === 0L)
+  }
+
+  test("vocab: alphabet takes 0..A-1 in binary order, merges take A+idx-1, dupes keep lowest id") {
+    val docs = Seq((1L, "ba ab ab")).toDF("doc_id", "text")
+    // alphabet of pre-tokens {"ba", " ab", "ab"}: ' ', 'a', 'b' -> ids 0,1,2
+    val merges = mergesDf("a" -> "b", "a" -> "b") // duplicate product "ab"
+    val v = BpeTrainer.vocab(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v === Map(" " -> 0, "a" -> 1, "b" -> 2, "ab" -> 3)) // dup id 4 dropped
+  }
+
+  test("encodeToIds prices symbols through the vocab; unknown symbols raise loudly") {
+    val docs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val merges = mergesDf("a" -> "b")
+    val voc = BpeTrainer.vocab(docs, "text", merges)
+    val ids = BpeTrainer.encodeToIds(docs, "text", merges, voc)
+      .collect()(0).getSeq[Int](2)
+    // pre-tokens "ab", " ab", " ba" -> [ab], [' ', ab], [' ', b, a]
+    assert(ids === Seq(3, 0, 3, 0, 2, 1))
+    val alien = Seq((1L, "zz")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      BpeTrainer.encodeToIds(alien, "text", merges, voc).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(ex).exists(_.contains("not in the")), chain(ex).mkString("\n"))
+  }
+
+  test("encode null contract: null text yields null tokens, not a crash") {
+    val docs = Seq((1L, "ab"), (2L, null)).toDF("doc_id", "text")
+    val out = BpeTrainer.encode(docs, "text", mergesDf("a" -> "b"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](2) === Seq("ab"))
+    assert(out(1).isNullAt(2))
+  }
+
+  test("real token ids flow into SequencePacking: budget respected on encoded lengths") {
+    val docs = (1L to 40L).map(i => (i, ("ab " * i.toInt).trim)).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", rounds = 2)
+    val voc = BpeTrainer.vocab(docs, "text", merges)
+    val withIds = BpeTrainer.encodeToIds(docs, "text", merges, voc)
+      .select($"doc_id", size($"token_ids").cast("long").as("n_tokens"))
+    val packed = SequencePacking.packSequences(withIds, "doc_id", "n_tokens",
+      budget = 64L, nShards = 4)
+    val sizes = packed.join(withIds, "doc_id")
+      .groupBy("shard", "pack").agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    // every multi-doc pack fits the budget; oversized docs sit alone
+    sizes.foreach { r =>
+      assert(r.getLong(2) <= 64L || r.getLong(3) === 1L, r.toString)
+    }
+    assert(sizes.exists(_.getLong(3) > 1L), "packing should combine small docs")
   }
 }
