@@ -279,14 +279,27 @@ object DedupSuite {
     * larger than the output, so per-pair cost dominates). Block keys are the
     * numeric segment values (bijective with the string form's substrings). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 64, maxHamming: Int = 3): DataFrame =
+    hammingBandedPairs(simHashFingerprintsPacked(df, idCol, textCol, bits),
+      "id", "fp", bits, maxHamming)
+
+  /** Hamming-banded candidate pairs over an EXISTING packed fingerprint column
+    * — the blocking core of [[simHashPairs]], factored out so any 64-bit-or-
+    * less fingerprint family (SimHash, image aHash/dHash) shares one
+    * pigeonhole path: hamming <= maxHamming pairs agree on at least one of
+    * maxHamming+1 segments, so the band join finds every qualifying pair with
+    * NO all-pairs comparison; verification is one xor+popcount per candidate.
+    * Input `fps`: one row per item, (idCol, fpCol). Output (id_a, id_b,
+    * hamming), each qualifying pair exactly once. */
+  def hammingBandedPairs(fps: DataFrame, idCol: String, fpCol: String,
+                         bits: Int = 64, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
     val seg = bits / bands
     val segMask = if (seg == 64) -1L else (1L << seg) - 1
     def segOf(fp: Column, b: Int): Column =
       shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
-    val fp = simHashFingerprintsPacked(df, idCol, textCol, bits)
+    val fp = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until bands).map(segOf(col("fp"), _)): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")

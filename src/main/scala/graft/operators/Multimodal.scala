@@ -158,6 +158,148 @@ object Multimodal {
       }
   }
 
+  /** Encode per-pixel grayscale values (row-major, 0..255) as a real PNG.
+    * Fixture twin of [[encodePng]] for hash-bearing corpora: gray pixels give
+    * the BT.601 luma a closed form (r=g=b ⇒ luma == gray exactly), so an
+    * oracle can replay the whole perceptual-hash pipeline from the
+    * construction arithmetic. */
+  def encodePngGray(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && grays.length == w * h,
+      s"need $w*$h=${w * h} grays, got ${grays.length}")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < grays.length) {
+      val g = grays(p)
+      require(g >= 0 && g <= 255, s"gray out of range at $p: $g")
+      img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+      p += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ─── image perceptual hashing (aHash/dHash) + banded near-dup ───────────────
+
+  /** One image's perceptual fingerprint: the packed 64-bit hash plus the
+    * normalized grayscale thumbnail it was computed from (the exact-verify
+    * payload — 64 ints, bounded per row by construction). */
+  final case class ImageHash(media_id: Long, fp: Long, gray: Array[Int])
+
+  /** Integer BT.601 luma — exact on r=g=b pixels (returns the gray value). */
+  private def luma(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+
+  /** Grayscale thumbnail of a decoded image: row-major integer lumas at
+    * `w`×`h`, bilinear-resized first unless the image is already that size
+    * (same-size resize is identity — pixel centers align — so closed-form
+    * fixtures skip interpolation entirely). */
+  private def grayThumb(img: BufferedImage, w: Int, h: Int): Array[Int] = {
+    val scaled =
+      if (img.getWidth == w && img.getHeight == h) img
+      else {
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        dst
+      }
+    val out = new Array[Int](w * h)
+    var p = 0
+    while (p < out.length) {
+      out(p) = luma(scaled.getRGB(p % w, p / w))
+      p += 1
+    }
+    out
+  }
+
+  /** aHash (average hash) over REAL decoded images: 8×8 grayscale thumbnail,
+    * bit p (row-major, MSB-first: bit 63−p) set iff 64·gray_p > Σ grays — the
+    * cross-multiplied integer form of "pixel above mean", exact in both
+    * engines (no double threshold). Invariant under global brightness shift
+    * (mean shifts with the pixels) and under lossless recompression (same
+    * pixels ⇒ same thumbnail). Per-partition decoder init, scan-shaped. */
+  def imageAHashes(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false) // per-partition init
+        it.map { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val gray = grayThumb(img, 8, 8)
+          var sum = 0L
+          var p = 0
+          while (p < 64) { sum += gray(p); p += 1 }
+          var fp = 0L
+          p = 0
+          while (p < 64) {
+            if (64L * gray(p) > sum) fp |= (1L << (63 - p))
+            p += 1
+          }
+          ImageHash(id, fp, gray)
+        }
+      }
+  }
+
+  /** dHash (difference hash): 9×8 grayscale thumbnail, bit (row-major over
+    * the 8×8 grid, MSB-first) set iff gray(x,y) > gray(x+1,y) — a horizontal
+    * gradient sign map. Like aHash it ignores global brightness; unlike
+    * aHash it also ignores global contrast scaling (gradients scale with it).
+    * The carried `gray` is the 72-int 9×8 thumbnail. */
+  def imageDHashes(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val gray = grayThumb(img, 9, 8)
+          var fp = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(y * 9 + x) > gray(y * 9 + x + 1)) fp |= (1L << (63 - (y * 8 + x)))
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, fp, gray)
+        }
+      }
+  }
+
+  /** Image near-duplicate pairs WITHOUT an external embedding model:
+    * aHash fingerprints → Hamming-banded candidates
+    * ([[DedupSuite.hammingBandedPairs]] — pigeonhole blocking, every
+    * qualifying pair found with NO all-pairs comparison) → EXACT verify on
+    * the decoded pixels (L1 distance over the two 8×8 thumbnails, pure
+    * integer). Output: (id_a, id_b, hamming, l1), hamming <= maxHamming.
+    *
+    * Scale shape: one decode+hash per image in the scan; the band join keys
+    * on 16-bit segments; the verify joins re-attach the 64-int thumbnails
+    * for CANDIDATE ids only — when near-dups are rare (the web-corpus case)
+    * those joins carry a sliver of the corpus, and the bloom-prune regime
+    * from [[DedupSuite]]'s verifiedIntersections applies unchanged if they
+    * ever dominate. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = imageAHashes(media).toDF()
+    val cand = DedupSuite.hammingBandedPairs(
+      hashes.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 64, maxHamming = maxHamming)
+    cand
+      .join(hashes.select(col("media_id").as("id_a"), col("gray").as("_ga")), Seq("id_a"))
+      .join(hashes.select(col("media_id").as("id_b"), col("gray").as("_gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        aggregate(zip_with(col("_ga"), col("_gb"),
+          (a, b) => abs(a - b).cast("long")), lit(0L), (acc, v) => acc + v).as("l1"))
+  }
+
   // ─── REAL audio kernel (javax.sound.sampled, in-JDK WAV PCM round-trip) ─────
 
   /** Encode 16-bit signed PCM mono samples as a real WAV container. */

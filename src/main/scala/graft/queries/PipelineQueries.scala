@@ -87,6 +87,32 @@ object PipelineQueries {
   /** q94's fixed retrieval query (terms from the corpus vocabulary). */
   private val Bm25Terms = Seq("spark", "window", "table")
 
+  /** q137 fixture arithmetic: gray of pixel p (row-major 0..63) of doc `id`'s
+    * 8×8 image. Own image for doc_id%5 ∈ {0,3,4}; doc_id%5==1 is a planted
+    * NEAR-dup of doc_id−1 (pixel 0 nudged ±48, no wrap); doc_id%5==2 is a
+    * pixel-identical re-encode of doc_id−2 (the recompress case). The mod-256
+    * construction is NOT a uniform brightness shift across bases (wrap-around
+    * reorders pixels vs the mean), so distinct bases get uncorrelated hashes.
+    * The oracle replays this closed form through luma ≡ gray (r=g=b PNGs),
+    * the cross-multiplied aHash threshold, banding, and integer L1. */
+  private def grayFor(id: Long, p: Int): Int = {
+    val b = if (id % 5 == 1) id - 1 else if (id % 5 == 2) id - 2 else id
+    val g0 = ((1000003L * (b + 1) + 55L * (p + 1) + b * p.toLong * p) % 256).toInt
+    if (id % 5 == 1 && p == 0) { if (g0 < 128) g0 + 48 else g0 - 48 } else g0
+  }
+
+  /** Distributed q137 fixture: REAL 8×8 grayscale PNGs (encodePngGray) from
+    * [[grayFor]], one per document — the hash pipeline must decode them with
+    * the real codec to reproduce the oracle's arithmetic. */
+  private def imageFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id, graft.operators.Multimodal.encodePngGray(8, 8,
+        Array.tabulate(64)(p => grayFor(id, p))))
+    }.toDF("media_id", "payload")
+  }
+
   /** q113's merge-round count (shared by the query and the unrolled oracle). */
   private val BpeTrainRounds = 6
 
@@ -1258,6 +1284,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q137: IMAGE perceptual-hash near-dup — real PNG decode → 8×8 aHash →
+    // Hamming-banded candidate pairs (pigeonhole blocking, no all-pairs) →
+    // exact integer-L1 verify on the decoded thumbnails. Fixture: per-doc
+    // grayscale PNGs with closed-form lumas, near-dups planted at doc_id%5==1
+    // (one-pixel nudge) and exact re-encodes at doc_id%5==2; the oracle
+    // replays construction → luma → threshold bits → banding → L1 entirely
+    // in integer arithmetic (string fingerprints, the q47 convention).
+    "q137_image_neardup" -> ((s, dir) => {
+      graft.operators.Multimodal.imageNearDupPairs(
+          imageFixture(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -2044,6 +2083,33 @@ object PipelineQueries {
          |FROM sq q JOIN voc v ON q.s = v.sym
          |ORDER BY doc_id, pos""".stripMargin
     },
+    "q137_image_neardup" ->
+      s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
+         |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
+         |  FROM documents),
+         |gr AS MATERIALIZED (SELECT doc_id, p,
+         |    CASE WHEN doc_id % 5 = 1 AND p = 0 THEN
+         |      CASE WHEN g0 < 128 THEN g0 + 48 ELSE g0 - 48 END
+         |    ELSE g0 END AS g
+         |  FROM (SELECT doc_id, p, (1000003*(b+1) + 55*(p+1) + b*p*p) % 256 AS g0
+         |    FROM dm, LATERAL unnest(generate_series(0, 63)) AS gs(p)) t0),
+         |sm AS (SELECT doc_id, sum(g) AS s FROM gr GROUP BY doc_id),
+         |fp0 AS (SELECT g.doc_id,
+         |    string_agg(CASE WHEN 64*g.g > s.s THEN '1' ELSE '0' END, '' ORDER BY g.p) AS fp
+         |  FROM gr g JOIN sm s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
+         |blocks AS (SELECT doc_id, fp, unnest([0,1,2,3]) AS block_idx,
+         |  unnest([substr(fp,1,16), substr(fp,17,16),
+         |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM fp0),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    $hammingSql AS hamming
+         |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
+         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |hp AS (SELECT * FROM cand WHERE hamming <= 3)
+         |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ga.g - gb.g)) AS BIGINT) AS l1
+         |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
+         |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
+         |GROUP BY h.id_a, h.id_b, h.hamming
+         |ORDER BY id_a, id_b""".stripMargin,
     "q115_capped_buckets" ->
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'big'

@@ -576,6 +576,74 @@ class PipelineOpsSpec extends SparkSpec {
       (255.0, 0.0, 0.0), (0.0, 0.0, 255.0), (0x40.toDouble, 0x50.toDouble, 0x60.toDouble)))
   }
 
+  // ── image perceptual hashing ────────────────────────────────────────────────
+
+  private def grayMedia(rows: (Long, Array[Int])*) = {
+    val df = rows.map { case (id, g) =>
+      (id, Multimodal.encodePngGray(8, 8, g)) }.toDF("media_id", "payload")
+    Multimodal.asMediaFrame(df, "media_id", "payload", "image")
+  }
+
+  test("aHash: hand-computed bits, brightness-shift and recompress invariance") {
+    // 32 dark (g=20) then 32 bright (g=200): mean 110 → bright half sets bits
+    val twoTone = Array.tabulate(64)(p => if (p < 32) 20 else 200)
+    val shifted = twoTone.map(_ + 30) // uniform shift, no wrap
+    val fps = Multimodal.imageAHashes(grayMedia(
+        1L -> twoTone, 2L -> shifted, 3L -> twoTone)) // 3 = byte-identical re-encode
+      .collect().map(h => h.media_id -> h).toMap
+    assert(fps(1L).fp === 0x00000000FFFFFFFFL) // MSB-first: first 32 pixels 0
+    assert(fps(2L).fp === fps(1L).fp, "aHash must ignore global brightness")
+    assert(fps(3L).fp === fps(1L).fp, "recompression must not change the hash")
+    assert(fps(1L).gray.toSeq === twoTone.toSeq) // luma == gray on r=g=b PNGs
+  }
+
+  test("dHash: horizontal gradient signs, invariant to brightness AND contrast") {
+    // 9×8 ramp rows: strictly decreasing left→right → every bit set
+    val ramp = Array.tabulate(72)(p => 200 - 20 * (p % 9))
+    val contrast = ramp.map(g => 10 + g / 2) // affine: gradients keep their sign
+    val df = Seq(
+      (1L, encodeGray(9, 8, ramp)),
+      (2L, encodeGray(9, 8, contrast))).toDF("media_id", "payload")
+    val out = Multimodal.imageDHashes(
+        Multimodal.asMediaFrame(df, "media_id", "payload", "image"))
+      .collect().map(h => h.media_id -> h.fp).toMap
+    assert(out(1L) === -1L) // all 64 gradient bits set
+    assert(out(2L) === out(1L), "dHash must ignore affine luma changes")
+  }
+
+  private def encodeGray(w: Int, h: Int, grays: Array[Int]): Array[Byte] =
+    Multimodal.encodePngGray(w, h, grays)
+
+  test("imageNearDupPairs: planted variants surface banded, exact L1 separates them") {
+    val base = Array.tabulate(64)(p => (37 + 55 * p + p * p) % 256)
+    val twin = base.clone() // recompress case: pixel-identical
+    val variant = base.clone(); variant(0) = if (base(0) < 128) base(0) + 48 else base(0) - 48
+    val unrelated = Array.tabulate(64)(p => (91 * p * p + 13 * p + 5) % 256)
+    val pairs = Multimodal.imageNearDupPairs(grayMedia(
+        1L -> base, 2L -> twin, 3L -> variant, 4L -> unrelated), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs((1L, 2L)) === ((0L, 0L)), "exact twin: hamming 0, L1 0")
+    assert(pairs.contains((1L, 3L)), "one-pixel variant must surface")
+    assert(pairs((1L, 3L))._2 === 48L, "L1 is the exact pixel delta")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated image must not pair")
+  }
+
+  test("hammingBandedPairs: pigeonhole finds every pair <= maxHamming, drops collided heavies") {
+    val fps = Seq(
+      (1L, 0x0000000000000000L),
+      (2L, 0x0000000000000003L),  // hamming 2 from id 1
+      (3L, 0x000000000000000FL),  // hamming 4 from id 1: band 3 differs, 0-2 collide
+      (4L, 0x1111111111111111L)). // far from everything
+      toDF("id", "fp")
+    val out = DedupSuite.hammingBandedPairs(fps, "id", "fp", bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 2L)
+    assert(out((2L, 3L)) === 2L)
+    assert(!out.contains((1L, 3L)), "hamming 4 must be verified away despite banding")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("multimodal frame sampling emits every k-th fixed-size chunk") {
     val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
     val media = Multimodal.asMediaFrame(
