@@ -35,6 +35,10 @@ object CurationPipeline {
 
   /** The FULL training-data prep composition, corpus in → sharded parquet out:
     *
+    *  -1. (optional, `htmlInput`) markup-to-text extraction
+    *      ([[HtmlExtract.extract]]) — crawled pages arrive as HTML; tag strip,
+    *      entity decode and the C4 line rules run scan-side before anything
+    *      else, and pages with no surviving line drop here,
     *   0. (optional) C4-style boilerplate-line removal
     *      ([[LineDedup.removeRepeatedLines]], `lineDedupMaxDocs`) — run FIRST,
     *      as in C4: repeated nav/footer lines would otherwise drag quality
@@ -75,12 +79,21 @@ object CurationPipeline {
                         lineDedupMaxDocs: Option[Int] = None,
                         zorderBy: Seq[String] = Nil,
                         passthroughCols: Seq[String] = Nil,
-                        maxRecordsPerFile: Long = 5000000L): DataFrame = {
+                        maxRecordsPerFile: Long = 5000000L,
+                        htmlInput: Boolean = false): DataFrame = {
     val passthrough = (zorderBy ++ passthroughCols).distinct
       .filter(docs.columns.contains)
       .filterNot(Seq(idCol, textCol).contains)
-    val cleaned = lineDedupMaxDocs.fold(docs) { maxDocs =>
-      LineDedup.removeRepeatedLines(docs, idCol, textCol, maxDocs)
+    // optional stage 0: the corpus arrives as crawled MARKUP — strip it to
+    // C4-rule text first (scan-side; pages with no surviving line drop here
+    // rather than limping through the quality gate as empty strings)
+    val textual =
+      if (!htmlInput) docs
+      else HtmlExtract.extract(docs, idCol, textCol, keepCols = passthrough)
+        .filter(col("text") =!= "")
+        .select(col(idCol) +: col("text").as(textCol) +: passthrough.map(col): _*)
+    val cleaned = lineDedupMaxDocs.fold(textual) { maxDocs =>
+      LineDedup.removeRepeatedLines(textual, idCol, textCol, maxDocs)
         .filter(col("clean_text") =!= "")
         .select(col(idCol) +: col("clean_text").as(textCol) +:
           passthrough.map(col): _*)

@@ -1297,6 +1297,38 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q138: HTML-TO-TEXT extraction — crawled-page markup stripped to C4-rule
+    // text as pure column expressions (the pipeline's true first stage; C4 /
+    // CCNet shape). Fixture: each document wrapped in real markup — head with
+    // style/script blocks (content must vanish WITH the tags), a comment
+    // hiding tags, block elements, planted nav boilerplate (killed by the
+    // terminal-punctuation rule), a javascript line (killed by the banned
+    // list), and an entity gauntlet where &lt;everyone&gt; must survive tag
+    // stripping as text. The oracle builds the same string and replays the
+    // identical regex chain (java.util.regex ∩ RE2 subset) in DuckDB.
+    "q138_html_extract" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>T"), d, lit("</title>"),
+        lit("<style a=\"b\">.c{color:red}</style>"),
+        lit("<script>if(1<2){x=1;}</script></head><body>"),
+        lit("<!-- hidden comment with <tags> inside -->"),
+        lit("<h1>Doc "), d, lit(" heading stands alone.</h1>"),
+        lit("<p>"), substring(col("text"), 1, 80), lit(".</p>"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<div>home | about | contact</div>")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<p>Please enable javascript to continue.</p>")).otherwise(lit("")),
+        lit("<p>Tom &amp; Jerry say &quot;hi&quot; to &lt;everyone&gt; " +
+          "&#39;now&#39;&nbsp;okay.</p>"),
+        lit("<ul><li>one two three four.</li><li>tiny</li></ul>"),
+        lit("</body></html>"))
+      graft.operators.HtmlExtract.extract(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -2110,6 +2142,44 @@ object PipelineQueries {
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin,
+    "q138_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title>'
+        |  || '<style a="b">.c{color:red}</style>'
+        |  || '<script>if(1<2){x=1;}</script></head><body>'
+        |  || '<!-- hidden comment with <tags> inside -->'
+        |  || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' heading stands alone.</h1>'
+        |  || '<p>' || substr(text, 1, 80) || '.</p>'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '<div>home | about | contact</div>' ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '<p>Please enable javascript to continue.</p>' ELSE '' END)
+        |  || '<p>Tom &amp; Jerry say &quot;hi&quot; to &lt;everyone&gt; &#39;now&#39;&nbsp;okay.</p>'
+        |  || '<ul><li>one two three four.</li><li>tiny</li></ul>'
+        |  || '</body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<script[^>]*>.*?</script\s*>', '', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style\s*>', '', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>|</tr\s*>|</title\s*>',
+        |  chr(10), 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM s4),
+        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |  '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x FROM s5),
+        |lsx AS (SELECT doc_id, string_split(x, chr(10)) AS ls FROM e),
+        |ln AS MATERIALIZED (SELECT doc_id, i,
+        |    trim(regexp_replace(ls[i], '\s+', ' ', 'g')) AS l
+        |  FROM lsx, LATERAL unnest(generate_series(1, len(ls))) AS g(i)),
+        |kept AS (SELECT doc_id, i, l FROM ln
+        |  WHERE len(string_split(l, ' ')) >= 3
+        |    AND regexp_matches(l, '[.!?]$')
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(lower(l), 'lorem ipsum')
+        |    AND NOT contains(lower(l), '{')),
+        |agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_lines FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text,
+        |  coalesce(a.n_lines, 0) AS n_lines
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q115_capped_buckets" ->
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'big'
