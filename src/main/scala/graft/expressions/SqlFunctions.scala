@@ -289,6 +289,36 @@ object SqlFunctions {
         val encoded = pq.encode(df, vecCol, cb)
           .select(col(idCol), pq.packCodes(col("pq_codes"), m, ksub).as("packed"))
         plan(pq.adcTopK(encoded, "packed", idCol, cb, q, k)) }),
+      // graft_ivfpq_search('queries', 'qidCol', 'qvecCol', '/index/path',
+      // nprobe, k): the BATCH (query-table) IVFADC join over a PERSISTED
+      // index (savePqIndex layout) from a pure-SQL FROM clause — loadPqIndex
+      // reads the geometry tables (vocab-sized collects) plus the
+      // cell-partitioned code frame, a stored rotation seed rotates the
+      // query vectors into index space, and the search is the exact
+      // ivfPqTopKJoin plan q126 pins (probe GroupTopK, in-scan LUT column,
+      // static probe-union cell pruning, per-query GroupTopK).
+      // (query_id, vec_id, adc_dist) rows, <= k per query.
+      ("graft_ivfpq_search", graft.operators.ProductQuantization.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_ivfpq_search", 6, exprs)
+        val f = "graft_ivfpq_search"
+        val q = tbl(strLit(f, "queries", exprs(0)))
+        val qid = strLit(f, "qidCol", exprs(1))
+        val qvec = strLit(f, "qvecCol", exprs(2))
+        val path = strLit(f, "indexPath", exprs(3))
+        val nprobe = intLit(f, "nprobe", exprs(4))
+        val k = intLit(f, "k", exprs(5))
+        val pq = graft.operators.ProductQuantization
+        val idx = pq.loadPqIndex(session(), path)
+        import org.apache.spark.sql.functions.col
+        val queries = idx.rotationSeed.fold(q) { seed =>
+          val rot = graft.operators.Rotation.rotationMatrix(
+            idx.coarse.head.length, seed)
+          q.withColumn(qvec, graft.operators.Rotation.rotate(col(qvec), rot))
+        }
+        plan(pq.ivfPqTopKJoin(queries, qid, qvec, idx.codes, "packed",
+          "vec_id", "cell", idx.coarse, idx.codebooks, nprobe, k,
+          residual = idx.residual)) }),
       // graft_knn_graph_sdc('tbl', 'idCol', 'vecCol', m, ksub, k): the FULL
       // k-NN graph by symmetric (code-to-code) distance from a pure-SQL FROM
       // clause — seed codebooks as graft_pq_encode, one synthetic coarse cell

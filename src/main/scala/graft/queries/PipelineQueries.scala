@@ -1249,15 +1249,18 @@ object PipelineQueries {
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
       // MATERIALIZE the code frame before searching: composing encode+pack
       // and search in one plan inlines the whole pack chain into each of
-      // the 64 decode references (measured 16.5 s vs 0.9 s at sf0.1) — and
-      // a real index is a written dataset anyway (savePqIndex's shape)
+      // the 64 decode references (measured 16.5 s vs 0.9 s at sf0.1). A
+      // real index is a written dataset — save/load IS the materialization
+      // (and this query thereby gates the persistence round-trip too).
       val enc = emb.select(col("vec_id"),
-          sq.sqPack(sq.sqEncode(col("embedding"), mins, maxs), 64).as("packed"))
-        .localCheckpoint()
+        sq.sqPack(sq.sqEncode(col("embedding"), mins, maxs), 64).as("packed"))
+      sq.saveSqIndex(enc, "vec_id", "packed", mins, maxs,
+        "/tmp/graft_fixtures/q135_sq_index")
+      val idx = sq.loadSqIndex(s, "/tmp/graft_fixtures/q135_sq_index")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toSeq
-      sq.sqTopK(enc, "packed", "vec_id", q, mins, maxs, k = 20)
+      sq.sqTopK(idx.codes, "packed", "vec_id", q, idx.mins, idx.maxs, k = 20)
         .orderBy(col("sq_dist"), col("vec_id"))
     }),
 
@@ -1327,6 +1330,38 @@ object PipelineQueries {
           t(s, dir, "documents").select(col("doc_id"), html.as("html")),
           "doc_id", "html")
         .orderBy(col("doc_id"))
+    }),
+
+    // q139: the BATCH IVFADC search over a PERSISTED index, from pure SQL —
+    // q126's construction written with savePqIndex (cell-partitioned codes +
+    // geometry tables), reloaded inside the graft_ivfpq_search TABLE
+    // function, searched with the identical ivfPqTopKJoin plan. Shares
+    // q126's oracle VERBATIM: the parquet round-trip and the SQL surface
+    // must be invisible in the result, or the hash breaks.
+    "q139_sql_ivfpq_search" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      graft.expressions.SqlFunctions.registerAll(s)
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      val idxPath = "/tmp/graft_fixtures/q139_index"
+      pq.savePqIndex(encoded, "vec_id", "packed", "cell", coarse, cb,
+        residual = true, idxPath)
+      emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .createOrReplaceTempView("graft_q139_queries")
+      s.sql(s"""SELECT query_id, vec_id, adc_dist
+          FROM graft_ivfpq_search('graft_q139_queries', 'qid', 'embedding',
+                                  '$idxPath', 2, 5)
+          ORDER BY query_id, adc_dist, vec_id""")
     }),
 
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
@@ -1541,6 +1576,46 @@ object PipelineQueries {
     "CAST(" + (1 to SimHashBits).map(i =>
       s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
       .mkString(" + ") + " AS BIGINT)"
+
+  /** The q126 batch-IVFADC oracle, shared VERBATIM by q139 (the persisted-
+    * index TVF surface must reproduce the in-memory join exactly).
+    * Per-(query, probed-cell) residual arrays materialized once (qrez ≈
+    * n_queries·nprobe rows), then every distance chain reads two precomputed
+    * arrays — the same decomposition that keeps the whole residual-oracle
+    * family's expression trees (and DuckDB's memory-map footprint) an order
+    * of magnitude down; see resListSql. */
+  private lazy val q126OracleSql: String = {
+    val qCaseSql = s"CASE r.sub " +
+      (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("qr", "sr", s)})").mkString(" ") +
+      " END"
+    s"""$pqResidualCtes,
+       |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+       |pr AS MATERIALIZED (SELECT query_id, ccid AS cell FROM (
+       |    SELECT q.query_id, c.ccid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q", "c")} DESC, c.ccid DESC) AS rn
+       |    FROM qs q CROSS JOIN co c) p WHERE rn <= 2),
+       |qrez AS MATERIALIZED (SELECT p.query_id, p.cell, ${resListSql("q", "ce")} AS res
+       |  FROM pr p
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  JOIN co ce ON ce.ccid = p.cell),
+       |qd AS MATERIALIZED (SELECT qr.query_id, r.vec_id, r.sub, $qCaseSql AS qdist
+       |  FROM r
+       |  JOIN qrez qr ON qr.cell = r.cell
+       |  JOIN sres sr ON sr.cid = r.cid),
+       |p2 AS MATERIALIZED (SELECT query_id, vec_id,
+       |    ${(0 until PqM).map(s =>
+             s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
+       |  FROM qd GROUP BY query_id, vec_id),
+       |sc AS MATERIALIZED (SELECT query_id, vec_id,
+       |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist FROM p2)
+       |SELECT query_id, vec_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) AS rn
+       |  FROM sc) t WHERE rn <= 5
+       |ORDER BY query_id, adc_dist, vec_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_text_tokens" ->
@@ -2359,43 +2434,11 @@ object PipelineQueries {
          |SELECT vec_id, ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist
          |FROM p ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
     },
-    "q126_ivfpq_batch_join" -> {
-      // per-(query, probed-cell) residual arrays materialized once (qrez ≈
-      // n_queries·nprobe rows), then every distance chain reads two
-      // precomputed arrays — the same decomposition that keeps the whole
-      // residual-oracle family's expression trees (and DuckDB's memory-map
-      // footprint) an order of magnitude down; see resListSql
-      val qCaseSql = s"CASE r.sub " +
-        (0 until PqM).map(s => s"WHEN $s THEN (${pqResidSubDistSql("qr", "sr", s)})").mkString(" ") +
-        " END"
-      s"""$pqResidualCtes,
-         |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-         |pr AS MATERIALIZED (SELECT query_id, ccid AS cell FROM (
-         |    SELECT q.query_id, c.ccid,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${cosSql("q", "c")} DESC, c.ccid DESC) AS rn
-         |    FROM qs q CROSS JOIN co c) p WHERE rn <= 2),
-         |qrez AS MATERIALIZED (SELECT p.query_id, p.cell, ${resListSql("q", "ce")} AS res
-         |  FROM pr p
-         |  JOIN qs q ON q.query_id = p.query_id
-         |  JOIN co ce ON ce.ccid = p.cell),
-         |qd AS MATERIALIZED (SELECT qr.query_id, r.vec_id, r.sub, $qCaseSql AS qdist
-         |  FROM r
-         |  JOIN qrez qr ON qr.cell = r.cell
-         |  JOIN sres sr ON sr.cid = r.cid),
-         |p2 AS MATERIALIZED (SELECT query_id, vec_id,
-         |    ${(0 until PqM).map(s =>
-               s"MAX(CASE WHEN sub = $s THEN qdist END) AS p$s").mkString(", ")}
-         |  FROM qd GROUP BY query_id, vec_id),
-         |sc AS MATERIALIZED (SELECT query_id, vec_id,
-         |    ${(0 until PqM).map(s => s"p$s").mkString(" + ")} AS adc_dist FROM p2)
-         |SELECT query_id, vec_id, adc_dist FROM (
-         |  SELECT query_id, vec_id, adc_dist,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_dist, vec_id) AS rn
-         |  FROM sc) t WHERE rn <= 5
-         |ORDER BY query_id, adc_dist, vec_id""".stripMargin
-    },
+    "q126_ivfpq_batch_join" -> q126OracleSql,
+    // q139 is the SAME search surfaced through the persisted-index TVF — by
+    // construction it must reproduce q126's result exactly, so it shares the
+    // oracle verbatim.
+    "q139_sql_ivfpq_search" -> q126OracleSql,
     "q129_knn_graph" -> {
       // q126's chain with nodes-as-queries and EXACT self-exclusion: ranking
       // all non-self candidates equals rank-(k+1)-drop-self-retake-k

@@ -81,4 +81,35 @@ class ScalarQuantizationSpec extends SparkSpec {
     // single row: every dim has zero span -> all codes 0 -> packed zeros
     assert(packed == Seq(0L, 0L))
   }
+
+  test("saveSqIndex/loadSqIndex: a reloaded index searches identically, bounds bit-exact") {
+    val rows = (0L until 40L).map(i =>
+      (i, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.13) * 3.0 + d)))
+    val df = rows.toDF("id", "v")
+    val (mins, maxs) = sq.sqTrain(df, "v")
+    val enc = df.select($"id",
+      sq.sqPack(sq.sqEncode($"v", mins, maxs), 16).as("pk"))
+    val path = tempDir().resolve("sqidx").toString
+    sq.saveSqIndex(enc, "id", "pk", mins, maxs, path)
+    val idx = sq.loadSqIndex(spark, path)
+    assert(idx.dims == 16)
+    assert(idx.mins == mins && idx.maxs == maxs, "bounds must round-trip bit-exactly")
+    val q = rows(7)._2
+    val direct = sq.sqTopK(enc.localCheckpoint(), "pk", "id", q, mins, maxs, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reloaded = sq.sqTopK(idx.codes, "packed", "vec_id", q, idx.mins, idx.maxs, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reloaded == direct, "reloaded index must search identically")
+    // loud on a corrupted bounds table
+    val bad = tempDir().resolve("sqbad").toString
+    sq.saveSqIndex(enc, "id", "pk", mins, maxs, bad)
+    spark.read.parquet(s"$bad/bounds").filter($"d" =!= 3)
+      .write.mode("overwrite").parquet(s"$bad/bounds2")
+    val fs = java.nio.file.Paths.get(bad)
+    // swap in the truncated bounds
+    org.apache.commons.io.FileUtils.deleteDirectory(fs.resolve("bounds").toFile)
+    org.apache.commons.io.FileUtils.moveDirectory(
+      fs.resolve("bounds2").toFile, fs.resolve("bounds").toFile)
+    intercept[IllegalArgumentException](sq.loadSqIndex(spark, bad))
+  }
 }
