@@ -120,6 +120,9 @@ object SqlFunctions {
       x(TextFunctions.rollingTokenHash(c(exprs(0)))) }),
     ("graft_redact_pii", TextFunctions.getClass, { exprs: Seq[Expression] =>
       arity("graft_redact_pii", 1, exprs); x(TextFunctions.redactPii(c(exprs(0)))) }),
+    ("graft_html_text", graft.operators.HtmlExtract.getClass, { exprs: Seq[Expression] =>
+      arity("graft_html_text", 1, exprs)
+      x(graft.operators.HtmlExtract.htmlToText(c(exprs(0)))) }),
     ("graft_max_run_length", TextFunctions.getClass, { exprs: Seq[Expression] =>
       arity("graft_max_run_length", 1, exprs)
       x(TextFunctions.maxRunLength(c(exprs(0)))) }),

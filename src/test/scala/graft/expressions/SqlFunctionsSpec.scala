@@ -264,6 +264,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("must be an INTEGER literal")), e.toString)
   }
 
+  test("graft_html_text: SQL surface equals the Column API on markup") {
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "<p>a &amp; b.</p><script>x()</script><div>two here.</div>"))
+      .toDF("id", "h").createOrReplaceTempView("html_docs")
+    val viaSql = spark.sql("SELECT graft_html_text(h) FROM html_docs")
+      .collect()(0).getString(0)
+    val viaApi = spark.table("html_docs")
+      .select(graft.operators.HtmlExtract.htmlToText(col("h")))
+      .collect()(0).getString(0)
+    assert(viaSql == viaApi && viaSql == "a & b.\ntwo here.\n")
+  }
+
   test("registry names are distinct and registered") {
     val names = SqlFunctions.registry.map(_._1)
     assert(names.distinct.size == names.size)

@@ -84,4 +84,60 @@ class RotationSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq
     assert(exactPlain == exactRot, "rotation must not change exact cosine ranks")
   }
+
+  test("polarOrthogonal: orthogonal input is a fixed point; positive-diagonal input polars to I") {
+    val r = Rotation.rotationMatrix(6, seed = 3L)
+    val p = Rotation.polarOrthogonal(r.map(_.toArray).toArray)
+    for (i <- 0 until 6; j <- 0 until 6)
+      assert(math.abs(p(i)(j) - r(i)(j)) < 1e-10, s"($i,$j): ${p(i)(j)} vs ${r(i)(j)}")
+    // polar factor of a positive diagonal matrix is the identity
+    val d = Array.tabulate(4, 4)((i, j) => if (i == j) (i + 2).toDouble else 0.0)
+    val pid = Rotation.polarOrthogonal(d)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(math.abs(pid(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-10)
+    intercept[IllegalArgumentException](
+      Rotation.polarOrthogonal(Array.fill(3, 3)(0.0))) // singular is loud
+  }
+
+  test("learnedRotation: orthogonal result, quantization error beats the random rotation on anisotropic data") {
+    val dims = 16; val m = 4; val ksub = 4
+    val pq = ProductQuantization
+    // variance concentrated in the first subspace — the OPQ regime; the
+    // seeded jitter keeps the corpus full-rank (the sinusoid alone is rank
+    // ~4, which exercises the ridge path instead of the Procrustes one)
+    val jitter = new java.util.Random(11L)
+    val rows = (0 until 80).map { i =>
+      (i.toLong, (0 until dims).map(d =>
+        (if (d < 4) math.sin(i * 0.9 + d) * 4.0 else math.cos(i * 0.3 + d) * 0.1)
+          + jitter.nextGaussian() * 0.05))
+    }
+    val df = rows.toDF("id", "v").cache()
+    val (learned, cbLearn) = Rotation.learnedRotation(df, "v", "id", m, ksub,
+      outerIters = 2, lloydIters = 2)
+    // orthogonality of the learned matrix
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val dot = (0 until dims).map(t => learned(i)(t) * learned(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ($i,$j)=$dot")
+    }
+    val rand = Rotation.rotationMatrix(dims)
+    val rotRand = df.select($"id", Rotation.rotate($"v", rand).as("rv")).cache()
+    val cbRand = pq.trainCodebooks(rotRand, "rv", "id", m, ksub, 2)
+    val rotLearn = df.select($"id", Rotation.rotate($"v", learned).as("rv")).cache()
+    val errRand = pq.quantizationError(rotRand, "rv", cbRand)
+    val errLearn = pq.quantizationError(rotLearn, "rv", cbLearn)
+    assert(errLearn <= errRand * 1.0001,
+      s"learned rotation must not lose to random on anisotropic data: " +
+        s"learned=$errLearn rand=$errRand")
+    // degenerate (rank-deficient) corpus: the ridge retry must still return
+    // a fully orthogonal matrix rather than blow up
+    val degRows = (0 until 40).map(i =>
+      (i.toLong, (0 until dims).map(d => math.sin(i * 0.9 + d) * 2.0)))
+    val (degRot, _) = Rotation.learnedRotation(degRows.toDF("id", "v"),
+      "v", "id", m, ksub, outerIters = 1, lloydIters = 1)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val dot = (0 until dims).map(t => degRot(i)(t) * degRot(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"degenerate-path R·Rᵀ($i,$j)=$dot")
+    }
+  }
 }
