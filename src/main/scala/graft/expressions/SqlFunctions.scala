@@ -292,6 +292,33 @@ object SqlFunctions {
         val encoded = pq.encode(df, vecCol, cb)
           .select(col(idCol), pq.packCodes(col("pq_codes"), m, ksub).as("packed"))
         plan(pq.adcTopK(encoded, "packed", idCol, cb, q, k)) }),
+      // graft_bpe_encode('trainTbl', 'encodeTbl', 'idCol', 'textCol',
+      // rounds): the FULL tokenizer chain from a pure-SQL FROM clause —
+      // train the merge table on trainTbl (the q113 loop), derive the
+      // alphabet+merges vocabulary, encode encodeTbl scan-side with the
+      // native BpeApply expression, explode to (idCol, pos, token_sym,
+      // token_id). Training runs at ANALYSIS time (the Jaccard-TVF
+      // driver-side-work caveat, amplified: rounds argmax jobs).
+      ("graft_bpe_encode", graft.operators.BpeTrainer.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_bpe_encode", 5, exprs)
+        val f = "graft_bpe_encode"
+        val train = tbl(strLit(f, "trainTbl", exprs(0)))
+        val enc = tbl(strLit(f, "encodeTbl", exprs(1)))
+        val idCol = strLit(f, "idCol", exprs(2))
+        val textCol = strLit(f, "textCol", exprs(3))
+        val rounds = intLit(f, "rounds", exprs(4))
+        val bpe = graft.operators.BpeTrainer
+        import org.apache.spark.sql.functions.{broadcast, col, posexplode}
+        val merges = bpe.trainMerges(train, textCol, rounds)
+        val voc = bpe.vocab(train, textCol, merges)
+        plan(bpe.encodeToIds(enc, textCol, merges, voc)
+          .select(col(idCol), posexplode(col("token_ids")))
+          .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("token_id"))
+          .join(broadcast(voc.select(col("sym").as("token_sym"),
+            col("id").as("token_id"))), Seq("token_id"))
+          .select(col(idCol), col("pos"), col("token_sym"), col("token_id"))) }),
       // graft_ivfpq_search('queries', 'qidCol', 'qvecCol', '/index/path',
       // nprobe, k): the BATCH (query-table) IVFADC join over a PERSISTED
       // index (savePqIndex layout) from a pure-SQL FROM clause — loadPqIndex

@@ -1364,6 +1364,21 @@ object PipelineQueries {
           ORDER BY query_id, adc_dist, vec_id""")
     }),
 
+    // q140: the FULL tokenizer chain (train → vocab → encode → price) from a
+    // pure-SQL FROM clause via the graft_bpe_encode TABLE function — trains
+    // on the whole corpus, encodes the %5 sample, exactly q136's chain, so
+    // it shares the oracle verbatim.
+    "q140_sql_bpe_encode" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_bpe")
+      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) === 0)
+        .createOrReplaceTempView("graft_docs_bpe_sample")
+      s.sql(s"""SELECT doc_id, pos, token_sym, token_id
+          FROM graft_bpe_encode('graft_docs_bpe', 'graft_docs_bpe_sample',
+                                'doc_id', 'text', $BpeTrainRounds)
+          ORDER BY doc_id, pos""")
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1576,6 +1591,43 @@ object PipelineQueries {
     "CAST(" + (1 to SimHashBits).map(i =>
       s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
       .mkString(" + ") + " AS BIGINT)"
+
+  /** The q136 BPE-encode oracle, shared VERBATIM by q140 (the
+    * graft_bpe_encode TABLE function must reproduce the Scala chain
+    * exactly): training replayed to t{rounds}, alphabet+merges vocabulary,
+    * per-document pre-token sequences joined back to the final-round
+    * symbols, vocab pricing. */
+  private lazy val q136OracleSql: String = {
+    val r = BpeTrainRounds
+    val mergesUnion = (1 to r).map { i =>
+      s"SELECT $i AS midx, lft || rgt AS merged FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(r)},
+       |alpha AS (SELECT DISTINCT substr(p, CAST(ai AS INT), 1) AS sym
+       |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS ga(ai)),
+       |aid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id
+       |  FROM alpha),
+       |mu AS ($mergesUnion),
+       |mid AS (SELECT merged AS sym,
+       |  CAST((SELECT count(*) FROM alpha) + midx - 1 AS INT) AS id FROM mu),
+       |voc AS (SELECT sym, CAST(min(id) AS INT) AS id
+       |  FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid) u GROUP BY sym),
+       |wsym AS MATERIALIZED (SELECT word, i, s FROM t$r
+       |  UNION ALL SELECT p AS word, 1 AS i, p AS s FROM f WHERE length(p) = 1),
+       |dtl AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |dpt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
+       |    tl[CAST(pi AS INT)] AS word
+       |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+       |sq AS (SELECT d.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY d.pti, w.i) AS BIGINT) AS pos, w.s
+       |  FROM dpt d JOIN wsym w ON d.word = w.word)
+       |SELECT q.doc_id, q.pos, q.s AS token_sym, v.id AS token_id
+       |FROM sq q JOIN voc v ON q.s = v.sym
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   /** The q126 batch-IVFADC oracle, shared VERBATIM by q139 (the persisted-
     * index TVF surface must reproduce the in-memory join exactly).
@@ -2159,37 +2211,11 @@ object PipelineQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
-    "q136_bpe_encode" -> {
-      val r = BpeTrainRounds
-      val mergesUnion = (1 to r).map { i =>
-        s"SELECT $i AS midx, lft || rgt AS merged FROM b$i"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH ${bpeTrainCtes(r)},
-         |alpha AS (SELECT DISTINCT substr(p, CAST(ai AS INT), 1) AS sym
-         |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS ga(ai)),
-         |aid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id
-         |  FROM alpha),
-         |mu AS ($mergesUnion),
-         |mid AS (SELECT merged AS sym,
-         |  CAST((SELECT count(*) FROM alpha) + midx - 1 AS INT) AS id FROM mu),
-         |voc AS (SELECT sym, CAST(min(id) AS INT) AS id
-         |  FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid) u GROUP BY sym),
-         |wsym AS MATERIALIZED (SELECT word, i, s FROM t$r
-         |  UNION ALL SELECT p AS word, 1 AS i, p AS s FROM f WHERE length(p) = 1),
-         |dtl AS (SELECT doc_id, regexp_extract_all(text,
-         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
-         |  FROM documents WHERE doc_id % 5 = 0),
-         |dpt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
-         |    tl[CAST(pi AS INT)] AS word
-         |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
-         |sq AS (SELECT d.doc_id,
-         |    CAST(row_number() OVER (PARTITION BY d.doc_id
-         |      ORDER BY d.pti, w.i) AS BIGINT) AS pos, w.s
-         |  FROM dpt d JOIN wsym w ON d.word = w.word)
-         |SELECT q.doc_id, q.pos, q.s AS token_sym, v.id AS token_id
-         |FROM sq q JOIN voc v ON q.s = v.sym
-         |ORDER BY doc_id, pos""".stripMargin
-    },
+    "q136_bpe_encode" -> q136OracleSql,
+    // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
+    // TABLE function — shares the oracle verbatim (the SQL surface must be
+    // invisible in the result).
+    "q140_sql_bpe_encode" -> q136OracleSql,
     "q137_image_neardup" ->
       s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
          |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b

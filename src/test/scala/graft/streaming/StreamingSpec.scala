@@ -232,6 +232,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE tokenization: frozen merges encode arriving docs identical to the batch encoder") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val bpe = graft.operators.BpeTrainer
+    // the tokenizer model is TRAINED OFFLINE and frozen; encode is then one
+    // stateless native BpeApply per row (merges+vocab ride the plan as a
+    // reference object), so fresh documents tokenize in-stream with no
+    // state, watermark, or output-mode limits — the q136 chain on a stream
+    val corpus = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new new"),
+      (3L, "low lowest newer")).toDF("doc_id", "text")
+    val merges = bpe.trainMerges(corpus, "text", rounds = 5)
+    val voc = bpe.vocab(corpus, "text", merges)
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      bpe.encodeToIds(df, "text", merges, voc)
+        .select(col("doc_id"), col("token_ids"))
+    val arrivals = corpus.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = encode(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpestream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.take(2).toSeq)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bpestream").as[(Long, Seq[Int])]
+        .collect().toMap
+      val batch = encode(corpus).as[(Long, Seq[Int])].collect().toMap
+      assert(streamed == batch,
+        "streamed token ids must equal the batch encoder's")
+    } finally q.stop()
+  }
+
   test("incremental ANN index ingest: streamed cell-assign + PQ encode appends rows identical to the batch encoder") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions.col
