@@ -17,6 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object SequencePacking {
 
+  /** Pack REAL token-id sequences into training rows: greedy per-shard bins
+    * ([[packSequences]] on the sequence lengths), then each pack's documents
+    * concatenate in ascending-id order (the same order the greedy scan
+    * assigned them) with `sepId` between documents — the array a pretraining
+    * loader actually reads. Output: (shard, pack, n_docs, packed_ids).
+    *
+    * Budget semantics: `budget` bounds CONTENT tokens per pack (the greedy
+    * rule's accounting); separators add n_docs−1 on top, and an oversized
+    * document still occupies a pack alone. That bound is also why the
+    * per-pack `collect_list` is safe at any corpus size — a pack holds at
+    * most budget tokens (or one document), never a corpus-sized group. */
+  def packTokenIds(docs: DataFrame, idCol: String, idsCol: String,
+                   budget: Long, nShards: Int, sepId: Int = -1): DataFrame = {
+    val withN = docs.select(col(idCol), col(idsCol))
+      .withColumn("_n", size(col(idsCol)).cast("long"))
+    val assign = packSequences(withN, idCol, "_n", budget, nShards)
+    assign.join(withN.select(col(idCol), col(idsCol)), Seq(idCol))
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        aggregate(
+          sort_array(collect_list(struct(col(idCol).as("_id"),
+            col(idsCol).as("_ids")))),
+          array().cast("array<int>"),
+          (acc, d) => when(size(acc) === 0, d.getField("_ids"))
+            .otherwise(concat(acc, array(lit(sepId)), d.getField("_ids"))))
+          .as("packed_ids"))
+  }
+
   /** Pack (id, n_tokens) rows into per-shard greedy bins.
     * Output: (idCol, shard, pack) — pack indices are per-shard, 0-based. */
   def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,

@@ -1379,6 +1379,29 @@ object PipelineQueries {
           ORDER BY doc_id, pos""")
     }),
 
+    // q141: TOKEN-level sequence packing — real BPE ids packed into
+    // fixed-budget training rows (greedy per-shard bins, ascending-id
+    // concatenation, −1 separators between documents): the array a
+    // pretraining loader actually reads, closing the train → encode → pack
+    // chain end-to-end. The oracle feeds the shared encode replay into
+    // q72's recursive greedy-packing CTE and explodes packs to positions.
+    "q141_pack_token_ids" -> ((s, dir) => {
+      val bpe = graft.operators.BpeTrainer
+      val docs = t(s, dir, "documents")
+      val merges = bpe.trainMerges(docs, "text", rounds = BpeTrainRounds)
+      val voc = bpe.vocab(docs, "text", merges)
+      val withIds = bpe.encodeToIds(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "text", merges, voc)
+        .select(col("doc_id"), col("token_ids"))
+      graft.operators.SequencePacking.packTokenIds(withIds, "doc_id",
+          "token_ids", budget = 300L, nShards = 4, sepId = -1)
+        .select(col("shard"), col("pack"), col("n_docs"),
+          posexplode(col("packed_ids")))
+        .select(col("shard"), col("pack"), col("n_docs"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("token_id"))
+        .orderBy(col("shard"), col("pack"), col("pos"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -1597,12 +1620,15 @@ object PipelineQueries {
     * exactly): training replayed to t{rounds}, alphabet+merges vocabulary,
     * per-document pre-token sequences joined back to the final-round
     * symbols, vocab pricing. */
-  private lazy val q136OracleSql: String = {
-    val r = BpeTrainRounds
+  /** CTE chain (no WITH) ending in `sq(doc_id, pos, s)` — the %5-sampled
+    * per-document symbol sequences after the training replay — and
+    * `voc(sym, id)` — the alphabet+merges vocabulary. Shared by the q136/
+    * q140 encode oracles and the q141 packing oracle. */
+  private def bpeEncodeCtes(r: Int): String = {
     val mergesUnion = (1 to r).map { i =>
       s"SELECT $i AS midx, lft || rgt AS merged FROM b$i"
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${bpeTrainCtes(r)},
+    s"""${bpeTrainCtes(r)},
        |alpha AS (SELECT DISTINCT substr(p, CAST(ai AS INT), 1) AS sym
        |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS ga(ai)),
        |aid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id
@@ -1623,11 +1649,53 @@ object PipelineQueries {
        |sq AS (SELECT d.doc_id,
        |    CAST(row_number() OVER (PARTITION BY d.doc_id
        |      ORDER BY d.pti, w.i) AS BIGINT) AS pos, w.s
-       |  FROM dpt d JOIN wsym w ON d.word = w.word)
+       |  FROM dpt d JOIN wsym w ON d.word = w.word)""".stripMargin
+  }
+
+  private lazy val q136OracleSql: String =
+    s"""WITH ${bpeEncodeCtes(BpeTrainRounds)}
        |SELECT q.doc_id, q.pos, q.s AS token_sym, v.id AS token_id
        |FROM sq q JOIN voc v ON q.s = v.sym
        |ORDER BY doc_id, pos""".stripMargin
-  }
+
+  /** q141's packing-replay oracle: the shared encode CTEs feed per-doc token
+    * counts into the q72 recursive greedy-packing CTE, then packs explode to
+    * positions with a −1 separator row before every non-first document. */
+  private lazy val q141OracleSql: String =
+    s"""WITH RECURSIVE ${bpeEncodeCtes(BpeTrainRounds)},
+       |tok AS MATERIALIZED (SELECT q.doc_id, q.pos, v.id AS token_id
+       |  FROM sq q JOIN voc v ON q.s = v.sym),
+       |dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+       |  FROM tok GROUP BY doc_id),
+       |rr AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM dn),
+       |st(shard, rn, doc_id, acc, pack) AS (
+       |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) FROM rr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rr.shard, rr.rn, rr.doc_id,
+       |    CASE WHEN st.acc + rr.n > 300 THEN rr.n ELSE st.acc + rr.n END,
+       |    CASE WHEN st.acc + rr.n > 300 THEN st.pack + 1 ELSE st.pack END
+       |  FROM st JOIN rr ON rr.shard = st.shard AND rr.rn = st.rn + 1),
+       |pk AS MATERIALIZED (SELECT shard, pack, doc_id,
+       |    row_number() OVER (PARTITION BY shard, pack ORDER BY doc_id) AS dpos
+       |  FROM st),
+       |nd AS (SELECT shard, pack, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM pk GROUP BY 1, 2),
+       |allrows AS (
+       |  SELECT p.shard, p.pack, p.doc_id, t.pos AS k, t.token_id
+       |  FROM pk p JOIN tok t ON t.doc_id = p.doc_id
+       |  UNION ALL
+       |  SELECT shard, pack, doc_id, CAST(0 AS BIGINT) AS k,
+       |    CAST(-1 AS INT) AS token_id
+       |  FROM pk WHERE dpos > 1),
+       |fin AS (SELECT shard, pack,
+       |    CAST(row_number() OVER (PARTITION BY shard, pack
+       |      ORDER BY doc_id, k) AS BIGINT) AS pos,
+       |    token_id FROM allrows)
+       |SELECT f.shard, f.pack, n.n_docs, f.pos, f.token_id
+       |FROM fin f JOIN nd n ON n.shard = f.shard AND n.pack = f.pack
+       |ORDER BY f.shard, f.pack, f.pos""".stripMargin
 
   /** The q126 batch-IVFADC oracle, shared VERBATIM by q139 (the persisted-
     * index TVF surface must reproduce the in-memory join exactly).
@@ -2216,6 +2284,7 @@ object PipelineQueries {
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).
     "q140_sql_bpe_encode" -> q136OracleSql,
+    "q141_pack_token_ids" -> q141OracleSql,
     "q137_image_neardup" ->
       s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
          |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b

@@ -427,6 +427,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("packTokenIds: real ids concatenate in id order with separators, budget on content tokens") {
+    import graft.operators.SequencePacking
+    val docs = Seq(
+      (1L, Seq(10, 11, 12)),      // 3 tokens
+      (2L, Seq(20, 21)),          // +2 = 5 <= 6 → same pack
+      (3L, Seq(30, 31, 32, 33)),  // 5+4 > 6 → pack 1
+      (4L, Seq(40, 41, 42, 43, 44, 45, 46, 47))) // oversized → pack 2 alone
+      .toDF("doc_id", "token_ids")
+    val out = SequencePacking.packTokenIds(docs, "doc_id", "token_ids",
+      budget = 6L, nShards = 1, sepId = -1)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getSeq[Int](3)))).toMap
+    assert(out(0L) === ((2L, Seq(10, 11, 12, -1, 20, 21))), "sep between docs, id order")
+    assert(out(1L) === ((1L, Seq(30, 31, 32, 33))))
+    assert(out(2L) === ((1L, Seq(40, 41, 42, 43, 44, 45, 46, 47))), "oversized packs alone")
+    // content tokens (excluding separators) never exceed budget unless alone
+    out.values.foreach { case (nDocs, ids) =>
+      val content = ids.count(_ != -1)
+      assert(content <= 6 || nDocs == 1L, s"pack over budget: $ids")
+      assert(ids.count(_ == -1) == nDocs - 1, "exactly n_docs-1 separators")
+    }
+  }
+
   test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
     val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
       .toDF("k", "s", "t")
