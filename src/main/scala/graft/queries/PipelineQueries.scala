@@ -1402,6 +1402,19 @@ object PipelineQueries {
         .orderBy(col("shard"), col("pack"), col("pos"))
     }),
 
+    // q142: BIGRAM-LM OOV novelty scoring — the CCNet-style quality filter's
+    // oracle-exact surface: train the bigram table on the corpus, score each
+    // document by the fraction of its token transitions with count < 2
+    // (integer counts + one exactly-rounded IEEE division; the ln-based NLL
+    // ranking is property-spec'd instead, libm differs cross-engine).
+    "q142_bigram_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.NgramLm.bigramCounts(docs, "text")
+      graft.operators.NgramLm.oovBigramRate(docs, "doc_id", "text", lm,
+          minCount = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // q122: Z-ORDER (Morton) layout value — the bit-interleave that
     // `Layout.zorderWrite` range-sorts on so a box predicate over SEVERAL
     // bucketized dimensions prunes parquet files/row groups at once (the
@@ -2285,6 +2298,24 @@ object PipelineQueries {
     // invisible in the result).
     "q140_sql_bpe_encode" -> q136OracleSql,
     "q141_pack_token_ids" -> q141OracleSql,
+    "q142_bigram_oov" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2
+         |  FROM t0, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN c.c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM bg b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.n_oov AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+         |  END AS oov_rate
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q137_image_neardup" ->
       s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
          |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
