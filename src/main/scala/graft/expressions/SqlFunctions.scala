@@ -341,9 +341,9 @@ object SqlFunctions {
         val pq = graft.operators.ProductQuantization
         val idx = pq.loadPqIndex(session(), path)
         import org.apache.spark.sql.functions.col
-        val queries = idx.rotationSeed.fold(q) { seed =>
-          val rot = graft.operators.Rotation.rotationMatrix(
-            idx.coarse.head.length, seed)
+        // stored pre-transform (seed-derived OR a persisted learned matrix)
+        // rotates queries into index space
+        val queries = idx.rotationMatrix(idx.coarse.head.length).fold(q) { rot =>
           q.withColumn(qvec, graft.operators.Rotation.rotate(col(qvec), rot))
         }
         plan(pq.ivfPqTopKJoin(queries, qid, qvec, idx.codes, "packed",

@@ -693,7 +693,13 @@ object ProductQuantization {
   final case class PqIndex(coarse: Seq[Seq[Double]], codebooks: Codebooks,
                            residual: Boolean, m: Int, ksub: Int,
                            codes: DataFrame,
-                           rotationSeed: Option[Long] = None)
+                           rotationSeed: Option[Long] = None,
+                           rotation: Option[Seq[Seq[Double]]] = None) {
+    /** The query pre-transform this index was built under: an explicit
+      * (learned) matrix wins over a seed-derived one; None = no rotation. */
+    def rotationMatrix(dims: Int): Option[Seq[Seq[Double]]] =
+      rotation.orElse(rotationSeed.map(Rotation.rotationMatrix(dims, _)))
+  }
 
   /** Persist a quantized index: codes written `partitionBy(cell)` — the
     * layout every probe `isin` here prunes at FILE level — plus the coarse
@@ -707,7 +713,10 @@ object ProductQuantization {
                   cellCol: String, coarse: Seq[Seq[Double]],
                   codebooks: Codebooks, residual: Boolean,
                   path: String,
-                  rotationSeed: Option[Long] = None): Unit = {
+                  rotationSeed: Option[Long] = None,
+                  rotation: Option[Seq[Seq[Double]]] = None): Unit = {
+    require(rotationSeed.isEmpty || rotation.isEmpty,
+      "pass a rotation seed OR an explicit matrix, not both")
     val spark = codes.sparkSession
     import spark.implicits._
     require(coarse.nonEmpty && codebooks.nonEmpty, "empty index geometry")
@@ -724,8 +733,16 @@ object ProductQuantization {
     // is only searchable when queries rotate the same way — the seed fully
     // determines the deterministic matrix, so persisting it keeps the index
     // self-describing (null = no pre-transform)
-    Seq((codebooks.length, codebooks.head.length, residual, rotationSeed))
-      .toDF("m", "ksub", "residual", "rotation_seed")
+    // a LEARNED rotation ([[Rotation.learnedRotation]]) has no generating
+    // seed — persist the matrix itself (dims rows, tiny) so the index stays
+    // self-describing in that case too
+    rotation.foreach { rot =>
+      rot.zipWithIndex.map { case (row, i) => (i, row) }.toDF("row_idx", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
+    Seq((codebooks.length, codebooks.head.length, residual, rotationSeed,
+        rotation.isDefined))
+      .toDF("m", "ksub", "residual", "rotation_seed", "has_rotation_matrix")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -734,9 +751,19 @@ object ProductQuantization {
     * code frame stays lazy and cell-partitioned. */
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("m"), col("ksub"), col("residual"), col("rotation_seed"))
-      .as[(Int, Int, Boolean, Option[Long])].collect().head
+    // has_rotation_matrix is absent from pre-round-12 indexes — read the
+    // resolved schema, not an assumption about it (the events-table lesson)
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val hasRotCol = metaDf.columns.contains("has_rotation_matrix")
+    val meta = metaDf
+      .select(col("m"), col("ksub"), col("residual"), col("rotation_seed"),
+        (if (hasRotCol) col("has_rotation_matrix") else lit(false)).as("hr"))
+      .as[(Int, Int, Boolean, Option[Long], Boolean)].collect().head
+    val rotation =
+      if (!meta._5) None
+      else Some(spark.read.parquet(s"$path/rotation")
+        .select(col("row_idx"), col("row")).orderBy(col("row_idx"))
+        .as[(Int, Seq[Double])].collect().map(_._2.toSeq).toSeq)
     val coarse = spark.read.parquet(s"$path/coarse")
       .select(col("cell"), col("centroid")).orderBy(col("cell"))
       .as[(Int, Seq[Double])].collect().map(_._2.toSeq).toSeq
@@ -749,7 +776,7 @@ object ProductQuantization {
         codebooks.forall(_.length == meta._2),
       s"codebook table disagrees with meta geometry m=${meta._1} ksub=${meta._2}")
     PqIndex(coarse, codebooks, meta._3, meta._1, meta._2,
-      spark.read.parquet(s"$path/codes"), meta._4)
+      spark.read.parquet(s"$path/codes"), meta._4, rotation)
   }
 
   /** Mean squared quantization error of a RESIDUAL codebook (residual twin

@@ -530,11 +530,27 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(before == after, "reloaded index must search identically")
     // rotation seed: absent by default, round-trips when set (a rotated-
     // space index is only searchable with the same query pre-transform)
-    assert(idx.rotationSeed.isEmpty)
+    assert(idx.rotationSeed.isEmpty && idx.rotation.isEmpty)
     val path2 = tempDir().resolve("pqindexRot").toString
     pq.savePqIndex(enc, "id", "packed", "cell", coarse, cb,
       residual = true, path2, rotationSeed = Some(42L))
-    assert(pq.loadPqIndex(spark, path2).rotationSeed.contains(42L))
+    val seeded = pq.loadPqIndex(spark, path2)
+    assert(seeded.rotationSeed.contains(42L))
+    assert(seeded.rotationMatrix(dims).contains(Rotation.rotationMatrix(dims, 42L)))
+    // a LEARNED rotation has no generating seed: the matrix itself persists
+    // bit-exactly and wins as the index's query pre-transform
+    val learned = Rotation.rotationMatrix(dims, seed = 9L) // any explicit matrix
+    val path3 = tempDir().resolve("pqindexLearned").toString
+    pq.savePqIndex(enc, "id", "packed", "cell", coarse, cb,
+      residual = true, path3, rotation = Some(learned))
+    val lidx = pq.loadPqIndex(spark, path3)
+    assert(lidx.rotation.contains(learned), "learned matrix must round-trip bit-exactly")
+    assert(lidx.rotationMatrix(dims).contains(learned))
+    intercept[IllegalArgumentException] {
+      pq.savePqIndex(enc, "id", "packed", "cell", coarse, cb, residual = true,
+        tempDir().resolve("x").toString,
+        rotationSeed = Some(1L), rotation = Some(learned))
+    }
   }
 
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
