@@ -292,6 +292,33 @@ object SqlFunctions {
         val encoded = pq.encode(df, vecCol, cb)
           .select(col(idCol), pq.packCodes(col("pq_codes"), m, ksub).as("packed"))
         plan(pq.adcTopK(encoded, "packed", idCol, cb, q, k)) }),
+      // graft_image_neardup('tbl', maxHamming): image near-duplicate pairs
+      // from a pure-SQL FROM clause — the table carries (media_id, payload)
+      // binary rows; decode → aHash → Hamming-banded candidates → exact-L1
+      // verify, the same Scala chain q137 pins. (id_a, id_b, hamming, l1).
+      ("graft_image_neardup", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_image_neardup", 2, exprs)
+        val f = "graft_image_neardup"
+        plan(graft.operators.Multimodal.imageNearDupPairs(
+          tbl(strLit(f, "table", exprs(0))),
+          maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_bigram_oov('trainTbl', 'scoreTbl', 'idCol', 'textCol',
+      // minCount): the bigram-LM OOV novelty filter from a pure-SQL FROM
+      // clause — trains the count table on trainTbl, scores scoreTbl
+      // (idCol, n_bigrams, n_oov, oov_rate), exactly q142's chain.
+      ("graft_bigram_oov", graft.operators.NgramLm.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_bigram_oov", 5, exprs)
+        val f = "graft_bigram_oov"
+        val train = tbl(strLit(f, "trainTbl", exprs(0)))
+        val score = tbl(strLit(f, "scoreTbl", exprs(1)))
+        val idCol = strLit(f, "idCol", exprs(2))
+        val textCol = strLit(f, "textCol", exprs(3))
+        val minCount = intLit(f, "minCount", exprs(4))
+        val lm = graft.operators.NgramLm.bigramCounts(train, textCol)
+        plan(graft.operators.NgramLm.oovBigramRate(score, idCol, textCol,
+          lm, minCount.toLong)) }),
       // graft_bpe_encode('trainTbl', 'encodeTbl', 'idCol', 'textCol',
       // rounds): the FULL tokenizer chain from a pure-SQL FROM clause —
       // train the merge table on trainTbl (the q113 loop), derive the

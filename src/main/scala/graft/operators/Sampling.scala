@@ -62,6 +62,28 @@ object Sampling {
       .drop(ord)
   }
 
+  /** Diversity sampling over an embedding column: Voronoi-stratified
+    * selection — assign every vector to its nearest centroid
+    * ([[SimilaritySearch.assignCells]], one native NearestCentroid per row)
+    * and cap each cell at `perCell` deterministic md5-ordered survivors
+    * ([[stratifiedLimit]] → GroupTopK bounded heaps). SemDeDup's complement
+    * in the curation toolbox: dedup removes what is too SIMILAR, this caps
+    * how much of any one embedding-space REGION survives, flattening
+    * density so the sample covers the space instead of its modes.
+    * Output: the input columns + `cell`. Scale shape: scan-side assignment,
+    * one GroupTopK shuffle keyed by cell — at 100 TB the centroid grid is
+    * the knob (finer grid = finer coverage guarantee), and the per-cell
+    * bound holds structurally regardless of how skewed the embedding
+    * density is. */
+  def diversitySample(emb: DataFrame, vecCol: String, idCol: String,
+                      centroids: Seq[Seq[Double]], perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be positive: $perCell")
+    require(!emb.columns.contains("cell"), "reserved column name in input: cell")
+    stratifiedLimit(
+      SimilaritySearch.assignCells(emb, vecCol, centroids, "cell"),
+      "cell", idCol, perCell)
+  }
+
   /** Fractional variant of [[stratifiedLimit]]: keep ceil(frac·|group|) rows
     * per group — per-group PROPORTIONAL downsampling, the mixture-weighting
     * primitive ("take 30% of every source" preserves the mixture; a global

@@ -1402,6 +1402,47 @@ object PipelineQueries {
         .orderBy(col("shard"), col("pack"), col("pos"))
     }),
 
+    // q143: image near-dup from pure SQL — the graft_image_neardup TABLE
+    // function over the q137 fixture registered as a view; shares q137's
+    // oracle verbatim.
+    "q143_sql_image_neardup" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      imageFixture(t(s, dir, "documents"))
+        .createOrReplaceTempView("graft_images")
+      s.sql("""SELECT id_a, id_b, hamming, l1
+          FROM graft_image_neardup('graft_images', 3)
+          ORDER BY id_a, id_b""")
+    }),
+
+    // q144: bigram-LM OOV scoring from pure SQL — graft_bigram_oov trains on
+    // the corpus view and scores it, exactly q142's chain; oracle shared
+    // verbatim.
+    "q144_sql_bigram_oov" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_lm")
+      s.sql("""SELECT doc_id, n_bigrams, n_oov, oov_rate
+          FROM graft_bigram_oov('graft_docs_lm', 'graft_docs_lm',
+                                'doc_id', 'text', 2)
+          ORDER BY doc_id""")
+    }),
+
+    // q145: DIVERSITY sampling — Voronoi-stratified selection over the
+    // embedding space (nearest-centroid cells, md5-ordered per-cell cap via
+    // GroupTopK): the density-flattening complement of semantic dedup. The
+    // oracle replays the cosine assignment (ties to the HIGHER cell — the
+    // NearestCentroid rule) and the md5 rank per cell.
+    "q145_diversity_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      graft.operators.Sampling.diversitySample(emb, "embedding", "vec_id",
+          coarse, perCell = 20)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // q142: BIGRAM-LM OOV novelty scoring — the CCNet-style quality filter's
     // oracle-exact surface: train the bigram table on the corpus, score each
     // document by the fraction of its token transitions with count < 2
@@ -1627,6 +1668,59 @@ object PipelineQueries {
     "CAST(" + (1 to SimHashBits).map(i =>
       s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
       .mkString(" + ") + " AS BIGINT)"
+
+  /** The q137 image-near-dup oracle, shared VERBATIM by q143 (the
+    * graft_image_neardup TABLE function must reproduce the Scala chain
+    * exactly). */
+  private lazy val q137OracleSql: String =
+      s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
+         |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
+         |  FROM documents),
+         |gr AS MATERIALIZED (SELECT doc_id, p,
+         |    CASE WHEN doc_id % 5 = 1 AND p = 0 THEN
+         |      CASE WHEN g0 < 128 THEN g0 + 48 ELSE g0 - 48 END
+         |    ELSE g0 END AS g
+         |  FROM (SELECT doc_id, p, (1000003*(b+1) + 55*(p+1) + b*p*p) % 256 AS g0
+         |    FROM dm, LATERAL unnest(generate_series(0, 63)) AS gs(p)) t0),
+         |sm AS (SELECT doc_id, sum(g) AS s FROM gr GROUP BY doc_id),
+         |fp0 AS (SELECT g.doc_id,
+         |    string_agg(CASE WHEN 64*g.g > s.s THEN '1' ELSE '0' END, '' ORDER BY g.p) AS fp
+         |  FROM gr g JOIN sm s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
+         |blocks AS (SELECT doc_id, fp, unnest([0,1,2,3]) AS block_idx,
+         |  unnest([substr(fp,1,16), substr(fp,17,16),
+         |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM fp0),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    $hammingSql AS hamming
+         |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
+         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |hp AS (SELECT * FROM cand WHERE hamming <= 3)
+         |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ga.g - gb.g)) AS BIGINT) AS l1
+         |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
+         |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
+         |GROUP BY h.id_a, h.id_b, h.hamming
+         |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q142 bigram-OOV oracle, shared VERBATIM by q144 (the
+    * graft_bigram_oov TABLE function must reproduce the Scala chain
+    * exactly). */
+  private lazy val q142OracleSql: String =
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2
+         |  FROM t0, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         |per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN c.c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM bg b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.n_oov AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+         |  END AS oov_rate
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
   /** The q136 BPE-encode oracle, shared VERBATIM by q140 (the
     * graft_bpe_encode TABLE function must reproduce the Scala chain
@@ -2298,51 +2392,27 @@ object PipelineQueries {
     // invisible in the result).
     "q140_sql_bpe_encode" -> q136OracleSql,
     "q141_pack_token_ids" -> q141OracleSql,
-    "q142_bigram_oov" ->
-      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |bg AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
-         |    t[CAST(i AS INT) + 1] AS w2
-         |  FROM t0, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
-         |  WHERE len(t) >= 2),
-         |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
-         |per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(CASE WHEN c.c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-         |  FROM bg b LEFT JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
-         |  GROUP BY b.doc_id)
-         |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
-         |  CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0
-         |       ELSE CAST(p.n_oov AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
-         |  END AS oov_rate
-         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-    "q137_image_neardup" ->
-      s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
-         |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
-         |  FROM documents),
-         |gr AS MATERIALIZED (SELECT doc_id, p,
-         |    CASE WHEN doc_id % 5 = 1 AND p = 0 THEN
-         |      CASE WHEN g0 < 128 THEN g0 + 48 ELSE g0 - 48 END
-         |    ELSE g0 END AS g
-         |  FROM (SELECT doc_id, p, (1000003*(b+1) + 55*(p+1) + b*p*p) % 256 AS g0
-         |    FROM dm, LATERAL unnest(generate_series(0, 63)) AS gs(p)) t0),
-         |sm AS (SELECT doc_id, sum(g) AS s FROM gr GROUP BY doc_id),
-         |fp0 AS (SELECT g.doc_id,
-         |    string_agg(CASE WHEN 64*g.g > s.s THEN '1' ELSE '0' END, '' ORDER BY g.p) AS fp
-         |  FROM gr g JOIN sm s ON g.doc_id = s.doc_id GROUP BY g.doc_id),
-         |blocks AS (SELECT doc_id, fp, unnest([0,1,2,3]) AS block_idx,
-         |  unnest([substr(fp,1,16), substr(fp,17,16),
-         |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM fp0),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    $hammingSql AS hamming
-         |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
-         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
-         |hp AS (SELECT * FROM cand WHERE hamming <= 3)
-         |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ga.g - gb.g)) AS BIGINT) AS l1
-         |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
-         |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
-         |GROUP BY h.id_a, h.id_b, h.hamming
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q142_bigram_oov" -> q142OracleSql,
+    "q144_sql_bigram_oov" -> q142OracleSql,
+    "q145_diversity_sample" ->
+      s"""WITH co AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $PqCoarseK) zc),
+         |asg AS MATERIALIZED (SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN co c) a WHERE rn = 1),
+         |rk AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+         |  FROM asg)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM rk
+         |WHERE r <= 20 ORDER BY vec_id""".stripMargin,
+    "q137_image_neardup" -> q137OracleSql,
+    "q143_sql_image_neardup" -> q137OracleSql,
     "q138_html_extract" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title>'

@@ -157,6 +157,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Sampling.stratifiedLimit(df, "grp", "id", m = 100).count() == 60L)
   }
 
+  test("diversitySample: per-cell cap holds under density skew, rare regions survive whole") {
+    // two centroids on orthogonal axes; 50 vectors crowd centroid 0's region,
+    // 3 sit in centroid 1's — density flattening must cap the crowd at
+    // perCell while keeping ALL of the rare region
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = (1L to 50L).map(i => (i, Seq(1.0, 0.01 * i))) ++
+      (101L to 103L).map(i => (i, Seq(0.02, 1.0)))
+    val df = rows.toDF("vec_id", "v")
+    val out = Sampling.diversitySample(df, "v", "vec_id", cents, perCell = 5)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val byCell = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCell(0).size == 5, "hot region capped at perCell")
+    assert(byCell(1) == Set(101L, 102L, 103L), "rare region survives whole")
+    // deterministic across runs
+    val again = Sampling.diversitySample(df, "v", "vec_id", cents, perCell = 5)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(again == out.map(_._1).sorted.toSeq)
+    // reserved output column is loud
+    intercept[IllegalArgumentException](Sampling.diversitySample(
+      df.withColumn("cell", lit(1)), "v", "vec_id", cents, 5))
+  }
+
   // ── dedup ───────────────────────────────────────────────────────────────────
 
   test("exact dedup groups by digest, keeps min id as canonical") {
