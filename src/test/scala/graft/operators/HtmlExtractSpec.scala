@@ -85,4 +85,47 @@ class HtmlExtractSpec extends SparkSpec {
     assert(chunks.filter(col("chunk").contains("javascript")).count() === 0)
     assert(chunks.filter(col("chunk").contains("about")).count() === 0)
   }
+
+  test("end-to-end: crawled HTML to packed token ids — the full modern pipeline composes") {
+    // HTML pages → markup strip + C4 rules → quality/dedup/decontamination/
+    // redaction/chunking (curateForTraining) → BPE train on the survivors →
+    // scan-side encode → token-level packing. Every stage is the real
+    // operator; the assertions are the chain's conservation laws.
+    val bodies = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away home. ",
+      2L -> "a small cat sat on the warm mat and then it went to sleep in the sun. ",
+      3L -> "many users of the community write long detailed notes for their tools. ")
+    val pages = bodies.map { case (i, b) =>
+      (i, s"<html><head><script>x()</script></head><body><p>${b * 3}</p>" +
+        "<div>home | nav</div></body></html>")
+    }.toDF("doc_id", "text")
+    val evalSet = Seq((90L, "zz held out zz")).toDF("doc_id", "text")
+    val out = tempDir().resolve("e2e").toString
+    val chunks = graft.operators.CurationPipeline.curateForTraining(
+      pages, evalSet, out, minQuality = 0.4, chunkSize = 16, stride = 16,
+      numShards = 2, htmlInput = true)
+    assert(chunks.select("doc_id").distinct().count() === 3)
+    val docs = chunks.select(
+      ($"doc_id" * 1000 + $"chunk_idx").as("doc_id"), $"chunk".as("text"))
+    val merges = BpeTrainer.trainMerges(docs, "text", rounds = 4)
+    val voc = BpeTrainer.vocab(docs, "text", merges)
+    val withIds = BpeTrainer.encodeToIds(docs, "text", merges, voc)
+    // conservation 1: encode is lossless per chunk (decode == chunk text)
+    val symVersion = BpeTrainer.encode(docs, "text", merges)
+    assert(symVersion.filter(concat_ws("", col("bpe_tokens")) =!= col("text"))
+      .count() === 0)
+    val packed = SequencePacking.packTokenIds(
+      withIds.select($"doc_id", $"token_ids"), "doc_id", "token_ids",
+      budget = 64L, nShards = 2, sepId = -1)
+    // conservation 2: every token of every chunk lands in exactly one pack
+    val totalTokens = withIds.select(sum(size($"token_ids"))).as[Long].collect()(0)
+    val packedTokens = packed
+      .select(sum(size(filter($"packed_ids", x => x =!= -1)))).as[Long].collect()(0)
+    assert(packedTokens === totalTokens, "packing must conserve tokens")
+    // conservation 3: separators count n_docs-1 per pack
+    val sepOk = packed.select(
+      (size(filter($"packed_ids", x => x === -1)) === ($"n_docs" - 1)).as("ok"))
+      .filter(!$"ok").count()
+    assert(sepOk === 0L)
+  }
 }
