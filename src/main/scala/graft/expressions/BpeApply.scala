@@ -38,7 +38,8 @@ import org.apache.spark.sql.types._
 final class BpeCodec(
     val merges: Array[Array[String]],
     val vocabSyms: Array[String],
-    val vocabIds: Array[Int]) extends Serializable {
+    val vocabIds: Array[Int],
+    val oovId: Int = BpeCodec.Loud) extends Serializable {
 
   require(merges.forall(m => m.length == 3 && m(0).nonEmpty && m(1).nonEmpty
       && m(2) == m(0) + m(1)),
@@ -117,15 +118,19 @@ final class BpeCodec(
     syms
   }
 
-  /** Vocabulary id of a symbol. Loud on miss (the geometry-mismatch
-    * discipline): an encode corpus whose alphabet exceeds the vocab's would
-    * otherwise emit plausible-looking wrong ids. */
+  /** Vocabulary id of a symbol. Default policy is LOUD on miss (the
+    * geometry-mismatch discipline: an encode corpus whose alphabet exceeds
+    * the vocab's would otherwise emit plausible-looking wrong ids); pipelines
+    * that prefer graceful degradation on open text set an explicit `oovId`
+    * sentinel instead — an OPT-IN, never a silent default. */
   def idFor(sym: String): Int = {
     val i = idOf.get(sym)
-    if (i == null) throw new IllegalArgumentException(
+    if (i != null) i.intValue
+    else if (oovId != BpeCodec.Loud) oovId
+    else throw new IllegalArgumentException(
       s"bpe_apply: symbol '$sym' not in the ${vocabSyms.length}-entry vocabulary " +
-        "(encode corpus and vocab must share an alphabet)")
-    i.intValue
+        "(encode corpus and vocab must share an alphabet; pass an oovId to " +
+        "degrade gracefully instead)")
   }
 
   /** ArrayData-facing entry shared by eval and generated code: encode every
@@ -215,15 +220,23 @@ case class BpeApply(child: Expression, codec: BpeCodec, emitIds: Boolean)
     copy(child = newChild)
 }
 
+object BpeCodec {
+  /** Sentinel `oovId` meaning "raise on unknown symbols" (the default). */
+  val Loud: Int = Int.MinValue
+}
+
 object BpeApply {
   /** Token symbols of the pre-token array under the merge table. */
   def symbols(preTokens: Column, merges: Array[Array[String]]): Column =
     ColumnBridge.column(new BpeApply(ColumnBridge.expression(preTokens),
       new BpeCodec(merges, Array.empty, Array.empty), emitIds = false))
 
-  /** Vocabulary ids of the pre-token array under the merge table + vocab. */
+  /** Vocabulary ids of the pre-token array under the merge table + vocab.
+    * `oovId = Some(x)` maps unknown symbols to `x`; None (default) raises. */
   def ids(preTokens: Column, merges: Array[Array[String]],
-          vocabSyms: Array[String], vocabIds: Array[Int]): Column =
+          vocabSyms: Array[String], vocabIds: Array[Int],
+          oovId: Option[Int] = None): Column =
     ColumnBridge.column(new BpeApply(ColumnBridge.expression(preTokens),
-      new BpeCodec(merges, vocabSyms, vocabIds), emitIds = true))
+      new BpeCodec(merges, vocabSyms, vocabIds,
+        oovId.getOrElse(BpeCodec.Loud)), emitIds = true))
 }

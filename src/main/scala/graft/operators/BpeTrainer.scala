@@ -160,14 +160,17 @@ object BpeTrainer {
 
   /** Append `outCol`: BPE token IDS of `textCol` under (merges, vocab) — the
     * form downstream packing/length operators consume. Same scan-side shape
-    * as [[encode]]; symbols outside the vocab RAISE (loud on
-    * corpus/vocab alphabet mismatch). */
+    * as [[encode]]. Symbols outside the vocab RAISE by default (loud on
+    * corpus/vocab alphabet mismatch); `oovId = Some(x)` opts into graceful
+    * degradation for open text (unknown symbols map to the sentinel — pick
+    * one outside the vocab range, e.g. −2, and handle it downstream). */
   def encodeToIds(docs: DataFrame, textCol: String, merges: DataFrame,
-                  vocabDf: DataFrame, outCol: String = "token_ids"): DataFrame = {
+                  vocabDf: DataFrame, outCol: String = "token_ids",
+                  oovId: Option[Int] = None): DataFrame = {
     val v = vocabDf.orderBy(col("id")).select(col("sym"), col("id").cast("int"))
       .collect()
     docs.withColumn(outCol, graft.expressions.BpeApply.ids(
       TextFunctions.bpeTokens(col(textCol)), collectMerges(merges),
-      v.map(_.getString(0)), v.map(_.getInt(1))))
+      v.map(_.getString(0)), v.map(_.getInt(1)), oovId))
   }
 }

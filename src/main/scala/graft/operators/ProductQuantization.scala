@@ -746,6 +746,28 @@ object ProductQuantization {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append freshly-encoded rows to a persisted index's code frame — the
+    * PERSISTENCE half of the streaming-ingest contract (frozen codebooks +
+    * stateless encode, StreamingSpec): new embeddings encode with the
+    * index's own geometry and land as additional cell-partitioned files;
+    * the geometry tables are untouched, so every existing reader keeps
+    * working and the probe-union `isin` keeps pruning at FILE level over
+    * old and new files alike. Loud if no index meta exists at `path` (an
+    * append into nowhere would create an unreadable half-index), and loud
+    * on a packed-code geometry mismatch via the meta m/ksub check. */
+  def appendToPqIndex(codes: DataFrame, idCol: String, packedCol: String,
+                      cellCol: String, path: String): Unit = {
+    val spark = codes.sparkSession
+    val meta = scala.util.Try(spark.read.parquet(s"$path/meta")
+        .select(col("m"), col("ksub")).collect().head)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendToPqIndex: no index meta at $path — savePqIndex first"))
+    require(meta != null, "unreachable")
+    codes.select(col(idCol).as("vec_id"), col(packedCol).as("packed"),
+        col(cellCol).cast("int").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Load a [[savePqIndex]] index. The geometry tables collect driver-side
     * (they are the same small reference objects every search builds); the
     * code frame stays lazy and cell-partitioned. */

@@ -212,6 +212,12 @@ class BpeTrainerSpec extends SparkSpec {
     def chain(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
     assert(chain(ex).exists(_.contains("not in the")), chain(ex).mkString("\n"))
+    // opt-in graceful degradation: unknown symbols map to the sentinel,
+    // known symbols keep their exact ids
+    val mixed = Seq((1L, "ab zq")).toDF("doc_id", "text")
+    val ids2 = BpeTrainer.encodeToIds(mixed, "text", merges, voc, oovId = Some(-2))
+      .collect()(0).getSeq[Int](2)
+    assert(ids2 === Seq(3, 0, -2, -2)) // "ab" -> 3; " zq" -> [' '=0, z=-2, q=-2]
   }
 
   test("encode null contract: null text yields null tokens, not a crash") {

@@ -553,6 +553,39 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("appendToPqIndex: incremental batches land cell-partitioned, search sees old+new; append-to-nowhere is loud") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(60, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    def encOf(d: org.apache.spark.sql.DataFrame) =
+      pq.encodeResidual(SimilaritySearch.assignCells(d, "v", coarse, "cell"),
+          "v", "cell", coarse, cb)
+        .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+    val batch1 = df.filter($"id" < 40L)
+    val batch2 = df.filter($"id" >= 40L)
+    val path = tempDir().resolve("pqappend").toString
+    pq.savePqIndex(encOf(batch1), "id", "packed", "cell", coarse, cb,
+      residual = true, path)
+    pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell", path)
+    val idx = pq.loadPqIndex(spark, path)
+    assert(idx.codes.count() === 60L)
+    val q = df.filter($"id" === 3L).select($"v").as[Seq[Double]].collect().head
+    val viaIndex = pq.ivfPqResidualTopK(idx.codes, "packed", "vec_id", "cell",
+        idx.coarse, idx.codebooks, q, nprobe = kCent, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    val direct = pq.ivfPqResidualTopK(encOf(df), "packed", "id", "cell",
+        coarse, cb, q, nprobe = kCent, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex == direct, "appended index must search as the full encode")
+    val err = intercept[IllegalArgumentException] {
+      pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell",
+        tempDir().resolve("nowhere").toString)
+    }
+    assert(err.getMessage.contains("no index meta"))
+  }
+
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
     assert(pq.codeWidth(2) == 1)
     assert(pq.codeWidth(3) == 2)
