@@ -67,6 +67,15 @@ final class BpeCodec(
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private val CacheCap = 1 << 20
 
+  // wholesale-clear counter: a natural-language vocabulary never reaches the
+  // cap, so any nonzero count means an adversarial (>1M distinct pre-tokens
+  // per JVM) corpus regime where the memo hit rate collapses — observable
+  // via this counter and a warn log instead of silently.
+  @transient private lazy val clears = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Times the memo cache has been wholesale-cleared in this JVM. */
+  def cacheClears: Long = clears.get()
+
   /** Unicode code points of `w` as single-symbol strings — the initial symbol
     * sequence. Code-point (not UTF-16 unit) granularity matches Spark
     * `substr` and DuckDB `substr`, the two engines the oracle compares. */
@@ -113,7 +122,13 @@ final class BpeCodec(
         m += 1
       }
     }
-    if (cache.size > CacheCap) cache.clear()
+    if (cache.size > CacheCap) {
+      val n = clears.incrementAndGet()
+      BpeCodec.logger.warn(
+        s"BpeCodec memo cache wholesale clear #$n (cap=$CacheCap distinct " +
+          "pre-tokens in this JVM) — memo hit rate will collapse on this corpus")
+      cache.clear()
+    }
     cache.put(w, syms)
     syms
   }
@@ -223,6 +238,9 @@ case class BpeApply(child: Expression, codec: BpeCodec, emitIds: Boolean)
 object BpeCodec {
   /** Sentinel `oovId` meaning "raise on unknown symbols" (the default). */
   val Loud: Int = Int.MinValue
+
+  private[expressions] val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[BpeCodec])
 }
 
 object BpeApply {

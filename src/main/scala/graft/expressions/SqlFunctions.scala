@@ -94,6 +94,12 @@ object SqlFunctions {
     ("graft_bpe_token_count", TextFunctions.getClass, { exprs: Seq[Expression] =>
       arity("graft_bpe_token_count", 1, exprs)
       x(TextFunctions.bpeTokenCount(c(exprs(0)))) }),
+    ("graft_byte_remap", classOf[ByteRemapExpr], { exprs: Seq[Expression] =>
+      arity("graft_byte_remap", 1, exprs)
+      ByteRemapExpr(exprs(0), inverse = false) }),
+    ("graft_byte_unremap", classOf[ByteRemapExpr], { exprs: Seq[Expression] =>
+      arity("graft_byte_unremap", 1, exprs)
+      ByteRemapExpr(exprs(0), inverse = true) }),
     ("graft_quality_score", TextFunctions.getClass, { exprs: Seq[Expression] =>
       arity("graft_quality_score", 1, exprs)
       x(TextFunctions.qualityScore(c(exprs(0)))) }),
@@ -320,26 +326,32 @@ object SqlFunctions {
         plan(graft.operators.NgramLm.oovBigramRate(score, idCol, textCol,
           lm, minCount.toLong)) }),
       // graft_bpe_encode('trainTbl', 'encodeTbl', 'idCol', 'textCol',
-      // rounds): the FULL tokenizer chain from a pure-SQL FROM clause —
-      // train the merge table on trainTbl (the q113 loop), derive the
-      // alphabet+merges vocabulary, encode encodeTbl scan-side with the
+      // rounds[, byteLevel]): the FULL tokenizer chain from a pure-SQL FROM
+      // clause — train the merge table on trainTbl (the q113 loop), derive
+      // the alphabet+merges vocabulary, encode encodeTbl scan-side with the
       // native BpeApply expression, explode to (idCol, pos, token_sym,
-      // token_id). Training runs at ANALYSIS time (the Jaccard-TVF
-      // driver-side-work caveat, amplified: rounds argmax jobs).
+      // token_id). Optional 6th arg byteLevel (0/1, default 0) switches the
+      // whole chain to the GPT-2 byte-level convention (256-entry base
+      // alphabet — no OOV possible; see ByteRemap). Training runs at
+      // ANALYSIS time (the Jaccard-TVF driver-side-work caveat, amplified:
+      // rounds argmax jobs).
       ("graft_bpe_encode", graft.operators.BpeTrainer.getClass,
         { exprs: Seq[Expression] =>
-        arity("graft_bpe_encode", 5, exprs)
+        require(exprs.length == 5 || exprs.length == 6,
+          s"graft_bpe_encode expects 5 or 6 arguments, got ${exprs.length}")
         val f = "graft_bpe_encode"
         val train = tbl(strLit(f, "trainTbl", exprs(0)))
         val enc = tbl(strLit(f, "encodeTbl", exprs(1)))
         val idCol = strLit(f, "idCol", exprs(2))
         val textCol = strLit(f, "textCol", exprs(3))
         val rounds = intLit(f, "rounds", exprs(4))
+        val byteLevel =
+          exprs.length == 6 && intLit(f, "byteLevel", exprs(5)) != 0
         val bpe = graft.operators.BpeTrainer
         import org.apache.spark.sql.functions.{broadcast, col, posexplode}
-        val merges = bpe.trainMerges(train, textCol, rounds)
-        val voc = bpe.vocab(train, textCol, merges)
-        plan(bpe.encodeToIds(enc, textCol, merges, voc)
+        val merges = bpe.trainMerges(train, textCol, rounds, byteLevel)
+        val voc = bpe.vocab(train, textCol, merges, byteLevel)
+        plan(bpe.encodeToIds(enc, textCol, merges, voc, byteLevel = byteLevel)
           .select(col(idCol), posexplode(col("token_ids")))
           .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
             col("col").as("token_id"))

@@ -21,10 +21,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object BpeTrainer {
 
+  /** Pre-token array of `textCol`; `byteLevel` remaps each pre-token to its
+    * GPT-2 byte-level symbol string ([[graft.expressions.ByteRemap]]) so the
+    * base alphabet is the fixed 256-entry byte table — no text can be OOV.
+    * The remap inside the `transform` lambda touches only the lambda element
+    * (the pre-tokenizer itself runs once, as transform's input — not the HOF
+    * staging trap). */
+  private def preTokens(textCol: String, byteLevel: Boolean) = {
+    val pts = TextFunctions.bpeTokens(col(textCol))
+    if (byteLevel) transform(pts, t => graft.expressions.ByteRemap.remap(t))
+    else pts
+  }
+
   /** (pre_token, freq) corpus word-frequency table — pass 1, reusable across
     * merge iterations. */
-  def preTokenFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.bpeTokens(col(textCol))).as("pre_token"))
+  def preTokenFrequencies(docs: DataFrame, textCol: String,
+                          byteLevel: Boolean = false): DataFrame =
+    docs.select(explode(preTokens(textCol, byteLevel)).as("pre_token"))
       .groupBy(col("pre_token")).agg(count(lit(1)).as("freq"))
 
   /** Top-k adjacent character pairs by corpus frequency: (pair, cnt), ordered
@@ -63,13 +76,19 @@ object BpeTrainer {
     *
     * Single-character pre-tokens are dropped up front: they can never
     * participate in a pair and merges only grow symbols, so they contribute
-    * nothing in any round. */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    * nothing in any round.
+    *
+    * `byteLevel` trains over byte-level symbol strings (one code point per
+    * UTF-8 byte, [[graft.expressions.ByteRemap]]) — the substr splitter and
+    * the whole round machinery are unchanged because each mapped byte IS one
+    * code point. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  byteLevel: Boolean = false): DataFrame = {
     require(rounds > 0, s"rounds must be positive: $rounds")
     val spark = docs.sparkSession
     val toSyms = transform(sequence(lit(1), length(col("pre_token"))),
       i => col("pre_token").substr(i, lit(1)))
-    var table = preTokenFrequencies(docs, textCol)
+    var table = preTokenFrequencies(docs, textCol, byteLevel)
       .filter(length(col("pre_token")) >= 2)
       .select(toSyms.as("syms"), col("freq"))
       .localCheckpoint()
@@ -130,14 +149,22 @@ object BpeTrainer {
     * lowest id. Built driver-side — both inputs are vocab-sized by
     * construction (the alphabet collect is the distinct single code points of
     * the corpus; the one corpus-wide job is [[preTokenFrequencies]], already
-    * map-side combined). */
-  def vocab(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    * map-side combined).
+    *
+    * In `byteLevel` mode the base alphabet is NOT corpus-derived: it is the
+    * full fixed 256-entry byte table (sorted — code-point order IS binary
+    * UTF-8 order for these chars), so every symbol any future text can
+    * produce already has an id — OOV is impossible by construction. */
+  def vocab(docs: DataFrame, textCol: String, merges: DataFrame,
+            byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val alpha = preTokenFrequencies(docs, textCol)
-      .select(explode(transform(sequence(lit(1), length(col("pre_token"))),
-        i => col("pre_token").substr(i, lit(1)))).as("sym"))
-      .distinct().orderBy(col("sym"))
-      .collect().map(_.getString(0))
+    val alpha =
+      if (byteLevel) graft.expressions.ByteRemap.byteToChar.map(_.toString).sorted
+      else preTokenFrequencies(docs, textCol)
+        .select(explode(transform(sequence(lit(1), length(col("pre_token"))),
+          i => col("pre_token").substr(i, lit(1)))).as("sym"))
+        .distinct().orderBy(col("sym"))
+        .collect().map(_.getString(0))
     val entries = alpha.zipWithIndex.map { case (s, i) => (s, i) } ++
       collectMerges(merges).zipWithIndex.map { case (m, i) => (m(2), alpha.length + i) }
     val deduped = entries.groupBy(_._1).map { case (s, es) => (s, es.map(_._2).min) }
@@ -152,25 +179,32 @@ object BpeTrainer {
     * pre-tokenize + one native [[graft.expressions.BpeApply]] call per row,
     * no shuffle, no explode. Losslessness invariant (spec-pinned):
     * array_join(outCol, "") == the original text — merges only regroup
-    * characters, and the GPT-2 pre-tokenizer pattern covers every character. */
+    * characters, and the GPT-2 pre-tokenizer pattern covers every character.
+    * In `byteLevel` mode the invariant is
+    * ByteRemap.unremapString(array_join(outCol, "")) == the original text
+    * (symbols are byte-level; the remap is a bijection). */
   def encode(docs: DataFrame, textCol: String, merges: DataFrame,
-             outCol: String = "bpe_tokens"): DataFrame =
+             outCol: String = "bpe_tokens", byteLevel: Boolean = false): DataFrame =
     docs.withColumn(outCol, graft.expressions.BpeApply.symbols(
-      TextFunctions.bpeTokens(col(textCol)), collectMerges(merges)))
+      preTokens(textCol, byteLevel), collectMerges(merges)))
 
   /** Append `outCol`: BPE token IDS of `textCol` under (merges, vocab) — the
     * form downstream packing/length operators consume. Same scan-side shape
     * as [[encode]]. Symbols outside the vocab RAISE by default (loud on
     * corpus/vocab alphabet mismatch); `oovId = Some(x)` opts into graceful
     * degradation for open text (unknown symbols map to the sentinel — pick
-    * one outside the vocab range, e.g. −2, and handle it downstream). */
+    * one outside the vocab range, e.g. −2, and handle it downstream).
+    * A `byteLevel` encode against a `byteLevel` vocab cannot raise: the
+    * vocab's base alphabet is the full 256-entry byte table, so every
+    * symbol of every text is priced — the structural fix the opt-in
+    * sentinel only approximates. */
   def encodeToIds(docs: DataFrame, textCol: String, merges: DataFrame,
                   vocabDf: DataFrame, outCol: String = "token_ids",
-                  oovId: Option[Int] = None): DataFrame = {
+                  oovId: Option[Int] = None, byteLevel: Boolean = false): DataFrame = {
     val v = vocabDf.orderBy(col("id")).select(col("sym"), col("id").cast("int"))
       .collect()
     docs.withColumn(outCol, graft.expressions.BpeApply.ids(
-      TextFunctions.bpeTokens(col(textCol)), collectMerges(merges),
+      preTokens(textCol, byteLevel), collectMerges(merges),
       v.map(_.getString(0)), v.map(_.getInt(1)), oovId))
   }
 }

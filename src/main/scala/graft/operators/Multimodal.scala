@@ -275,20 +275,35 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs WITHOUT an external embedding model:
-    * aHash fingerprints → Hamming-banded candidates
+    * perceptual-hash fingerprints → Hamming-banded candidates
     * ([[DedupSuite.hammingBandedPairs]] — pigeonhole blocking, every
     * qualifying pair found with NO all-pairs comparison) → EXACT verify on
-    * the decoded pixels (L1 distance over the two 8×8 thumbnails, pure
-    * integer). Output: (id_a, id_b, hamming, l1), hamming <= maxHamming.
+    * the decoded pixels (L1 distance over the two grayscale thumbnails,
+    * pure integer). Output: (id_a, id_b, hamming, l1), hamming <= maxHamming.
     *
-    * Scale shape: one decode+hash per image in the scan; the band join keys
-    * on 16-bit segments; the verify joins re-attach the 64-int thumbnails
-    * for CANDIDATE ids only — when near-dups are rare (the web-corpus case)
+    * `hashKind` selects the fingerprint: "ahash" (default, [[imageAHashes]]
+    * — brightness-shift invariant) or "dhash" ([[imageDHashes]] — gradient
+    * signs, additionally invariant under global contrast scaling, so it
+    * catches brightness-CURVE edits aHash misses).
+    *
+    * Scale shape: one decode+hash per image — the hash frame is
+    * materialized (localCheckpoint) before the three joins that reference
+    * it (band + two thumbnail re-attaches), so the PNG decode runs exactly
+    * once per image rather than once per reference; the band join keys on
+    * 16-bit segments; the verify joins re-attach the thumbnails for
+    * CANDIDATE ids only — when near-dups are rare (the web-corpus case)
     * those joins carry a sliver of the corpus, and the bloom-prune regime
     * from [[DedupSuite]]'s verifiedIntersections applies unchanged if they
     * ever dominate. */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashes = imageAHashes(media).toDF()
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        hashKind: String = "ahash"): DataFrame = {
+    val hashed = hashKind match {
+      case "ahash" => imageAHashes(media)
+      case "dhash" => imageDHashes(media)
+      case other => throw new IllegalArgumentException(
+        s"imageNearDupPairs: hashKind must be ahash|dhash, got '$other'")
+    }
+    val hashes = hashed.toDF().localCheckpoint()
     val cand = DedupSuite.hammingBandedPairs(
       hashes.select(col("media_id"), col("fp")), "media_id", "fp",
       bits = 64, maxHamming = maxHamming)

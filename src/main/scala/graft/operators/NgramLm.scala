@@ -97,8 +97,14 @@ object NgramLm {
       .join(unigrams.select(col("w").as("w1"), col("c").as("_c1")), Seq("w1"), "left")
     val nll = -log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
       (coalesce(col("_c1"), lit(0L)).cast("double") + vocabSize.toDouble))
-    joined.groupBy(col(idCol)).agg(
+    val perDoc = joined.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_bigrams"),
       (sum(nll) / count(lit(1))).as("avg_nll"))
+    // 0/1-token docs vanish in the explode — restore them with NULL avg_nll
+    // so the output is one row per input document, as documented.
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
   }
 }

@@ -754,18 +754,45 @@ object ProductQuantization {
     * working and the probe-union `isin` keeps pruning at FILE level over
     * old and new files alike. Loud if no index meta exists at `path` (an
     * append into nowhere would create an unreadable half-index), and loud
-    * on a packed-code geometry mismatch via the meta m/ksub check. */
+    * on a packed-code geometry mismatch: a caller-supplied (m, ksub) is
+    * compared against the index meta, and the batch itself is scanned for
+    * codes that could not have been packed under the meta geometry (bits
+    * set above m·width, or a field ≥ ksub for non-power-of-two ksub). The
+    * scan is one pass over the APPENDED batch only — incremental-sized,
+    * never corpus-sized. */
   def appendToPqIndex(codes: DataFrame, idCol: String, packedCol: String,
-                      cellCol: String, path: String): Unit = {
+                      cellCol: String, path: String,
+                      m: Option[Int] = None, ksub: Option[Int] = None): Unit = {
     val spark = codes.sparkSession
     val meta = scala.util.Try(spark.read.parquet(s"$path/meta")
-        .select(col("m"), col("ksub")).collect().head)
+        .select(col("m").cast("int"), col("ksub").cast("int")).collect().head)
       .getOrElse(throw new IllegalArgumentException(
         s"appendToPqIndex: no index meta at $path — savePqIndex first"))
-    require(meta != null, "unreachable")
-    codes.select(col(idCol).as("vec_id"), col(packedCol).as("packed"),
-        col(cellCol).cast("int").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val (metaM, metaKsub) = (meta.getInt(0), meta.getInt(1))
+    m.foreach(v => require(v == metaM,
+      s"appendToPqIndex: caller m=$v but index at $path has m=$metaM"))
+    ksub.foreach(v => require(v == metaKsub,
+      s"appendToPqIndex: caller ksub=$v but index at $path has ksub=$metaKsub"))
+    val width = codeWidth(metaKsub)
+    val proj = codes.select(col(idCol).as("vec_id"),
+      col(packedCol).cast("long").as("packed"), col(cellCol).cast("int").as("cell"))
+    // structural batch check: bits above the m·width window mean the codes
+    // were packed under a WIDER geometry (arithmetic shiftright also flags a
+    // stray sign bit); a field ≥ ksub means a taller codebook. Power-of-two
+    // ksub makes the field check vacuous by masking — the window check is
+    // the load-bearing one there.
+    val fieldBad = (0 until metaM)
+      .map(s => unpackCode(col("packed"), s, metaKsub) >= metaKsub)
+      .reduce(_ || _)
+    val windowBad =
+      if (metaM * width < 64) shiftright(col("packed"), metaM * width) =!= 0L
+      else lit(false)
+    val nBad = proj
+      .where(col("packed").isNotNull && (fieldBad || windowBad)).count()
+    require(nBad == 0L,
+      s"appendToPqIndex: $nBad packed code(s) violate index geometry " +
+        s"m=$metaM ksub=$metaKsub at $path — refusing to corrupt the index")
+    proj.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Load a [[savePqIndex]] index. The geometry tables collect driver-side

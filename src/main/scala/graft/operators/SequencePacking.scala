@@ -27,10 +27,17 @@ object SequencePacking {
     * rule's accounting); separators add n_docs−1 on top, and an oversized
     * document still occupies a pack alone. That bound is also why the
     * per-pack `collect_list` is safe at any corpus size — a pack holds at
-    * most budget tokens (or one document), never a corpus-sized group. */
+    * most budget tokens (or one document), never a corpus-sized group.
+    *
+    * Zero-token documents are excluded up front: an empty `idsCol` array
+    * contributes nothing to a pack but would break the n_docs−1-separators
+    * invariant (the fold's empty-accumulator test cannot distinguish "no doc
+    * yet" from "first doc was empty"). The q141 oracle packs non-empty docs
+    * only; this filter keeps the contract structural. */
   def packTokenIds(docs: DataFrame, idCol: String, idsCol: String,
                    budget: Long, nShards: Int, sepId: Int = -1): DataFrame = {
     val withN = docs.select(col(idCol), col(idsCol))
+      .where(size(col(idsCol)) > 0)
       .withColumn("_n", size(col(idsCol)).cast("long"))
     val assign = packSequences(withN, idCol, "_n", budget, nShards)
     assign.join(withN.select(col(idCol), col(idsCol)), Seq(idCol))

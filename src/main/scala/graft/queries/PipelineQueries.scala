@@ -149,6 +149,14 @@ object PipelineQueries {
          |    substr(p, CAST(i AS INT), 1) AS s
          |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS g(i)
          |  WHERE length(p) >= 2)""".stripMargin
+    s"$t0,\n${bpeRoundCtes(rounds)}"
+  }
+
+  /** The per-round c/b/d/e/f/g/h/t replay chain over a `t0(word, freq, i, s)`
+    * exploded symbol table — shared by the code-point ([[bpeTrainCtes]]) and
+    * byte-level ([[bpeTrainCtesByteLevel]]) preambles: the round machinery is
+    * alphabet-agnostic. */
+  private def bpeRoundCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""c$r AS (SELECT word, freq, i, s,
          |    lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM t${r - 1}),
@@ -169,8 +177,93 @@ object PipelineQueries {
          |    CASE WHEN sel THEN s || nxt ELSE s END AS s
          |  FROM h$r WHERE NOT absorbed)""".stripMargin
     }
-    s"$t0,\n${roundCtes.mkString(",\n")}"
+    roundCtes.mkString(",\n")
   }
+
+  /** The 256-row GPT-2 byte-to-symbol map as SQL VALUES `('HX', ch)` —
+    * generated from [[graft.expressions.ByteRemap.byteToChar]], the exact
+    * table the Scala expression walks (hex pairs uppercase, matching
+    * DuckDB's `hex()`). */
+  private lazy val byteRemapValuesSql: String =
+    (0 until 256).map { b =>
+      val ch = graft.expressions.ByteRemap.byteToChar(b)
+      val esc = if (ch == '\'') "''" else ch.toString
+      f"('$b%02X', '$esc')"
+    }.mkString(", ")
+
+  /** Byte-level training replay over `src(doc_id, text)`: pre-tokenize the
+    * ORIGINAL text (the remap must not disturb the pre-tokenizer), aggregate
+    * to distinct words first (the remap then runs per distinct word, not per
+    * corpus occurrence — the Scala side's Zipf shape), remap each word's
+    * UTF-8 bytes through the 256-row map (hex(encode(w)) split into byte
+    * pairs), and feed the remapped frequency table `f(p, freq)` into the
+    * SAME round chain as the code-point replay. Also yields `rm(hx, ch)`
+    * (the map — the byte-level vocab's base alphabet) and `fr(orig, p)`
+    * (word → remapped word, reused by the encode-side join). */
+  private def bpeTrainCtesByteLevel(rounds: Int, src: String): String = {
+    val pre =
+      s"""rm(hx, ch) AS (SELECT * FROM (VALUES $byteRemapValuesSql)),
+         |pt AS (SELECT unnest(regexp_extract_all(text,
+         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS orig
+         | FROM $src),
+         |fw AS (SELECT orig, count(*) AS freq FROM pt GROUP BY 1),
+         |fh AS (SELECT orig, freq, hex(encode(orig)) AS hx FROM fw),
+         |fr AS MATERIALIZED (SELECT fh.orig, fh.freq,
+         |    string_agg(r.ch, '' ORDER BY g.i) AS p
+         |  FROM fh, LATERAL unnest(generate_series(1, length(fh.hx) // 2)) AS g(i)
+         |  JOIN rm r ON r.hx = substr(fh.hx, CAST(2 * g.i - 1 AS INT), 2)
+         |  GROUP BY fh.orig, fh.freq),
+         |f AS (SELECT p, freq FROM fr),
+         |t0 AS (SELECT p AS word, freq, CAST(i AS INT) AS i,
+         |    substr(p, CAST(i AS INT), 1) AS s
+         |  FROM f, LATERAL unnest(generate_series(1, length(p))) AS g(i)
+         |  WHERE length(p) >= 2)""".stripMargin
+    s"$pre,\n${bpeRoundCtes(rounds)}"
+  }
+
+  /** Byte-level twin of [[bpeEncodeCtes]] over `src(doc_id, text)`: the base
+    * alphabet is the FIXED 256-entry byte table (ids 0..255 in binary
+    * symbol order — NOT corpus-derived, the no-OOV-by-construction point),
+    * merge products take 256 + merge_idx − 1; the %5-sampled documents
+    * pre-tokenize on original text and join through `fr` to their remapped
+    * words before reading symbols off the final round's table. */
+  private def bpeEncodeCtesByteLevel(r: Int, src: String): String = {
+    val mergesUnion = (1 to r).map { i =>
+      s"SELECT $i AS midx, lft || rgt AS merged FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeTrainCtesByteLevel(r, src)},
+       |aid AS (SELECT ch AS sym,
+       |  CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS id FROM rm),
+       |mu AS ($mergesUnion),
+       |mid AS (SELECT merged AS sym, CAST(256 + midx - 1 AS INT) AS id FROM mu),
+       |voc AS (SELECT sym, CAST(min(id) AS INT) AS id
+       |  FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid) u GROUP BY sym),
+       |wsym AS MATERIALIZED (SELECT word, i, s FROM t$r
+       |  UNION ALL SELECT p AS word, 1 AS i, p AS s FROM f WHERE length(p) = 1),
+       |dtl AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+       |  FROM $src WHERE doc_id % 5 = 0),
+       |dpt AS (SELECT doc_id, CAST(pi AS INT) AS pti,
+       |    tl[CAST(pi AS INT)] AS word
+       |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+       |dptb AS MATERIALIZED (SELECT d.doc_id, d.pti, fr.p AS word
+       |  FROM dpt d JOIN fr ON fr.orig = d.word),
+       |sq AS (SELECT d.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY d.pti, w.i) AS BIGINT) AS pos, w.s
+       |  FROM dptb d JOIN wsym w ON d.word = w.word)""".stripMargin
+  }
+
+  /** q146: the byte-level encode oracle — the q136 SELECT over the
+    * byte-level CTE chain, with the multi-byte-UTF-8 fixture inlined. */
+  private lazy val q146OracleSql: String =
+    s"""WITH docs6 AS (SELECT doc_id,
+       |    substr(text, 1, 60) || ' café 日本 Straße 🙂!' AS text
+       |  FROM documents),
+       |${bpeEncodeCtesByteLevel(BpeTrainRounds, "docs6")}
+       |SELECT q.doc_id, q.pos, q.s AS token_sym, v.id AS token_id
+       |FROM sq q JOIN voc v ON q.s = v.sym
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** One BM25 term's score expression in DuckDB SQL — the exact arithmetic
     * twin of [[graft.operators.Retrieval.bm25Scores]]: rational idf from in-SQL
@@ -1472,6 +1565,34 @@ object PipelineQueries {
           lay.bucket(TextFunctions.tokenCount(col("text")), 10).as("y"))
         .withColumn("zval", lay.zValue(Seq(col("x"), col("y")), 10))
         .orderBy(col("doc_id"))
+    }),
+
+    // q146: BYTE-LEVEL BPE — the q136 chain under the GPT-2 byte-level
+    // convention (ByteRemap: UTF-8 bytes → 256 printable symbol chars), so
+    // OOV is impossible by construction on open text. The fixture appends
+    // real multi-byte UTF-8 (accents, CJK, an astral emoji) to every
+    // document — exactly what the code-point path cannot price without a
+    // sentinel. The oracle replays the remap itself (hex(encode(word)) split
+    // into byte pairs against the 256-row map) and then the identical
+    // training-replay + vocab + pricing chain; the base alphabet is the
+    // FIXED byte table, ids 0..255.
+    "q146_bpe_byte_encode" -> ((s, dir) => {
+      val bpe = graft.operators.BpeTrainer
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 60),
+          lit(" café 日本 Straße 🙂!")).as("text"))
+      val merges = bpe.trainMerges(fixture, "text", rounds = BpeTrainRounds,
+        byteLevel = true)
+      val voc = bpe.vocab(fixture, "text", merges, byteLevel = true)
+      bpe.encodeToIds(fixture.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "text", merges, voc, byteLevel = true)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token_id"))
+        .join(broadcast(voc.select(col("sym").as("token_sym"),
+          col("id").as("token_id"))), Seq("token_id"))
+        .select(col("doc_id"), col("pos"), col("token_sym"), col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
 
@@ -2387,6 +2508,7 @@ object PipelineQueries {
          |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
     "q136_bpe_encode" -> q136OracleSql,
+    "q146_bpe_byte_encode" -> q146OracleSql,
     // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).

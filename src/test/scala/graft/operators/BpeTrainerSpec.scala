@@ -245,4 +245,65 @@ class BpeTrainerSpec extends SparkSpec {
     }
     assert(sizes.exists(_.getLong(3) > 1L), "packing should combine small docs")
   }
+
+  // ── byte-level mode (GPT-2 convention — no OOV by construction) ───────────
+
+  test("byteLevel training is isomorphic to code-point training on ASCII text") {
+    import graft.expressions.ByteRemap
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran the mat")).toDF("doc_id", "text")
+    val charM = BpeTrainer.collectMerges(
+      BpeTrainer.trainMerges(docs, "text", rounds = 3))
+    val byteM = BpeTrainer.collectMerges(
+      BpeTrainer.trainMerges(docs, "text", rounds = 3, byteLevel = true))
+    // ASCII pre-tokens remap char-for-char, so each merge is the remapped
+    // twin of the code-point merge WHILE argmaxes are unique (the remap
+    // preserves binary order within visible ASCII; count TIES can diverge
+    // because space remaps ABOVE letters — rounds 1–3 here are tie-free,
+    // round 4 is exactly such a tie, deliberately excluded)
+    assert(byteM.map(_.toSeq).toSeq ===
+      charM.map(_.map(ByteRemap.remapString).toSeq).toSeq)
+  }
+
+  test("byteLevel encode is lossless on adversarial UTF-8 (emoji, CJK, controls)") {
+    import graft.expressions.ByteRemap
+    val docs = Seq(
+      (1L, "plain ascii text."),
+      (2L, "café déjà vu — naïve"),
+      (3L, "日本語のテキスト 🙂🤖"),
+      (4L, "mixed: Straße 中文 and\ttabs"),
+      (5L, "")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", rounds = 5, byteLevel = true)
+    val got = BpeTrainer.encode(docs, "text", merges, byteLevel = true)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2).mkString).toMap
+    val want = docs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    want.foreach { case (id, text) =>
+      assert(ByteRemap.unremapString(got(id)) === text,
+        s"byte-level round-trip broke on doc $id")
+    }
+  }
+
+  test("byteLevel vocab has the full 256-symbol base: NO text can be OOV") {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(train, "text", rounds = 3, byteLevel = true)
+    val voc = BpeTrainer.vocab(train, "text", merges, byteLevel = true)
+    val base = voc.filter($"id" < 256).count()
+    assert(base === 256L, "base alphabet must be the fixed byte table")
+    assert(voc.filter($"id" >= 256).count() === 3L, "merge products after the base")
+    // text with symbols NEVER seen at train time — emoji, CJK, Greek,
+    // control chars — encodes WITHOUT raising and without any sentinel:
+    // the property the code-point path needs an opt-in oovId for
+    val alien = Seq((9L, "Ω≈ç 中文 🙂 ")).toDF("doc_id", "text")
+    val ids = BpeTrainer.encodeToIds(alien, "text", merges, voc, byteLevel = true)
+      .collect()(0).getSeq[Int](2)
+    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < 259))
+    // and the code-point path on the same input DOES raise (the contrast
+    // that makes byte-level the structural fix)
+    val charMerges = BpeTrainer.trainMerges(train, "text", rounds = 3)
+    val charVoc = BpeTrainer.vocab(train, "text", charMerges)
+    intercept[Exception] {
+      BpeTrainer.encodeToIds(alien, "text", charMerges, charVoc).collect()
+    }
+  }
 }

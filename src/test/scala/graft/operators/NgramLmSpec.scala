@@ -63,8 +63,10 @@ class NgramLmSpec extends SparkSpec {
     // text is NOT guaranteed to score worse than scrambled known text
     assert(math.abs(out(22L).get - math.log(7.0)) < 1e-12,
       "unknown contexts score the uniform ln(V)") // −ln(1/V) ≠ ln(V) by 1 ulp
-    assert(!out.contains(23L) || out.get(23L).flatten.isEmpty ||
-      out(23L).isEmpty) // 1-token doc: no bigram rows -> absent from the agg
+    // one row PER INPUT DOC (the documented contract): a 1-token doc is
+    // present with NULL avg_nll, not silently dropped by the explode
+    assert(out.keySet === Set(20L, 21L, 22L, 23L))
+    assert(out(23L).isEmpty, "no-bigram doc must carry NULL avg_nll")
     // smoothing sanity: every NLL is positive and finite
     out.values.flatten.foreach(nll => assert(nll > 0.0 && !nll.isInfinite))
   }

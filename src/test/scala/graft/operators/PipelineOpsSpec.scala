@@ -471,6 +471,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIds: zero-token docs are excluded, separator invariant survives") {
+    import graft.operators.SequencePacking
+    // empty docs FIRST, BETWEEN, and LAST in id order — each would break the
+    // n_docs−1-separators accounting if it reached the fold (the empty-
+    // accumulator test can't tell 'no doc yet' from 'first doc was empty')
+    val docs = Seq(
+      (1L, Seq.empty[Int]),
+      (2L, Seq(20, 21)),
+      (3L, Seq.empty[Int]),
+      (4L, Seq(40, 41)),
+      (5L, Seq.empty[Int]))
+      .toDF("doc_id", "token_ids")
+    val out = SequencePacking.packTokenIds(docs, "doc_id", "token_ids",
+      budget = 6L, nShards = 1, sepId = -1)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getSeq[Int](3)))).toMap
+    assert(out === Map(0L -> ((2L, Seq(20, 21, -1, 40, 41)))),
+      "empty docs contribute nothing: no leading/dangling separators")
+  }
+
   test("Profiler: per-column null/distinct/min/max in one pass; unknown columns rejected") {
     val df = Seq((1L, "a", null), (2L, "b", "x"), (2L, null, "y"))
       .toDF("k", "s", "t")
@@ -671,6 +690,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs((1L, 3L))._2 === 48L, "L1 is the exact pixel delta")
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
       "unrelated image must not pair")
+  }
+
+  test("imageNearDupPairs hashKind=dhash catches a brightness-curve edit aHash misses") {
+    // strictly-decreasing rows; the convex curve g²/255 keeps every gradient
+    // sign (dHash bits identical) but moves the mean crossing — the 184
+    // column flips from above-mean to below-mean, 8 aHash bits, past banding
+    val row = Array(248, 232, 216, 200, 184, 168, 152, 32)
+    val base = Array.tabulate(64)(p => row(p % 8))
+    val curved = base.map(g => g * g / 255)
+    val media = grayMedia(1L -> base, 2L -> curved)
+    val a = Multimodal.imageNearDupPairs(media, maxHamming = 3,
+      hashKind = "ahash").collect()
+    assert(a.isEmpty, "aHash must miss the curve edit (mean crossing moved)")
+    val d = Multimodal.imageNearDupPairs(media, maxHamming = 3,
+      hashKind = "dhash").collect()
+    assert(d.length == 1 && d.head.getLong(0) == 1L && d.head.getLong(1) == 2L)
+    assert(d.head.getLong(2) == 0L,
+      "gradient signs are invariant under a monotone curve")
+    intercept[IllegalArgumentException](
+      Multimodal.imageNearDupPairs(media, 3, "phash"))
   }
 
   test("hammingBandedPairs: pigeonhole finds every pair <= maxHamming, drops collided heavies") {

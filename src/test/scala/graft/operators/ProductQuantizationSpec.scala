@@ -584,6 +584,38 @@ class ProductQuantizationSpec extends SparkSpec {
         tempDir().resolve("nowhere").toString)
     }
     assert(err.getMessage.contains("no index meta"))
+
+    // geometry validation — silently appending codes packed under a
+    // different (m, ksub) would corrupt the index for every later reader:
+    // (a) a caller-declared geometry that disagrees with the meta is loud
+    val callerM = intercept[IllegalArgumentException] {
+      pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell", path,
+        m = Some(m + 1))
+    }
+    assert(callerM.getMessage.contains(s"index at $path has m=$m"))
+    val callerK = intercept[IllegalArgumentException] {
+      pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell", path,
+        ksub = Some(ksub * 2))
+    }
+    assert(callerK.getMessage.contains(s"ksub=$ksub"))
+    // (b) codes with bits above the m·width window (packed under a WIDER
+    // geometry) are refused — here m=4, ksub=3 → width 2, window 8 bits
+    val wide = Seq((99L, 1L << 20, 0)).toDF("id", "packed", "cell")
+    val widErr = intercept[IllegalArgumentException] {
+      pq.appendToPqIndex(wide, "id", "packed", "cell", path)
+    }
+    assert(widErr.getMessage.contains("violate index geometry"))
+    // (c) an in-window field ≥ ksub (non-power-of-two ksub exposes it):
+    // field0 = 0b11 = 3 ≥ ksub=3
+    val tall = Seq((99L, 3L, 0)).toDF("id", "packed", "cell")
+    val tallErr = intercept[IllegalArgumentException] {
+      pq.appendToPqIndex(tall, "id", "packed", "cell", path)
+    }
+    assert(tallErr.getMessage.contains("violate index geometry"))
+    // matching caller-declared geometry still appends cleanly
+    pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell", path,
+      m = Some(m), ksub = Some(ksub))
+    assert(pq.loadPqIndex(spark, path).codes.count() === 80L)
   }
 
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {
