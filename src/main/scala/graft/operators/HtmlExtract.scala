@@ -35,19 +35,61 @@ object HtmlExtract {
       "</tr\\s*>|</title\\s*>") -> "\n",
     "(?s)<[^>]*>" -> "")
 
-  /** Ordered entity decodes — `&amp;` last by construction. */
+  /** Named entity decodes (the `&amp;` family is handled LAST, separately —
+    * see [[AmpPattern]]). `&#39;` is covered by the numeric table. */
   private val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&apos;" -> "'", "&nbsp;" -> " ")
+
+  /** Curated numeric character references (code point → decoded text): the
+    * Windows-1252/General-Punctuation set real web text is full of — smart
+    * quotes, dashes, ellipsis, bullet, ©/®/™ — plus the ASCII quote/angle
+    * refs. Each decodes from BOTH its decimal and hex forms with optional
+    * leading zeros and either-case hex ([[numRefPattern]]); 160 (nbsp)
+    * decodes to a plain space like `&nbsp;`. References OUTSIDE this table
+    * survive as literal text — the decode is deliberately BOUNDED (a fixed
+    * regex chain both engines replay identically) rather than a general
+    * chr() evaluator, and this table is what poisons line rules and dedup
+    * fingerprints in practice. 38/x26 (`&`) is excluded here: it folds into
+    * [[AmpPattern]] so `&#038;lt;` yields literal `&lt;` text, never a
+    * double decode. */
+  val NumericRefs: Seq[(Int, String)] = Seq(
+    160 -> " ", 169 -> "©", 174 -> "®",
+    8211 -> "–", 8212 -> "—",
+    8216 -> "‘", 8217 -> "’",
+    8220 -> "“", 8221 -> "”",
+    8226 -> "•", 8230 -> "…", 8482 -> "™",
+    34 -> "\"", 39 -> "'", 60 -> "<", 62 -> ">")
+
+  /** Pattern matching code point `cp`'s decimal AND hex reference forms:
+    * `&#0*NNN;` / `&#[xX]0*HH;` (leading zeros bounded at 6, hex digits
+    * either case) — java.util.regex ∩ RE2, no backreferences. */
+  def numRefPattern(cp: Int): String = {
+    val hexPat = cp.toHexString.map { c =>
+      if (c.isLetter) s"[$c${c.toUpper}]" else c.toString
+    }.mkString
+    s"&#(?:0{0,6}$cp|[xX]0{0,6}$hexPat);"
+  }
+
+  /** The `&` decodes, LAST by construction (single-pass, no double-decode):
+    * named `&amp;` plus its numeric forms. */
+  val AmpPattern: String = "&amp;|&#0{0,6}38;|&#[xX]0{0,6}26;"
 
   /** Raw text of an HTML column: markup stripped (block boundaries become
-    * newlines), entities decoded. No line filtering — [[c4Lines]] is the
+    * newlines), entities decoded — named, then the bounded numeric table,
+    * then the `&` family last. No line filtering — [[c4Lines]] is the
     * quality pass. */
   def htmlToText(html: Column): Column = {
     val stripped = StripChain.foldLeft(html) { case (c, (p, r)) =>
       regexp_replace(c, p, r)
     }
-    Entities.foldLeft(stripped) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    val named = Entities.foldLeft(stripped) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val numeric = NumericRefs.foldLeft(named) { case (c, (cp, r)) =>
+      regexp_replace(c, numRefPattern(cp), r)
+    }
+    regexp_replace(numeric, AmpPattern, "&")
   }
 
   /** Default banned fragments (lower-cased substring match). */

@@ -265,6 +265,22 @@ object PipelineQueries {
        |FROM sq q JOIN voc v ON q.s = v.sym
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** The q138 entity-decode expression over column `x` — generated from the
+    * SAME constants [[graft.operators.HtmlExtract]] folds (named entities,
+    * then the bounded numeric-reference table via the shared pattern
+    * builder, then the `&` family last), so Scala chain and oracle cannot
+    * drift. */
+  private lazy val htmlEntityDecodeSql: String = {
+    val he = graft.operators.HtmlExtract
+    val named = """replace(replace(replace(replace(replace(x,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&nbsp;', ' ')"""
+    val numeric = he.NumericRefs.foldLeft(named) { case (acc, (cp, r)) =>
+      val rep = if (r == "'") "chr(39)" else s"'$r'"
+      s"regexp_replace($acc, '${he.numRefPattern(cp)}', $rep, 'g')"
+    }
+    s"regexp_replace($numeric, '${he.AmpPattern}', '&', 'g')"
+  }
+
   /** One BM25 term's score expression in DuckDB SQL — the exact arithmetic
     * twin of [[graft.operators.Retrieval.bm25Scores]]: rational idf from in-SQL
     * (n, df_i), k1=1.5 / b=0.75 literals (exact binary doubles), identical
@@ -1417,6 +1433,8 @@ object PipelineQueries {
           lit("<p>Please enable javascript to continue.</p>")).otherwise(lit("")),
         lit("<p>Tom &amp; Jerry say &quot;hi&quot; to &lt;everyone&gt; " +
           "&#39;now&#39;&nbsp;okay.</p>"),
+        lit("<p>It&#8217;s a &#8220;quoted&#8221; em&#8212;dash &#169; " +
+          "&#x2026; leading&#0160;zeros &#038;lt; stays &#1234; put.</p>"),
         lit("<ul><li>one two three four.</li><li>tiny</li></ul>"),
         lit("</body></html>"))
       graft.operators.HtmlExtract.extract(
@@ -2536,7 +2554,7 @@ object PipelineQueries {
     "q137_image_neardup" -> q137OracleSql,
     "q143_sql_image_neardup" -> q137OracleSql,
     "q138_html_extract" ->
-      """WITH h AS (SELECT doc_id,
+      ("""WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title>'
         |  || '<style a="b">.c{color:red}</style>'
         |  || '<script>if(1<2){x=1;}</script></head><body>'
@@ -2546,6 +2564,7 @@ object PipelineQueries {
         |  || (CASE WHEN doc_id % 3 = 0 THEN '<div>home | about | contact</div>' ELSE '' END)
         |  || (CASE WHEN doc_id % 4 = 0 THEN '<p>Please enable javascript to continue.</p>' ELSE '' END)
         |  || '<p>Tom &amp; Jerry say &quot;hi&quot; to &lt;everyone&gt; &#39;now&#39;&nbsp;okay.</p>'
+        |  || '<p>It&#8217;s a &#8220;quoted&#8221; em&#8212;dash &#169; &#x2026; leading&#0160;zeros &#038;lt; stays &#1234; put.</p>'
         |  || '<ul><li>one two three four.</li><li>tiny</li></ul>'
         |  || '</body></html>' AS html FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS x FROM h),
@@ -2555,9 +2574,8 @@ object PipelineQueries {
         |  '(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</h[1-6]\s*>|</tr\s*>|</title\s*>',
         |  chr(10), 'g') AS x FROM s3),
         |s5 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM s4),
-        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(x,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |  '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x FROM s5),
+        |e AS (SELECT doc_id, """.stripMargin + htmlEntityDecodeSql +
+      """ AS x FROM s5),
         |lsx AS (SELECT doc_id, string_split(x, chr(10)) AS ls FROM e),
         |ln AS MATERIALIZED (SELECT doc_id, i,
         |    trim(regexp_replace(ls[i], '\s+', ' ', 'g')) AS l
@@ -2572,7 +2590,7 @@ object PipelineQueries {
         |    CAST(count(*) AS BIGINT) AS n_lines FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.text, '') AS text,
         |  coalesce(a.n_lines, 0) AS n_lines
-        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
     "q115_capped_buckets" ->
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'big'

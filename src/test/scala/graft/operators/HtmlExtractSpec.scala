@@ -36,6 +36,24 @@ class HtmlExtractSpec extends SparkSpec {
     assert(text === "a <b> c \"d\" 'e' and &lt; stays encoded.")
   }
 
+  test("numeric character references: decimal/hex/leading-zero forms decode, table is bounded") {
+    val (text, _) = extractOne(
+      "<p>It&#8217;s &#8220;curly&#8221; an em&#8212;dash &#x2026; now " +
+        "&#169;&#174;&#8482; and&#0160;leading zeros too.</p>")
+    assert(text === "It’s “curly” an em—dash … now ©®™ and leading zeros too.")
+    // hex forms, either case, decode to the same characters
+    val (hexText, _) = extractOne(
+      "<p>hex quotes &#x201C;work&#X201d; and dashes &#x2013;&#x2014; do too.</p>")
+    assert(hexText === "hex quotes “work” and dashes –— do too.")
+    // the & family decodes LAST even in numeric form: &#038;lt; -> literal &lt;
+    val (ampText, _) = extractOne("<p>one &#038;lt; two &#x26;gt; three stay.</p>")
+    assert(ampText === "one &lt; two &gt; three stay.")
+    // references OUTSIDE the curated table survive as literal text (the
+    // decode is a bounded regex chain, not a chr() evaluator — documented)
+    val (alien, _) = extractOne("<p>unknown ref &#1234; stays put here.</p>")
+    assert(alien === "unknown ref &#1234; stays put here.")
+  }
+
   test("C4 line rules: min words, terminal punctuation, banned fragments") {
     val html =
       "<p>this line is kept for sure.</p>" +
