@@ -309,6 +309,19 @@ object SqlFunctions {
         plan(graft.operators.Multimodal.imageNearDupPairs(
           tbl(strLit(f, "table", exprs(0))),
           maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_video_neardup('table', every, maxHamming, minOverlap): video
+      // near-dup over a (media_id, payload) GIF-clip view — per-frame aHash
+      // in the demux scan, frame-level Hamming banding, exact directional-
+      // containment verify; (id_a, id_b, m_a, n_a, m_b, n_b, overlap) rows.
+      ("graft_video_neardup", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_video_neardup", 4, exprs)
+        val f = "graft_video_neardup"
+        plan(graft.operators.Multimodal.videoNearDupPairs(
+          tbl(strLit(f, "table", exprs(0))),
+          every = intLit(f, "every", exprs(1)),
+          maxHamming = intLit(f, "maxHamming", exprs(2)),
+          minOverlap = doubleLit(f, "minOverlap", exprs(3)))) }),
       // graft_bigram_oov('trainTbl', 'scoreTbl', 'idCol', 'textCol',
       // minCount): the bigram-LM OOV novelty filter from a pure-SQL FROM
       // clause — trains the count table on trainTbl, scores scoreTbl

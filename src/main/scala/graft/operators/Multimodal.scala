@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,12 +216,27 @@ object Multimodal {
     out
   }
 
-  /** aHash (average hash) over REAL decoded images: 8×8 grayscale thumbnail,
-    * bit p (row-major, MSB-first: bit 63−p) set iff 64·gray_p > Σ grays — the
-    * cross-multiplied integer form of "pixel above mean", exact in both
-    * engines (no double threshold). Invariant under global brightness shift
-    * (mean shifts with the pixels) and under lossless recompression (same
-    * pixels ⇒ same thumbnail). Per-partition decoder init, scan-shaped. */
+  /** aHash bits of an 8×8 grayscale thumbnail: bit p (row-major, MSB-first:
+    * bit 63−p) set iff 64·gray_p > Σ grays — the cross-multiplied integer
+    * form of "pixel above mean", exact in both engines (no double
+    * threshold). Shared by [[imageAHashes]] and the per-frame video path. */
+  private def aHashBits(gray: Array[Int]): Long = {
+    var sum = 0L
+    var p = 0
+    while (p < 64) { sum += gray(p); p += 1 }
+    var fp = 0L
+    p = 0
+    while (p < 64) {
+      if (64L * gray(p) > sum) fp |= (1L << (63 - p))
+      p += 1
+    }
+    fp
+  }
+
+  /** aHash (average hash) over REAL decoded images: 8×8 grayscale thumbnail
+    * through [[aHashBits]]. Invariant under global brightness shift (mean
+    * shifts with the pixels) and under lossless recompression (same pixels ⇒
+    * same thumbnail). Per-partition decoder init, scan-shaped. */
   def imageAHashes(media: DataFrame): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
@@ -231,16 +246,7 @@ object Multimodal {
           val img = ImageIO.read(new ByteArrayInputStream(payload))
           require(img != null, s"media_id=$id: payload is not a decodable image")
           val gray = grayThumb(img, 8, 8)
-          var sum = 0L
-          var p = 0
-          while (p < 64) { sum += gray(p); p += 1 }
-          var fp = 0L
-          p = 0
-          while (p < 64) {
-            if (64L * gray(p) > sum) fp |= (1L << (63 - p))
-            p += 1
-          }
-          ImageHash(id, fp, gray)
+          ImageHash(id, aHashBits(gray), gray)
         }
       }
   }
@@ -466,6 +472,126 @@ object Multimodal {
           } finally { reader.dispose(); iis.close() }
         }
       }
+  }
+
+  /** Encode arbitrary GRAYSCALE frames as a real multi-frame GIF — the
+    * pixel-level twin of [[encodeGif]] (which writes solid colors only).
+    * Frames are written TYPE_BYTE_INDEXED over an explicit 256-entry gray
+    * palette, so the indexed GIF round-trip is LOSSLESS by construction
+    * (no writer-side quantization) and per-frame hashes have a closed form. */
+  def encodeGifGray(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && w > 0 && h > 0, "need frames and positive dims")
+    require(frames.forall(_.length == w * h), s"every frame must be $w×$h grays")
+    val palette = Array.tabulate(256)(identity)
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      palette.map(_.toByte), palette.map(_.toByte), palette.map(_.toByte))
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { grays =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var p = 0
+        while (p < grays.length) {
+          img.getRaster.setSample(p % w, p / w, 0, grays(p))
+          p += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** One sampled frame's perceptual fingerprint. */
+  final case class FrameHash(media_id: Long, frame_idx: Int, fp: Long)
+
+  /** Per-frame aHash over multi-frame GIF payloads: demux by frame index
+    * (every `every`-th frame), 8×8 grayscale thumbnail, [[aHashBits]] — ONE
+    * decode pass per clip in the scan, the video twin of [[imageAHashes]].
+    * Eager per-payload decode under try/finally (the [[sampleGifFrames]]
+    * reader-leak rationale). */
+  def gifFrameAHashes(media: DataFrame, every: Int = 1): Dataset[FrameHash] = {
+    require(every > 0, "every must be positive")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by every).map { f =>
+              FrameHash(id, f, aHashBits(grayThumb(reader.read(f), 8, 8)))
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      }
+  }
+
+  /** VIDEO near-duplicate pairs — re-encoded, trimmed, and partially-edited
+    * clips — without an external embedding model: per-frame aHash
+    * fingerprints ([[gifFrameAHashes]]) → per-clip DISTINCT frame-hash sets
+    * → Hamming-banded candidate clip pairs (the [[DedupSuite
+    * .hammingBandedPairs]] pigeonhole applied at FRAME level: clips sharing
+    * a 16-bit segment of any frame hash — every pair with a frame within
+    * `maxHamming` is found, NO all-pairs comparison) → EXACT verify on the
+    * sampled frames: per direction, the fraction of one clip's distinct
+    * frame hashes whose best match in the other is within `maxHamming`;
+    * a pair survives when the LARGER directional containment reaches
+    * `minOverlap` (max handles trims: a trimmed clip is fully contained in
+    * its original while the reverse fraction reports the trim).
+    *
+    * Output: (id_a, id_b, m_a, n_a, m_b, n_b, overlap) — matched/total
+    * distinct frame hashes per side (exact integers) and the containment
+    * score (one IEEE division per side + greatest, oracle-replayable).
+    *
+    * Scale shape: one demux+hash pass per clip (the frame table is
+    * materialized once, localCheckpoint, before the band and verify joins —
+    * payload bytes never ride any join); the band join keys on 16-bit
+    * segments; the verify join carries candidate clips' frame hashes only
+    * (#cand × frames² small rows — frames per clip are bounded by the
+    * sampling, candidates by the banding). */
+  def videoNearDupPairs(media: DataFrame, every: Int = 1, maxHamming: Int = 3,
+                        minOverlap: Double = 0.5): DataFrame = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0, s"bad minOverlap=$minOverlap")
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"64 bits not divisible by ${bands} bands")
+    val seg = 64 / bands
+    val segMask = (1L << seg) - 1
+    def segOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
+    val vf = gifFrameAHashes(media, every).toDF()
+      .select(col("media_id"), col("fp")).distinct().localCheckpoint()
+    val banded = vf.select(col("media_id"), posexplode(
+        array((0 until bands).map(segOf(col("fp"), _)): _*)))
+      .select(col("media_id"), col("pos").as("block_idx"), col("col").as("block_key"))
+    val cand = banded.select(col("block_idx"), col("block_key"),
+        col("media_id").as("id_a"))
+      .join(banded.select(col("block_idx"), col("block_key"),
+        col("media_id").as("id_b")), Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val pf = cand
+      .join(vf.select(col("media_id").as("id_a"), col("fp").as("_fpa")), Seq("id_a"))
+      .join(vf.select(col("media_id").as("id_b"), col("fp").as("_fpb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("_fpa"), col("_fpb"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("h"))
+    def side(fpCol: String, mName: String, nName: String) = pf
+      .groupBy(col("id_a"), col("id_b"), col(fpCol))
+      .agg(min(col("h")).as("_mh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as(nName),
+        sum(when(col("_mh") <= maxHamming, 1L).otherwise(0L)).as(mName))
+    side("_fpa", "m_a", "n_a").join(side("_fpb", "m_b", "n_b"), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("m_a"), col("n_a"), col("m_b"), col("n_b"),
+        greatest(col("m_a").cast("double") / col("n_a").cast("double"),
+          col("m_b").cast("double") / col("n_b").cast("double")).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
   }
 
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])

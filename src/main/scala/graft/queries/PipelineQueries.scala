@@ -113,6 +113,36 @@ object PipelineQueries {
     }.toDF("media_id", "payload")
   }
 
+  /** q147 fixture arithmetic: gray of pixel p (row-major 0..63) of frame f
+    * of the clip whose SOURCE polynomial is (sb, sf). Base clips carry 6
+    * frames f=0..5 with (sb,sf)=(id,f); doc_id%7==1 is a byte-identical
+    * RE-ENCODE of doc_id−1; %7==2 is a TRIM (frames 1..4 of doc_id−2);
+    * %7==3 replaces frame 3 of doc_id−3 with its own polynomial (sb=id,
+    * sf=97) — the partial-edit case. The oracle replays this closed form
+    * through the per-frame aHash, frame-level banding, and the directional
+    * containment verify. */
+  private def vidGray(sb: Long, sf: Long, p: Int): Int =
+    ((1000003L * (sb + 1) + 7919L * (sf + 1) + 55L * (p + 1)
+      + sb * p.toLong * p + sf * p) % 256).toInt
+
+  /** Distributed q147 fixture: REAL multi-frame grayscale GIFs
+    * (encodeGifGray — lossless indexed palette) from [[vidGray]], one clip
+    * per document. */
+  private def videoFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val frames: Seq[Array[Int]] = (id % 7) match {
+        case 1 => (0 until 6).map(f => Array.tabulate(64)(p => vidGray(id - 1, f, p)))
+        case 2 => (1 to 4).map(f => Array.tabulate(64)(p => vidGray(id - 2, f, p)))
+        case 3 => (0 until 6).map(f => Array.tabulate(64)(p =>
+          if (f == 3) vidGray(id, 97, p) else vidGray(id - 3, f, p)))
+        case _ => (0 until 6).map(f => Array.tabulate(64)(p => vidGray(id, f, p)))
+      }
+      (id, graft.operators.Multimodal.encodeGifGray(frames, 8, 8))
+    }.toDF("media_id", "payload")
+  }
+
   /** q113's merge-round count (shared by the query and the unrolled oracle). */
   private val BpeTrainRounds = 6
 
@@ -1611,6 +1641,33 @@ object PipelineQueries {
           col("id").as("token_id"))), Seq("token_id"))
         .select(col("doc_id"), col("pos"), col("token_sym"), col("token_id"))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // q148: video near-dup from pure SQL — the graft_video_neardup TABLE
+    // function over the q147 fixture registered as a view; shares q147's
+    // oracle verbatim.
+    "q148_sql_video_neardup" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      videoFixture(t(s, dir, "documents"))
+        .createOrReplaceTempView("graft_videos")
+      s.sql("""SELECT id_a, id_b, m_a, n_a, m_b, n_b, overlap
+          FROM graft_video_neardup('graft_videos', 1, 3, 0.5)
+          ORDER BY id_a, id_b""")
+    }),
+
+    // q147: VIDEO near-dup — re-encoded, trimmed, and partially-edited clips
+    // caught with NO all-pairs comparison: real GIF demux → per-frame aHash
+    // in the scan → distinct frame-hash sets per clip → frame-level Hamming
+    // banding for candidates → exact directional-containment verify on the
+    // sampled frames. Fixture plants a re-encode (%7==1), a trim (%7==2,
+    // containment 1.0 from the trimmed side), and a one-frame edit (%7==3,
+    // overlap 5/6); the oracle replays construction → threshold bits →
+    // banding → min-hamming containment in integer arithmetic.
+    "q147_video_neardup" -> ((s, dir) => {
+      graft.operators.Multimodal.videoNearDupPairs(
+          videoFixture(t(s, dir, "documents")), every = 1, maxHamming = 3,
+          minOverlap = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1803,10 +1860,13 @@ object PipelineQueries {
   private def simhashBitSql(b: Int): String =
     s"(CASE WHEN 2 * ((lane${b / 4} >> ${16 * (b % 4)}) & 65535) > n THEN '1' ELSE '0' END)"
 
-  private val hammingSql: String =
+  /** 64-term differing-bit-char sum between two fp bit-string expressions. */
+  private def hammingSqlOn(a: String, b: String): String =
     "CAST(" + (1 to SimHashBits).map(i =>
-      s"(CASE WHEN substr(a.fp,$i,1) = substr(b.fp,$i,1) THEN 0 ELSE 1 END)")
+      s"(CASE WHEN substr($a,$i,1) = substr($b,$i,1) THEN 0 ELSE 1 END)")
       .mkString(" + ") + " AS BIGINT)"
+
+  private val hammingSql: String = hammingSqlOn("a.fp", "b.fp")
 
   /** The q137 image-near-dup oracle, shared VERBATIM by q143 (the
     * graft_image_neardup TABLE function must reproduce the Scala chain
@@ -1837,6 +1897,58 @@ object PipelineQueries {
          |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
          |GROUP BY h.id_a, h.id_b, h.hamming
+         |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q147 video-near-dup oracle: the [[vidGray]] closed form replayed
+    * through per-frame threshold bits (string fps, the q137 convention),
+    * frame-level 16-char banding to DISTINCT candidate clip pairs, and the
+    * exact min-hamming directional-containment verify — m/n are integer
+    * counts, overlap is one IEEE division per side + greatest. */
+  private lazy val q147OracleSql: String =
+      s"""WITH vm AS (SELECT doc_id, doc_id % 7 AS kind,
+         |    CASE WHEN doc_id % 7 = 1 THEN doc_id - 1
+         |         WHEN doc_id % 7 = 2 THEN doc_id - 2
+         |         WHEN doc_id % 7 = 3 THEN doc_id - 3
+         |         ELSE doc_id END AS b
+         |  FROM documents),
+         |vfr AS (SELECT doc_id, f,
+         |    CASE WHEN kind = 3 AND f = 3 THEN doc_id ELSE b END AS sb,
+         |    CASE WHEN kind = 3 AND f = 3 THEN 97 ELSE f END AS sf
+         |  FROM vm, LATERAL unnest(generate_series(0, 5)) AS gf(f)
+         |  WHERE kind <> 2 OR f BETWEEN 1 AND 4),
+         |gr AS MATERIALIZED (SELECT doc_id, f, p,
+         |    (1000003*(sb+1) + 7919*(sf+1) + 55*(p+1) + sb*p*p + sf*p) % 256 AS g
+         |  FROM vfr, LATERAL unnest(generate_series(0, 63)) AS gp(p)),
+         |sm AS (SELECT doc_id, f, sum(g) AS s FROM gr GROUP BY 1, 2),
+         |fps AS (SELECT g.doc_id, g.f,
+         |    string_agg(CASE WHEN 64*g.g > s.s THEN '1' ELSE '0' END, '' ORDER BY g.p) AS fp
+         |  FROM gr g JOIN sm s ON s.doc_id = g.doc_id AND s.f = g.f
+         |  GROUP BY g.doc_id, g.f),
+         |vf AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM fps),
+         |blocks AS (SELECT doc_id, unnest([0,1,2,3]) AS block_idx,
+         |  unnest([substr(fp,1,16), substr(fp,17,16),
+         |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM vf),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
+         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |pf AS MATERIALIZED (SELECT c.id_a, c.id_b, fa.fp AS fpa, fb.fp AS fpb,
+         |    ${hammingSqlOn("fa.fp", "fb.fp")} AS h
+         |  FROM cand c JOIN vf fa ON fa.doc_id = c.id_a
+         |    JOIN vf fb ON fb.doc_id = c.id_b),
+         |am AS (SELECT id_a, id_b, fpa, min(h) AS mh FROM pf GROUP BY 1, 2, 3),
+         |aagg AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN mh <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m_a
+         |  FROM am GROUP BY 1, 2),
+         |bm AS (SELECT id_a, id_b, fpb, min(h) AS mh FROM pf GROUP BY 1, 2, 3),
+         |bagg AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN mh <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m_b
+         |  FROM bm GROUP BY 1, 2),
+         |res AS (SELECT a.id_a, a.id_b, a.m_a, a.n_a, b.m_b, b.n_b,
+         |    greatest(CAST(a.m_a AS DOUBLE)/CAST(a.n_a AS DOUBLE),
+         |             CAST(b.m_b AS DOUBLE)/CAST(b.n_b AS DOUBLE)) AS overlap
+         |  FROM aagg a JOIN bagg b ON a.id_a = b.id_a AND a.id_b = b.id_b)
+         |SELECT id_a, id_b, m_a, n_a, m_b, n_b, overlap FROM res
+         |WHERE overlap >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
 
   /** The q142 bigram-OOV oracle, shared VERBATIM by q144 (the
@@ -2527,6 +2639,8 @@ object PipelineQueries {
     "q113_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
     "q136_bpe_encode" -> q136OracleSql,
     "q146_bpe_byte_encode" -> q146OracleSql,
+    "q147_video_neardup" -> q147OracleSql,
+    "q148_sql_video_neardup" -> q147OracleSql,
     // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).

@@ -712,6 +712,47 @@ class PipelineOpsSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(media, 3, "phash"))
   }
 
+  test("encodeGifGray is lossless: per-frame hashes match the same grays PNG-encoded") {
+    // indexed gray palette → the GIF round-trip must preserve pixels exactly,
+    // so the frame hash equals the hash of the identical PNG image
+    val grays = Array.tabulate(64)(p => (37 + 91 * p + p * p) % 256)
+    val gif = Multimodal.encodeGifGray(Seq(grays), 8, 8)
+    assert(new String(gif.take(3)) == "GIF")
+    val gifMedia = Multimodal.asMediaFrame(
+      Seq((1L, gif)).toDF("media_id", "payload"), "media_id", "payload", "video")
+    val viaGif = Multimodal.gifFrameAHashes(gifMedia).collect().head
+    val viaPng = Multimodal.imageAHashes(grayMedia(1L -> grays)).collect().head
+    assert(viaGif.frame_idx === 0 && viaGif.fp === viaPng.fp,
+      "GIF frame and PNG image of the same grays must hash identically")
+  }
+
+  test("videoNearDupPairs: re-encode, trim, and one-frame edit surface; unrelated clips do not") {
+    def frame(seed: Int, f: Int): Array[Int] =
+      Array.tabulate(64)(p => (1000003 * (seed + 1) + 7919 * (f + 1) + 55 * p + f * p) % 256)
+    val base = (0 until 6).map(frame(1, _))
+    val clips = Seq(
+      1L -> base,                                   // original
+      2L -> base,                                   // byte-identical re-encode
+      3L -> (1 to 4).map(f => frame(1, f)),         // trim: frames 1..4
+      4L -> (0 until 6).map(f => if (f == 3) frame(9, 50) else frame(1, f)), // 1-frame edit
+      5L -> (0 until 6).map(frame(7, _)))           // unrelated
+    val media = Multimodal.asMediaFrame(
+      clips.map { case (id, fs) => (id, Multimodal.encodeGifGray(fs, 8, 8)) }
+        .toDF("media_id", "payload"), "media_id", "payload", "video")
+    val out = Multimodal.videoNearDupPairs(media, every = 1, maxHamming = 3,
+        minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out((1L, 2L)) === ((6L, 6L, 6L, 6L, 1.0)), "re-encode: full overlap")
+    assert(out((1L, 3L)) === ((4L, 6L, 4L, 4L, 1.0)),
+      "trim: contained fully in the original, 4/6 the other way")
+    assert(out((1L, 4L)) === ((5L, 6L, 5L, 6L, 5.0 / 6.0)), "one-frame edit: 5/6")
+    assert(out.contains((2L, 3L)) && out.contains((2L, 4L)) && out.contains((3L, 4L)),
+      "variants of one base pair among themselves")
+    assert(!out.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "unrelated clip must not pair")
+  }
+
   test("hammingBandedPairs: pigeonhole finds every pair <= maxHamming, drops collided heavies") {
     val fps = Seq(
       (1L, 0x0000000000000000L),
