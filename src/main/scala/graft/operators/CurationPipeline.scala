@@ -20,13 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Curate `docs`: returns the kept subset (same schema as the input). */
+  /** CCNet-style LM quality gate config ([[NgramLm.oovBigramRate]]): keep
+    * documents whose OOV-bigram rate against the TRAINED count table
+    * `bigrams` (a (w1, w2, c) frame, typically [[NgramLm.bigramCounts]] over
+    * trusted text) is at most `maxOovRate`; a bigram counts OOV below
+    * `minCount`. Documents with no bigrams (0/1 tokens) score 0 and pass —
+    * the length gates own degenerate docs. */
+  final case class LmFilter(bigrams: DataFrame, minCount: Long = 1L,
+                            maxOovRate: Double = 0.5)
+
+  /** Diversity-stage config ([[Sampling.diversitySample]]): `embeddings`
+    * carries ONE row per document keyed by the SAME id column the pipeline
+    * uses, with the vector in `vecCol`; each Voronoi cell of `centroids`
+    * keeps at most `perCell` deterministic survivors. Documents with no
+    * embedding row are dropped by the stage (no vector — no cell). */
+  final case class DiversitySpec(embeddings: DataFrame, vecCol: String,
+                                 centroids: Seq[Seq[Double]], perCell: Int)
+
+  /** Curate `docs`: returns the kept subset (same schema as the input).
+    * Optional `lmFilter` inserts the CCNet bigram-LM gate between the
+    * scan-side quality/language predicates and the LSH dedup shuffles —
+    * the count-table joins are vocabulary-sized (AQE broadcasts them), so
+    * the corpus shrinks again BEFORE the only expensive stage. */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.5,
-             shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val filtered = docs.filter(
+             shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
+             lmFilter: Option[LmFilter] = None): DataFrame = {
+    val gated = docs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langIdEn(col(textCol)) === "en")
+    val filtered = lmFilter.fold(gated) { lf =>
+      gated.join(
+        NgramLm.oovBigramRate(gated, idCol, textCol, lf.bigrams, lf.minCount)
+          .filter(col("oov_rate") <= lf.maxOovRate)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
     val pairs = DedupSuite
       .minHashLshPairs(filtered, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("id_a"), col("id_b"))
@@ -44,9 +73,13 @@ object CurationPipeline {
     *      as in C4: repeated nav/footer lines would otherwise drag quality
     *      scores and manufacture false near-dup pairs downstream; docs
     *      emptied by the strip are dropped,
-    *   1. [[curate]] (quality gate → language filter → near-dup canonicals),
+    *   1. [[curate]] (quality gate → language filter → optional CCNet
+    *      bigram-LM gate via `lmFilter` → near-dup canonicals),
     *   2. benchmark decontamination against `evalDocs`
     *      ([[Decontamination.decontaminate]] — broadcast eval shingles),
+    *  2b. (optional, `diversity`) Voronoi density flattening over the
+    *      survivors' embeddings ([[Sampling.diversitySample]] — at most
+    *      `perCell` docs per embedding-space cell),
     *   3. PII redaction in-scan ([[TextFunctions.redactPii]]),
     *   4. chunking to context windows ([[Chunker.chunkByTokens]]),
     *   5. deterministic shard assignment ([[TextFunctions.hashBucket]] on the
@@ -80,7 +113,9 @@ object CurationPipeline {
                         zorderBy: Seq[String] = Nil,
                         passthroughCols: Seq[String] = Nil,
                         maxRecordsPerFile: Long = 5000000L,
-                        htmlInput: Boolean = false): DataFrame = {
+                        htmlInput: Boolean = false,
+                        lmFilter: Option[LmFilter] = None,
+                        diversity: Option[DiversitySpec] = None): DataFrame = {
     val passthrough = (zorderBy ++ passthroughCols).distinct
       .filter(docs.columns.contains)
       .filterNot(Seq(idCol, textCol).contains)
@@ -99,8 +134,19 @@ object CurationPipeline {
           passthrough.map(col): _*)
     }
     val kept = Decontamination.decontaminate(
-      curate(cleaned, idCol, textCol), evalDocs, idCol, textCol, decontaminationGrams)
-    val redacted = kept.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+      curate(cleaned, idCol, textCol, lmFilter = lmFilter),
+      evalDocs, idCol, textCol, decontaminationGrams)
+    // optional diversity stage (SemDeDup's density-flattening complement):
+    // scope the embedding frame to the survivors FIRST (semi-join — vectors
+    // of dropped docs never reach the cell assignment), Voronoi-cap per
+    // cell, keep the sampled ids
+    val diversified = diversity.fold(kept) { d =>
+      val scoped = d.embeddings.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      val sampled = Sampling.diversitySample(scoped, d.vecCol, idCol,
+        d.centroids, d.perCell)
+      kept.join(sampled.select(col(idCol)), Seq(idCol), "left_semi")
+    }
+    val redacted = diversified.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
     val chunks = Chunker.chunkByTokens(redacted, idCol, textCol, chunkSize, stride,
         keepCols = passthrough)
       .withColumn("shard", TextFunctions.hashBucket(col(idCol), numShards))

@@ -1655,6 +1655,26 @@ object PipelineQueries {
           ORDER BY id_a, id_b""")
     }),
 
+    // q149: the q86 capstone WITH the CCNet bigram-LM gate wired into
+    // curate() — quality → language → LM OOV filter (count table trained on
+    // the full corpus; minCount=30 marks below-median-frequency transitions
+    // OOV so the gate is DISCRIMINATIVE on this corpus: ~20% of docs drop)
+    // → near-dup canonicals → decontamination. The oracle replays q86's
+    // recursive chain with the q142-style OOV stage spliced between the
+    // scan filters and the LSH pair set.
+    "q149_curation_lm_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.operators.NgramLm.bigramCounts(docs, "text")
+      graft.operators.Decontamination.decontaminate(
+        graft.operators.CurationPipeline.curate(docs,
+          lmFilter = Some(graft.operators.CurationPipeline.LmFilter(
+            lm, minCount = 30L, maxOovRate = 0.5))),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q147: VIDEO near-dup — re-encoded, trimmed, and partially-edited clips
     // caught with NO all-pairs comparison: real GIF demux → per-frame aHash
     // in the scan → distinct frame-hash sets per clip → frame-level Hamming
@@ -2641,6 +2661,44 @@ object PipelineQueries {
     "q146_bpe_byte_encode" -> q146OracleSql,
     "q147_video_neardup" -> q147OracleSql,
     "q148_sql_video_neardup" -> q147OracleSql,
+    "q149_curation_lm_gate" ->
+      s"""WITH RECURSIVE filt0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ($qualitySql) >= 0.5
+         |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+         |lmt AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |lmbg AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2
+         |  FROM lmt, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |lmc AS (SELECT w1, w2, count(*) AS c FROM lmbg GROUP BY 1, 2),
+         |ft AS (SELECT doc_id, $tokensSql AS t FROM filt0),
+         |fbg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+         |  FROM ft, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2),
+         |per AS (SELECT b.doc_id, count(*) AS nb,
+         |    sum(CASE WHEN c.c IS NULL OR c.c < 30 THEN 1 ELSE 0 END) AS no
+         |  FROM fbg b LEFT JOIN lmc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  GROUP BY b.doc_id),
+         |filt AS (SELECT f.doc_id, f.text
+         |  FROM filt0 f LEFT JOIN per p ON f.doc_id = p.doc_id
+         |  WHERE coalesce(p.nb, 0) = 0
+         |     OR CAST(p.no AS DOUBLE) / CAST(p.nb AS DOUBLE) <= 0.5),
+         |${minhashPairsCtes("filt")},
+         |$componentsCtes,
+         |cur AS (SELECT f.doc_id, f.text FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+         |        WHERE comp.id IS NULL OR comp.component = f.doc_id),
+         |evsh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM evsh),
+         |csh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM cur)),
+         |hit AS (SELECT DISTINCT c.doc_id
+         |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram))
+         |SELECT doc_id FROM cur
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id""".stripMargin,
     // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).

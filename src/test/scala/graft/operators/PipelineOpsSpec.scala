@@ -436,6 +436,54 @@ class PipelineOpsSpec extends SparkSpec {
       "language_filter" -> 2L, "near_dup_canonical" -> 1L))
   }
 
+  test("curate lmFilter hook: the CCNet OOV gate drops novel-transition docs before dedup") {
+    import graft.operators.CurationPipeline
+    val trusted = "the cat sat on the mat and the dog sat on the mat for it was the day"
+    val docs = Seq(
+      (1L, trusted),                                                   // in-domain
+      (2L, "the mat sat for it and on the dog the cat was day on the"),// scrambled: novel transitions
+      (3L, "the")).toDF("doc_id", "text")                              // 1 token: no bigrams → passes
+    val lm = NgramLm.bigramCounts(Seq((9L, trusted)).toDF("doc_id", "text"), "text")
+    val kept = CurationPipeline.curate(docs, minQuality = 0.0,
+        lmFilter = Some(CurationPipeline.LmFilter(lm, minCount = 1L, maxOovRate = 0.3)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // doc 2 fails the language gate? no — same stopwords; it fails the LM
+    // gate (most of its transitions are unseen in the trusted table)
+    assert(kept === Seq(1L, 3L))
+    // without the hook, doc 2 survives — the gate, not another stage, drops it
+    val noGate = CurationPipeline.curate(docs, minQuality = 0.0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(noGate === Seq(1L, 2L, 3L))
+  }
+
+  test("curateForTraining diversity hook: per-cell cap flattens embedding density") {
+    import graft.operators.CurationPipeline
+    // 12 docs that all pass the gates yet share NO 3-shingle (per-doc word
+    // vocabulary) — the dedup stage must keep all of them, so the diversity
+    // cap is the only stage that drops anything
+    val docs = (1L to 12L).map { i =>
+      val own = ('a' to 'l').map(c => s"w$i$c").mkString(" ")
+      (i, s"the $own is fine")
+    }.toDF("doc_id", "text")
+    // two tight embedding clusters: ids 1-9 near (1,0), ids 10-12 near (0,1)
+    val emb = (1L to 12L).map { i =>
+      val v = if (i <= 9L) Seq(1.0, 0.001 * i) else Seq(0.001 * i, 1.0)
+      (i, v)
+    }.toDF("doc_id", "embedding")
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = tempDir().resolve("curdiv").toString
+    val chunks = CurationPipeline.curateForTraining(
+      docs, docs.filter($"doc_id" > 100L), out, minQuality = 0.0,
+      chunkSize = 64, stride = 48, numShards = 2,
+      diversity = Some(CurationPipeline.DiversitySpec(emb, "embedding",
+        centroids, perCell = 3)))
+    val keptIds = chunks.select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.size === 6, s"3 per cell × 2 cells, got $keptIds")
+    assert(keptIds.count(_ <= 9L) === 3, "dense cluster capped at perCell")
+    assert(keptIds.count(_ >= 10L) === 3, "sparse cluster keeps its 3")
+  }
+
   test("sequence packing: greedy budget bins per shard, oversized doc gets its own pack") {
     import graft.operators.SequencePacking
     // single shard → fully deterministic order by id
