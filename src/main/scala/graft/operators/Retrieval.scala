@@ -101,6 +101,138 @@ object Retrieval {
           x => x.cast("string"))).as("postings_head"))
   }
 
+  // ── persisted text index (the savePqIndex layout discipline) ──────────────
+
+  /** A loaded [[saveTextIndex]] index: corpus stats driver-side (two longs),
+    * the term→df table and the full sharded postings lazy. */
+  final case class TextIndex(nDocs: Long, sumDl: Long, nBuckets: Int,
+                             terms: DataFrame, postings: DataFrame,
+                             doclens: DataFrame) {
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+  }
+
+  /** Driver-side twin of [[TextFunctions.hashBucket]] for a literal term —
+    * first 32 md5 bits of the string, mod `buckets` (the same arithmetic the
+    * column expression and every oracle use). */
+  private[operators] def bucketOfLiteral(s: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  /** Persist the retrieval index for `docs` — the statistics [[bm25Scores]]
+    * recomputes per run, written once at ingest time (the savePqIndex
+    * discipline: an index is a DATASET, not a driver object):
+    *
+    *   - `postings`: the FULL sharded postings relation (term, doc_id, tf),
+    *     written `partitionBy(term_bucket)` ([[TextFunctions.hashBucket]] of
+    *     the term, `nBuckets` dirs) so a query-term lookup prunes at FILE
+    *     level — one row per (term, doc) pair, never a corpus-sized list in
+    *     one row (the [[invertedIndex]] head-cap rationale, solved by layout
+    *     instead of truncation);
+    *   - `doclens`: (doc_id, dl) — the per-doc length BM25's normalizer
+    *     needs;
+    *   - `terms`: (term, df) exact document frequencies (vocab-sized);
+    *   - `meta`: one row (n_docs, sum_dl, n_buckets).
+    *
+    * Exact integer statistics throughout, so a reloaded index ranks
+    * BIT-IDENTICALLY to the from-corpus pass (spec-pinned). */
+  def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    staged.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    val postings = staged
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    postings
+      .withColumn("term_bucket", TextFunctions.hashBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+    // df from the postings relation: one row per (term, doc) ⇒ count = docs
+    // containing the term — the exact array_contains statistic
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+    val stats = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      .as[(Long, Long)].collect().head
+    Seq((stats._1, stats._2, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveTextIndex]] index: meta collects driver-side (three
+    * numbers); terms, postings and doclens stay lazy. */
+  def loadTextIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): TextIndex = {
+    import spark.implicits._
+    val meta = scala.util.Try(spark.read.parquet(s"$path/meta")
+        .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"))
+        .as[(Long, Long, Int)].collect().head)
+      .getOrElse(throw new IllegalArgumentException(
+        s"loadTextIndex: no index meta at $path — saveTextIndex first"))
+    require(meta._1 > 0, s"loadTextIndex: empty corpus index at $path")
+    TextIndex(meta._1, meta._2, meta._3,
+      spark.read.parquet(s"$path/terms"),
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclens"))
+  }
+
+  /** Per-document BM25 scores from a PERSISTED index — [[bm25Scores]]
+    * without its two corpus passes: corpus stats come from the meta/terms
+    * tables (the standing-workload shape the [[bm25Scores]] scaladoc
+    * promises), per-term tf rows come from the postings relation with BOTH
+    * the term predicate and its term_bucket literal (file-level pruning),
+    * and the score chain is the IDENTICAL fixed-order IEEE expression — a
+    * reloaded index scores bit-identically (spec-pinned; q150 runs q94's
+    * oracle THROUGH the persistence round-trip). One row per indexed doc,
+    * non-matching docs score 0.0, exactly as the from-corpus pass. */
+  def bm25ScoresFromIndex(index: TextIndex, queryTerms: Seq[String],
+                          k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    val dfs: Map[String, Long] = index.terms
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = index.nDocs
+    val avgdl = index.avgdl
+    val withTfs = queryTerms.zipWithIndex.foldLeft(
+      index.doclens.select(col("doc_id"), col("dl"))) { case (acc, (t, i)) =>
+      acc.join(
+        // int literal: the partition column reads back as INT, and a same-
+        // type comparison keeps partition pruning cast-free
+        index.postings
+          .filter(col("term_bucket") === lit(bucketOfLiteral(t, index.nBuckets).toInt)
+            && col("term") === t)
+          .select(col("doc_id"), col("tf").as(s"_tf$i")),
+        Seq("doc_id"), "left")
+    }
+    val dl = col("dl").cast("double")
+    val termScores = queryTerms.zipWithIndex.map { case (t, i) =>
+      val df = dfs.getOrElse(t, 0L)
+      val idf = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgdl))))
+    }
+    withTfs.select(col("doc_id"), col("dl").as("n_tokens"),
+      termScores.reduceLeft(_ + _).as("score"))
+  }
+
+  /** Top-k BM25 from a persisted index — [[bm25TopK]]'s reload twin. */
+  def bm25TopKFromIndex(index: TextIndex, queryTerms: Seq[String], topK: Int,
+                        k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    bm25ScoresFromIndex(index, queryTerms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Reciprocal rank fusion (Cormack, Clarke & Büttner 2009): fuse N ranked
     * candidate lists into one by score = Σ_lists 1/(k0 + rank_list), rank
     * 1-based, items absent from a list contributing 0 — THE standard hybrid

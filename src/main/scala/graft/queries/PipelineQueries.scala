@@ -1033,6 +1033,19 @@ object PipelineQueries {
       graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, topK = 50)),
 
+    // q150: BM25 over a PERSISTED text index — q94's ranking THROUGH the
+    // saveTextIndex/loadTextIndex round-trip (bucketed full postings +
+    // doclens + df/meta tables; file-level pruning on the query terms'
+    // buckets). Shares q94's oracle verbatim: the parquet round-trip must
+    // be invisible in the scores or the hash breaks.
+    "q150_bm25_from_index" -> ((s, dir) => {
+      val ret = graft.operators.Retrieval
+      val idxPath = "/tmp/graft_fixtures/q150_textindex"
+      ret.saveTextIndex(t(s, dir, "documents"), "doc_id", "text", idxPath,
+        nBuckets = 16)
+      ret.bm25TopKFromIndex(ret.loadTextIndex(s, idxPath), Bm25Terms, topK = 50)
+    }),
+
     // ─── multimodal byte-stats path (real codec kernels live in q60/q61) ─────
     "q51_multimodal_bytes" -> ((s, dir) => {
       val media = Multimodal.asMediaFrame(
@@ -1918,6 +1931,21 @@ object PipelineQueries {
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q94 BM25 oracle, shared VERBATIM by q150 (the persisted-text-index
+    * surface must rank bit-identically to the from-corpus pass — the parquet
+    * round-trip must be invisible in the result or the hash breaks). */
+  private lazy val q94OracleSql: String =
+      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |st AS (SELECT count(*) AS n, sum(len(t)) AS sdl,
+         |  ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+               s"sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$i"
+             }.mkString(", ")}
+         |  FROM t0)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         | (${Bm25Terms.zipWithIndex.map { case (t, i) => bm25TermSql(t, i) }
+              .mkString(" + ")}) AS score
+         |FROM t0, st ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   /** The q147 video-near-dup oracle: the [[vidGray]] closed form replayed
     * through per-frame threshold bits (string fps, the q137 convention),
@@ -2834,17 +2862,8 @@ object PipelineQueries {
          |SELECT k.vec_id, k.bucket AS cluster, (d.vec_id IS NULL) AS keep
          |FROM bk k LEFT JOIN dup d ON k.vec_id = d.vec_id
          |ORDER BY k.vec_id""".stripMargin,
-    "q94_bm25_topk" ->
-      s"""WITH t0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |st AS (SELECT count(*) AS n, sum(len(t)) AS sdl,
-         |  ${Bm25Terms.zipWithIndex.map { case (t, i) =>
-               s"sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$i"
-             }.mkString(", ")}
-         |  FROM t0)
-         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         | (${Bm25Terms.zipWithIndex.map { case (t, i) => bm25TermSql(t, i) }
-              .mkString(" + ")}) AS score
-         |FROM t0, st ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q94_bm25_topk" -> q94OracleSql,
+    "q150_bm25_from_index" -> q94OracleSql,
     "q92_line_dedup" ->
       s"""WITH $linedCtes,
          |cnt AS (SELECT line, count(*) AS n FROM

@@ -160,4 +160,50 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(
       Seq((b, Seq("sb" -> false))), "id", topK = 5, maxListSize = 4))
   }
+
+  test("persisted text index: reloaded BM25 ranks BIT-identically to the from-corpus pass") {
+    val path = tempDir().resolve("textindex").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val idx = Retrieval.loadTextIndex(spark, path)
+    assert(idx.nDocs === 4L && idx.sumDl === 16L && idx.nBuckets === 8)
+    val terms = Seq("spark", "rare", "query")
+    val direct = Retrieval.bm25Scores(corpus, "doc_id", "text", terms)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val loaded = Retrieval.bm25ScoresFromIndex(idx, terms)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(loaded === direct, "every score must round-trip bit-exactly")
+    val topDirect = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val topLoaded = Retrieval.bm25TopKFromIndex(idx, terms, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(topLoaded === topDirect)
+    // a query term absent from the corpus: df=0 idf falls back, scores stay 0
+    val ghost = Retrieval.bm25ScoresFromIndex(idx, Seq("zzzghost"))
+      .collect().map(_.getDouble(2))
+    assert(ghost.forall(_ === 0.0))
+  }
+
+  test("persisted text index: bucket literal matches hashBucket; empty index is loud") {
+    import graft.functions.TextFunctions
+    val path = tempDir().resolve("textindex2").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val idx = Retrieval.loadTextIndex(spark, path)
+    // the driver-side literal bucket must agree with the column expression,
+    // or the pruned postings read silently misses every row
+    val viaCol = Seq("spark", "rare", "query", "words").toDF("t")
+      .select($"t", TextFunctions.hashBucket($"t", 8).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaCol.foreach { case (t, b) =>
+      assert(Retrieval.bucketOfLiteral(t, 8) === b, s"bucket mismatch for '$t'")
+    }
+    // postings rows for a term live ONLY under its bucket
+    val sparkRows = idx.postings.filter($"term" === "spark")
+      .select($"term_bucket".cast("long")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(sparkRows === Seq(Retrieval.bucketOfLiteral("spark", 8)))
+    intercept[IllegalArgumentException] {
+      Retrieval.loadTextIndex(spark, tempDir().resolve("nowhere").toString)
+    }
+  }
 }
