@@ -38,17 +38,23 @@ object CurationPipeline {
                                  centroids: Seq[Seq[Double]], perCell: Int)
 
   /** Curate `docs`: returns the kept subset (same schema as the input).
-    * Optional `lmFilter` inserts the CCNet bigram-LM gate between the
-    * scan-side quality/language predicates and the LSH dedup shuffles —
-    * the count-table joins are vocabulary-sized (AQE broadcasts them), so
-    * the corpus shrinks again BEFORE the only expensive stage. */
+    * Optional `repetitionGate` adds the Gopher repetition thresholds
+    * ([[RepetitionStats.repetitionFilter]]) to the scan-side predicates —
+    * still zero-shuffle, same stage as quality/language. Optional `lmFilter`
+    * inserts the CCNet bigram-LM gate between the scan-side predicates and
+    * the LSH dedup shuffles — the count-table joins are vocabulary-sized
+    * (AQE broadcasts them), so the corpus shrinks again BEFORE the only
+    * expensive stage. */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.5,
              shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
-             lmFilter: Option[LmFilter] = None): DataFrame = {
-    val gated = docs.filter(
+             lmFilter: Option[LmFilter] = None,
+             repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
+    val gated0 = docs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langIdEn(col(textCol)) === "en")
+    val gated = repetitionGate.fold(gated0)(th =>
+      RepetitionStats.repetitionFilter(gated0, textCol, th))
     val filtered = lmFilter.fold(gated) { lf =>
       gated.join(
         NgramLm.oovBigramRate(gated, idCol, textCol, lf.bigrams, lf.minCount)
@@ -115,7 +121,8 @@ object CurationPipeline {
                         maxRecordsPerFile: Long = 5000000L,
                         htmlInput: Boolean = false,
                         lmFilter: Option[LmFilter] = None,
-                        diversity: Option[DiversitySpec] = None): DataFrame = {
+                        diversity: Option[DiversitySpec] = None,
+                        repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
     val passthrough = (zorderBy ++ passthroughCols).distinct
       .filter(docs.columns.contains)
       .filterNot(Seq(idCol, textCol).contains)
@@ -134,7 +141,8 @@ object CurationPipeline {
           passthrough.map(col): _*)
     }
     val kept = Decontamination.decontaminate(
-      curate(cleaned, idCol, textCol, lmFilter = lmFilter),
+      curate(cleaned, idCol, textCol, minQuality = minQuality,
+        lmFilter = lmFilter, repetitionGate = repetitionGate),
       evalDocs, idCol, textCol, decontaminationGrams)
     // optional diversity stage (SemDeDup's density-flattening complement):
     // scope the embedding frame to the survivors FIRST (semi-join — vectors

@@ -143,6 +143,79 @@ object PipelineQueries {
     }.toDF("media_id", "payload")
   }
 
+  /** q151/q152 fixture: the documents corpus rebuilt with PLANTED repetition
+    * so every Gopher signal is exercised — doc_id%4 extra copies of the first
+    * 6 tokens appended (duplicated 5-grams + a dominant 2-gram), tokens
+    * chunked into 8-token lines with line 1 re-appended for doc_id%3==0
+    * (duplicate lines), lines paired into \n-joined paragraphs with paragraph
+    * 1 re-appended for doc_id%4==0 (duplicate paragraphs), paragraphs joined
+    * by \n\n. [[repCtes]] is the oracle twin; both sides re-derive lines /
+    * paragraphs / tokens from the SAME final text string. */
+  private def repFixture(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+    val rep = toks.select(col("doc_id"),
+      concat(col("_t"), flatten(array_repeat(slice(col("_t"), 1, 6),
+        pmod(col("doc_id"), lit(4)).cast("int")))).as("_t"))
+    val lined = rep.select(col("doc_id"),
+      transform(
+        sequence(lit(1L), floor((size(col("_t")) - 1).cast("double") / 8.0).cast("long") + 1L),
+        i => array_join(slice(col("_t"), ((i - 1L) * 8L + 1L).cast("int"), lit(8)), " "))
+        .as("_ls"))
+    val lPlant = lined.select(col("doc_id"),
+      concat(col("_ls"),
+        when(pmod(col("doc_id"), lit(3)) === 0, array(element_at(col("_ls"), 1)))
+          .otherwise(typedLit(Seq.empty[String]))).as("_ls"))
+    val paras = lPlant.select(col("doc_id"),
+      transform(
+        sequence(lit(1L), floor((size(col("_ls")) - 1).cast("double") / 2.0).cast("long") + 1L),
+        i => array_join(slice(col("_ls"), ((i - 1L) * 2L + 1L).cast("int"), lit(2)), "\n"))
+        .as("_ps"))
+    val pPlant = paras.select(col("doc_id"),
+      concat(col("_ps"),
+        when(pmod(col("doc_id"), lit(4)) === 0, array(element_at(col("_ps"), 1)))
+          .otherwise(typedLit(Seq.empty[String]))).as("_ps"))
+    pPlant.select(col("doc_id"), array_join(col("_ps"), "\n\n").as("text"))
+  }
+
+  /** Oracle construction CTEs ending in `tr(doc_id, text)` — the twin of
+    * [[repFixture]] (no leading WITH; callers splice). */
+  private val repCtes: String =
+    s"""rt0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |rr0 AS (SELECT doc_id,
+       |  t || flatten([t[1:6] FOR x IN generate_series(1, doc_id % 4)]) AS t FROM rt0),
+       |rl0 AS (SELECT doc_id, [array_to_string(t[(i-1)*8+1:i*8], ' ')
+       |  FOR i IN generate_series(1, (len(t)+7)//8)] AS ls FROM rr0),
+       |rl1 AS (SELECT doc_id,
+       |  ls || (CASE WHEN doc_id % 3 = 0 THEN [ls[1]] ELSE []::VARCHAR[] END) AS ls FROM rl0),
+       |rp0 AS (SELECT doc_id, [array_to_string(ls[(i-1)*2+1:i*2], chr(10))
+       |  FOR i IN generate_series(1, (len(ls)+1)//2)] AS ps FROM rl1),
+       |rp1 AS (SELECT doc_id,
+       |  ps || (CASE WHEN doc_id % 4 = 0 THEN [ps[1]] ELSE []::VARCHAR[] END) AS ps FROM rp0),
+       |tr AS (SELECT doc_id, array_to_string(ps, chr(10) || chr(10)) AS text FROM rp1)""".stripMargin
+
+  /** Line + paragraph duplicate-signal CTEs over `tr` ending in
+    * `lsig`/`psig` — shared by the q151 oracle and q152's pass flag.
+    * `sum(c−1)` ≡ the engine's total−distinct; `sum((c−1)·len)` ≡ its sorted
+    * adjacency pass. */
+  private val repSegSigCtes: String =
+    s"""rln AS (SELECT doc_id, l FROM tr, LATERAL unnest(string_split(text, chr(10))) AS u(l)),
+       |rlc AS (SELECT doc_id, l, count(*) AS c FROM rln GROUP BY 1, 2),
+       |lsig AS (SELECT doc_id,
+       |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+       |  CASE WHEN sum(c * length(l)) = 0 THEN 0.0
+       |       ELSE CAST(sum((c - 1) * length(l)) AS DOUBLE)
+       |            / CAST(sum(c * length(l)) AS DOUBLE) END AS dup_line_char_frac
+       |  FROM rlc GROUP BY 1),
+       |rpn AS (SELECT doc_id, p
+       |  FROM tr, LATERAL unnest(string_split(text, chr(10) || chr(10))) AS u(p)),
+       |rpc AS (SELECT doc_id, p, count(*) AS c FROM rpn GROUP BY 1, 2),
+       |psig AS (SELECT doc_id,
+       |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_para_frac,
+       |  CASE WHEN sum(c * length(p)) = 0 THEN 0.0
+       |       ELSE CAST(sum((c - 1) * length(p)) AS DOUBLE)
+       |            / CAST(sum(c * length(p)) AS DOUBLE) END AS dup_para_char_frac
+       |  FROM rpc GROUP BY 1)""".stripMargin
+
   /** q113's merge-round count (shared by the query and the unrolled oracle). */
   private val BpeTrainRounds = 6
 
@@ -1688,6 +1761,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q151: GOPHER REPETITION SIGNALS, line/paragraph family — duplicate
+    // occurrence fraction and duplicate CHARACTER fraction for both \n-lines
+    // and \n\n-paragraphs, all pure scan-side column expressions
+    // (RepetitionStats). Fixture plants duplicate lines (doc_id%3==0),
+    // duplicate paragraphs (doc_id%4==0) and phrase repeats; the oracle
+    // re-derives the SAME final text and replays the counts as
+    // sum(c−1)/sum(c) per value.
+    "q151_repetition_lines" -> ((s, dir) => {
+      graft.operators.RepetitionStats
+        .withRepetitionSignals(repFixture(t(s, dir, "documents")))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("dup_para_frac"), col("dup_para_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q152: GOPHER REPETITION SIGNALS, n-gram family — top-2-gram and
+    // duplicated-5-gram character fractions via EXACT position coverage
+    // (overlaps counted once), plus the full six-signal keep flag at the
+    // Rae et al. Table A1 thresholds (the predicate repetitionFilter
+    // applies). The oracle computes coverage as DISTINCT covered token
+    // positions joined from duplicated gram starts.
+    "q152_repetition_ngrams" -> ((s, dir) => {
+      val th = graft.operators.RepetitionStats.RepetitionThresholds()
+      graft.operators.RepetitionStats
+        .withRepetitionSignals(repFixture(t(s, dir, "documents")))
+        .select(col("doc_id"), col("top_gram_char_frac"), col("dup_gram_char_frac"),
+          (col("dup_line_frac") <= th.maxDupLineFrac &&
+            col("dup_line_char_frac") <= th.maxDupLineCharFrac &&
+            col("dup_para_frac") <= th.maxDupParaFrac &&
+            col("dup_para_char_frac") <= th.maxDupParaCharFrac &&
+            col("top_gram_char_frac") <= th.maxTopGramCharFrac &&
+            col("dup_gram_char_frac") <= th.maxDupGramCharFrac).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q147: VIDEO near-dup — re-encoded, trimmed, and partially-edited clips
     // caught with NO all-pairs comparison: real GIF demux → per-frame aHash
     // in the scan → distinct frame-hash sets per clip → frame-level Hamming
@@ -2727,6 +2835,57 @@ object PipelineQueries {
          |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram))
          |SELECT doc_id FROM cur
          |WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id""".stripMargin,
+    "q151_repetition_lines" ->
+      s"""WITH $repCtes,
+         |$repSegSigCtes
+         |SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+         |  p.dup_para_frac, p.dup_para_char_frac
+         |FROM lsig l JOIN psig p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q152_repetition_ngrams" ->
+      s"""WITH $repCtes,
+         |$repSegSigCtes,
+         |rtk AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM tr),
+         |rtp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS p,
+         |    length(t[CAST(i AS INT)]) AS lt
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         |rtot AS (SELECT doc_id, sum(lt) AS tot FROM rtp GROUP BY 1),
+         |rg2 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS g
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)),
+         |rtop2 AS (SELECT doc_id, g FROM (SELECT doc_id, g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+         |  FROM rg2 GROUP BY doc_id, g) z WHERE rn = 1),
+         |rcv2 AS (SELECT doc_id, sum(lt) AS cov FROM (
+         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
+         |  FROM rtp JOIN (SELECT rg2.doc_id, rg2.i FROM rg2
+         |      JOIN rtop2 ON rg2.doc_id = rtop2.doc_id AND rg2.g = rtop2.g) st
+         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 1) z
+         |  GROUP BY doc_id),
+         |rg5 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 4)) AS s(i)),
+         |rd5 AS (SELECT doc_id, g FROM (SELECT doc_id, g, count(*) AS c
+         |  FROM rg5 GROUP BY 1, 2) z WHERE c > 1),
+         |rcv5 AS (SELECT doc_id, sum(lt) AS cov FROM (
+         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
+         |  FROM rtp JOIN (SELECT rg5.doc_id, rg5.i FROM rg5
+         |      JOIN rd5 ON rg5.doc_id = rd5.doc_id AND rg5.g = rd5.g) st
+         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 4) z
+         |  GROUP BY doc_id),
+         |rsig AS (SELECT rtot.doc_id,
+         |  coalesce(CAST(rcv2.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
+         |    AS top_gram_char_frac,
+         |  coalesce(CAST(rcv5.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
+         |    AS dup_gram_char_frac
+         |  FROM rtot LEFT JOIN rcv2 ON rtot.doc_id = rcv2.doc_id
+         |    LEFT JOIN rcv5 ON rtot.doc_id = rcv5.doc_id)
+         |SELECT r.doc_id, r.top_gram_char_frac, r.dup_gram_char_frac,
+         |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
+         |   AND p.dup_para_frac <= 0.30 AND p.dup_para_char_frac <= 0.20
+         |   AND r.top_gram_char_frac <= 0.20 AND r.dup_gram_char_frac <= 0.15) AS pass
+         |FROM rsig r JOIN lsig l ON r.doc_id = l.doc_id
+         |  JOIN psig p ON r.doc_id = p.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
     // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).
