@@ -309,6 +309,18 @@ object SqlFunctions {
         plan(graft.operators.Multimodal.imageNearDupPairs(
           tbl(strLit(f, "table", exprs(0))),
           maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_audio_neardup('tbl', maxHamming): audio near-duplicate pairs
+      // from a pure-SQL FROM clause — the table carries (media_id, payload)
+      // WAV rows; RIFF parse → 64-frame energy hash → Hamming-banded
+      // candidates → exact-L1 verify, the same Scala chain q153 pins.
+      // (id_a, id_b, hamming, l1).
+      ("graft_audio_neardup", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_audio_neardup", 2, exprs)
+        val f = "graft_audio_neardup"
+        plan(graft.operators.Multimodal.audioNearDupPairs(
+          tbl(strLit(f, "table", exprs(0))),
+          maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
       // graft_video_neardup('table', every, maxHamming, minOverlap): video
       // near-dup over a (media_id, payload) GIF-clip view — per-frame aHash
       // in the demux scan, frame-level Hamming banding, exact directional-

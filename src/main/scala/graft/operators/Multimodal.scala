@@ -375,6 +375,77 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
   }
 
+  /** Energy fingerprint of one clip: per-frame |sample| sums (exact integer)
+    * and the threshold bitmap. */
+  final case class AudioHash(media_id: Long, fp: Long, energies: Array[Long])
+
+  /** Per-frame energy fingerprint over REAL decoded WAV PCM — the audio
+    * analog of [[imageAHashes]]: the sample stream splits into `frames`
+    * windows (sample i → frame ⌊i·frames/n⌋), each window's energy is the
+    * exact integer Σ|s|, and bit f (MSB-first) is set iff
+    * frames·energy(f) > Σ energies — the cross-multiplied mean threshold, so
+    * the fingerprint is invariant under re-encoding and (like aHash's
+    * brightness shift) under global gain scaling. One decode+hash per clip
+    * in the scan; no shuffle. */
+  def audioEnergyHashes(media: DataFrame, frames: Int = 64): Dataset[AudioHash] = {
+    require(frames >= 1 && frames <= 64, s"frames must be in [1, 64], got $frames")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          require(n >= frames, s"media_id=$id: $n samples < $frames frames")
+          val bigEndian = fmt.isBigEndian
+          val e = new Array[Long](frames)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff; val hi = bytes(2 * i + 1) & 0xff
+            val s = if (bigEndian) ((lo << 8) | hi).toShort else ((hi << 8) | lo).toShort
+            e((i.toLong * frames / n).toInt) += math.abs(s.toLong)
+            i += 1
+          }
+          var tot = 0L; var f = 0
+          while (f < frames) { tot += e(f); f += 1 }
+          var fp = 0L; f = 0
+          while (f < frames) {
+            if (frames.toLong * e(f) > tot) fp |= (1L << (63 - f))
+            f += 1
+          }
+          AudioHash(id, fp, e)
+        } finally ais.close()
+      })
+  }
+
+  /** Audio near-duplicate pairs — the [[imageNearDupPairs]] chain over the
+    * energy fingerprint: real WAV decode → 64-frame energy hash →
+    * Hamming-banded candidates ([[DedupSuite.hammingBandedPairs]], pigeonhole
+    * blocking on 16-bit segments, NO all-pairs) → EXACT integer-L1 verify on
+    * the per-frame energies. Catches byte-identical re-encodes (Hamming 0)
+    * and small local edits (amplitude nudges flip at most the touched
+    * frames' bits). Output: (id_a, id_b, hamming, l1), hamming <= maxHamming.
+    *
+    * Scale shape: one decode+hash per clip — the hash frame is materialized
+    * (localCheckpoint) before the band join and the two energy re-attach
+    * joins, so the WAV parse runs exactly once per clip; payload bytes never
+    * ride a join (the verify carries 64 longs per CANDIDATE id only). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = audioEnergyHashes(media, frames = 64).toDF().localCheckpoint()
+    val cand = DedupSuite.hammingBandedPairs(
+      hashes.select(col("media_id"), col("fp")), "media_id", "fp",
+      bits = 64, maxHamming = maxHamming)
+    cand
+      .join(hashes.select(col("media_id").as("id_a"), col("energies").as("_ea")), Seq("id_a"))
+      .join(hashes.select(col("media_id").as("id_b"), col("energies").as("_eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        aggregate(zip_with(col("_ea"), col("_eb"),
+          (a, b) => abs(a - b)), lit(0L), (acc, v) => acc + v).as("l1"))
+  }
+
   /** Codec-agnostic feature-extract over payload batches (byte stats + digest +
     * [[byteFoldFeature]]): one digest per partition, rows streamed through it
     * (never materializing the whole partition). For typed media use the real

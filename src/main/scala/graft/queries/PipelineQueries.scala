@@ -143,6 +143,32 @@ object PipelineQueries {
     }.toDF("media_id", "payload")
   }
 
+  /** q153 fixture arithmetic: PCM sample t (0..2047) of doc `id`'s clip.
+    * Own signal for doc_id%5 ∈ {0,3,4}; doc_id%5==1 is a planted NEAR-dup of
+    * doc_id−1 (first 32 samples — frame 0 — nudged +192, no clipping);
+    * doc_id%5==2 is a sample-identical re-encode of doc_id−2. The mod-4096
+    * construction gives uncorrelated energy profiles across bases; the
+    * oracle replays this closed form through per-frame |s| sums, the
+    * cross-multiplied threshold, banding, and integer L1. */
+  private def audioSample(id: Long, t: Int): Int = {
+    val b = if (id % 5 == 1) id - 1 else if (id % 5 == 2) id - 2 else id
+    val s0 = ((1000003L * (b + 1) + 55L * (t + 1) + b * t.toLong * t) % 4096L).toInt - 2048
+    if (id % 5 == 1 && t < 32) s0 + 192 else s0
+  }
+
+  /** Distributed q153 fixture: REAL 2048-sample 16-bit mono WAVs
+    * ([[graft.operators.Multimodal.encodeWav]]) from [[audioSample]] — the
+    * hash pipeline must parse the RIFF container to reproduce the oracle's
+    * arithmetic. */
+  private def audioFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id, graft.operators.Multimodal.encodeWav(
+        Array.tabulate(2048)(t => audioSample(id, t).toShort), 8000))
+    }.toDF("media_id", "payload")
+  }
+
   /** q151/q152 fixture: the documents corpus rebuilt with PLANTED repetition
     * so every Gopher signal is exercised — doc_id%4 extra copies of the first
     * 6 tokens appended (duplicated 5-grams + a dominant 2-gram), tokens
@@ -1796,6 +1822,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q153: AUDIO near-dup — real WAV container parse → 64-frame energy
+    // fingerprint → Hamming-banded candidate pairs (pigeonhole blocking, no
+    // all-pairs) → exact integer-L1 verify on the per-frame energies — the
+    // modality that completes the image (q137) / video (q147) / audio dedup
+    // family. Fixture: per-doc 2048-sample PCM clips with closed-form
+    // samples, near-dups planted at doc_id%5==1 (frame-0 amplitude nudge)
+    // and exact re-encodes at doc_id%5==2; the oracle replays construction
+    // → |s| frame sums → threshold bits → banding → L1 in integer
+    // arithmetic (string fingerprints, the q137 convention).
+    "q153_audio_neardup" -> ((s, dir) => {
+      graft.operators.Multimodal.audioNearDupPairs(
+          audioFixture(t(s, dir, "documents")), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q154: audio near-dup from pure SQL — the graft_audio_neardup TABLE
+    // function over the q153 fixture registered as a view; shares q153's
+    // oracle verbatim.
+    "q154_sql_audio_neardup" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      audioFixture(t(s, dir, "documents"))
+        .createOrReplaceTempView("graft_audio")
+      s.sql("""SELECT id_a, id_b, hamming, l1
+          FROM graft_audio_neardup('graft_audio', 3)
+          ORDER BY id_a, id_b""")
+    }),
+
     // q147: VIDEO near-dup — re-encoded, trimmed, and partially-edited clips
     // caught with NO all-pairs comparison: real GIF demux → per-frame aHash
     // in the scan → distinct frame-hash sets per clip → frame-level Hamming
@@ -2037,6 +2090,39 @@ object PipelineQueries {
          |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ga.g - gb.g)) AS BIGINT) AS l1
          |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
+         |GROUP BY h.id_a, h.id_b, h.hamming
+         |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q153 audio-near-dup oracle, shared VERBATIM by q154 (the
+    * graft_audio_neardup TABLE function must reproduce the Scala chain
+    * exactly): [[audioSample]]'s closed form → exact per-frame Σ|s| →
+    * cross-multiplied threshold bits → 16-bit-block banding → integer L1. */
+  private lazy val q153OracleSql: String =
+      s"""WITH adm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
+         |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
+         |  FROM documents),
+         |asm AS (SELECT doc_id, t,
+         |    s0 + (CASE WHEN doc_id % 5 = 1 AND t < 32 THEN 192 ELSE 0 END) AS s
+         |  FROM (SELECT doc_id, t,
+         |      ((1000003*(b+1) + 55*(t+1) + b*t*t) % 4096) - 2048 AS s0
+         |    FROM adm, LATERAL unnest(generate_series(0, 2047)) AS g(t)) z),
+         |aen AS MATERIALIZED (SELECT doc_id, (t*64)//2048 AS f, sum(abs(s)) AS e
+         |  FROM asm GROUP BY 1, 2),
+         |atot AS (SELECT doc_id, sum(e) AS tot FROM aen GROUP BY 1),
+         |afp AS (SELECT a.doc_id,
+         |    string_agg(CASE WHEN 64*a.e > t.tot THEN '1' ELSE '0' END, '' ORDER BY a.f) AS fp
+         |  FROM aen a JOIN atot t ON a.doc_id = t.doc_id GROUP BY a.doc_id),
+         |ablk AS (SELECT doc_id, fp, unnest([0,1,2,3]) AS block_idx,
+         |  unnest([substr(fp,1,16), substr(fp,17,16),
+         |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM afp),
+         |acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    $hammingSql AS hamming
+         |  FROM ablk a JOIN ablk b ON a.block_idx = b.block_idx
+         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |ahp AS (SELECT * FROM acand WHERE hamming <= 3)
+         |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ea.e - eb.e)) AS BIGINT) AS l1
+         |FROM ahp h JOIN aen ea ON ea.doc_id = h.id_a
+         |  JOIN aen eb ON eb.doc_id = h.id_b AND eb.f = ea.f
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin
 
@@ -2912,6 +2998,8 @@ object PipelineQueries {
          |WHERE r <= 20 ORDER BY vec_id""".stripMargin,
     "q137_image_neardup" -> q137OracleSql,
     "q143_sql_image_neardup" -> q137OracleSql,
+    "q153_audio_neardup" -> q153OracleSql,
+    "q154_sql_audio_neardup" -> q153OracleSql,
     "q138_html_extract" ->
       ("""WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title>'

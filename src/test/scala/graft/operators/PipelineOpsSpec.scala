@@ -760,6 +760,51 @@ class PipelineOpsSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(media, 3, "phash"))
   }
 
+  // ── audio energy hashing ────────────────────────────────────────────────────
+
+  private def wavMedia(rows: (Long, Array[Short])*) = {
+    val df = rows.map { case (id, s) =>
+      (id, Multimodal.encodeWav(s, 8000)) }.toDF("media_id", "payload")
+    Multimodal.asMediaFrame(df, "media_id", "payload", "audio")
+  }
+
+  test("audioEnergyHashes: hand-computed frame energies, threshold bits, |s| on negatives") {
+    // 128 samples / 64 frames = 2 per frame; quiet half ±10, loud half -100
+    // (negative: energy uses |s|). e_f = 20 or 200; tot = 7040; only the
+    // loud half's 64·200 > 7040 → lower 32 bits set, MSB-first.
+    val s = Array.tabulate(128)(i =>
+      (if (i < 64) { if (i % 2 == 0) 10 else -10 } else -100).toShort)
+    val h = Multimodal.audioEnergyHashes(wavMedia(1L -> s)).collect().head
+    assert(h.fp === 0x00000000FFFFFFFFL)
+    assert(h.energies.take(32).forall(_ == 20L) && h.energies.drop(32).forall(_ == 200L))
+  }
+
+  test("audioNearDupPairs: re-encode exact, amplitude nudge surfaces with exact L1") {
+    val base = Array.tabulate(2048)(t => (((t * 37 + 11) % 1000) + 100).toShort)
+    val twin = base.clone() // container re-encode: sample-identical
+    val nudged = base.clone()
+    (0 until 32).foreach(t => nudged(t) = (nudged(t) + 192).toShort)
+    val unrelated = Array.tabulate(2048)(t => (((t * t * 91 + 13 * t + 5) % 2000) - 1000).toShort)
+    val pairs = Multimodal.audioNearDupPairs(
+        wavMedia(1L -> base, 2L -> twin, 3L -> nudged, 4L -> unrelated), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs((1L, 2L)) === ((0L, 0L)), "re-encode: hamming 0, L1 0")
+    // frame 0's energy moves by exactly 32·192 (all samples positive)
+    assert(pairs((1L, 3L))._2 === 32L * 192L, "L1 is the exact energy delta")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated clip must not pair")
+  }
+
+  test("audioEnergyHashes contracts are loud: too few samples, bad frame count") {
+    intercept[IllegalArgumentException](
+      Multimodal.audioEnergyHashes(wavMedia(1L -> Array.fill(32)(1.toShort)), frames = 65))
+    val thrown = intercept[Exception](
+      Multimodal.audioEnergyHashes(wavMedia(1L -> Array.fill(32)(1.toShort))).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(thrown).exists(_.contains("32 samples < 64 frames")))
+  }
+
   test("encodeGifGray is lossless: per-frame hashes match the same grays PNG-encoded") {
     // indexed gray palette → the GIF round-trip must preserve pixels exactly,
     // so the frame hash equals the hash of the identical PNG image
