@@ -190,6 +190,74 @@ object Sampling {
     graft.functions.TextFunctions.md5Bits32(concat(id.cast("string"), lit(":" + seed)))
       .cast("double") / 4294967296.0
 
+  /** EXACT per-domain TOKEN-budget mixture — composing a training recipe
+    * ("2 T tokens web, 300 B code, 50 B wiki": The Pile / Llama-style data
+    * mixtures) needs budgets in tokens, not rows, and exact, deterministic
+    * membership. Within each budgeted domain, documents are ordered by the
+    * deterministic md5 draw (then id), and a document is kept iff the
+    * cumulative `tokensCol` up to and including it is ≤ the domain's budget —
+    * i.e. the greedy hash-ordered prefix, the windowed-cumsum semantics an
+    * oracle replays directly. Domains absent from `budgets` are dropped (a
+    * recipe DEFINES the output mixture).
+    *
+    * Scale shape — the naive window (partitionBy domain, orderBy draw) puts
+    * an entire domain through ONE reducer, unusable when a domain is most of
+    * 100 TB. Instead the draw's first 3 hex chars bucket each domain into
+    * 4096 hash-ordered slices whose per-slice token sums form a tiny
+    * histogram (≤ |budgets|·4096 rows — the ONLY collect, bounded by
+    * construction). The driver prefix-scans it per domain: buckets strictly
+    * before the first budget-crossing bucket are kept WHOLE (any row's
+    * cumsum there is ≤ the crossing prefix ≤ budget), buckets after are
+    * dropped whole, and only the single BOUNDARY bucket — ~1/4096 of the
+    * domain — runs the exact cumsum window. Equality with the plain window
+    * is structural: cumsum(row) = full-buckets-before offset + within-bucket
+    * cumsum. */
+  def tokenBudgetMix(docs: DataFrame, domainCol: String, tokensCol: String,
+                     idCol: String, budgets: Map[String, Long],
+                     seed: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outCols = docs.columns.toSeq
+    val staged = docs
+      .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("_mix_draw",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("_mix_bucket",
+        conv(substring(col("_mix_draw"), 1, 3), 16, 10).cast("int"))
+    // bounded collect: ≤ |budgets| × 4096 (domain, bucket, tokens) rows
+    val hist = staged
+      .groupBy(col(domainCol).as("_d"), col("_mix_bucket"))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val decisions = hist.groupBy(_._1).toSeq.map { case (domain, rows) =>
+      val budget = budgets(domain)
+      var running = 0L
+      var cutoff = Int.MaxValue // no bucket crosses → whole domain kept
+      var offset = 0L
+      for ((_, bucket, t) <- rows.sortBy(_._2) if cutoff == Int.MaxValue) {
+        if (running + t > budget) { cutoff = bucket; offset = running }
+        else running += t
+      }
+      (domain, cutoff, offset, budget)
+    }
+    if (decisions.isEmpty) return docs.limit(0)
+    val dec = decisions.toDF("_mix_domain", "_mix_cutoff", "_mix_offset", "_mix_budget")
+    val joined = staged.join(broadcast(dec), col(domainCol) === col("_mix_domain"))
+    val below = joined.filter(col("_mix_bucket") < col("_mix_cutoff"))
+    val win = Window.partitionBy(col(domainCol))
+      .orderBy(col("_mix_draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("_mix_bucket") === col("_mix_cutoff"))
+      .withColumn("_mix_cum",
+        sum(col(tokensCol).cast("long")).over(win) + col("_mix_offset"))
+      .filter(col("_mix_cum") <= col("_mix_budget"))
+    below.select(outCols.map(col): _*)
+      .unionByName(boundary.select(outCols.map(col): _*))
+  }
+
   /** Score-weighted rejection sampling (the DSIR / CCNet-style importance
     * downsample): keep a row iff its deterministic uniform draw falls under
     * `acceptProb` (a column in [0,1] — a quality score, an importance weight

@@ -1849,6 +1849,24 @@ object PipelineQueries {
           ORDER BY id_a, id_b""")
     }),
 
+    // q155: TOKEN-BUDGET MIXTURE — compose a training recipe in TOKENS per
+    // domain (The Pile / Llama-style mixtures): greedy hash-ordered prefix
+    // per domain, kept iff cumulative tokens ≤ the domain budget; domains
+    // absent from the recipe drop. The engine runs the bucketed two-phase
+    // plan (histogram + boundary-bucket window); the oracle replays the
+    // SEMANTICS as one plain window cumsum — structural equality is the
+    // point of the gate.
+    "q155_token_budget_mix" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val dom = when(m === 0, lit("web")).when(m === 1, lit("code"))
+        .when(m === 2, lit("wiki")).otherwise(lit("books"))
+      val df = t(s, dir, "documents").select(col("doc_id"), dom.as("domain"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetMix(df, "domain", "n_tokens", "doc_id",
+          Map("web" -> 2500L, "code" -> 1500L, "wiki" -> 800L))
+        .orderBy(col("doc_id"))
+    }),
+
     // q147: VIDEO near-dup — re-encoded, trimmed, and partially-edited clips
     // caught with NO all-pairs comparison: real GIF demux → per-frame aHash
     // in the scan → distinct frame-hash sets per clip → frame-level Hamming
@@ -3000,6 +3018,20 @@ object PipelineQueries {
     "q143_sql_image_neardup" -> q137OracleSql,
     "q153_audio_neardup" -> q153OracleSql,
     "q154_sql_audio_neardup" -> q153OracleSql,
+    "q155_token_budget_mix" ->
+      s"""WITH md AS (SELECT doc_id,
+         |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+         |      WHEN 2 THEN 'wiki' ELSE 'books' END) AS domain,
+         |    CAST(array_length($tokensSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |bud AS (SELECT * FROM (VALUES ('web', 2500), ('code', 1500), ('wiki', 800))
+         |  b(domain, budget)),
+         |rr AS (SELECT md.doc_id, md.domain, md.n_tokens, b.budget,
+         |    sum(md.n_tokens) OVER (PARTITION BY md.domain
+         |      ORDER BY md5(CAST(md.doc_id AS VARCHAR) || ':mix'), md.doc_id) AS cum
+         |  FROM md JOIN bud b ON md.domain = b.domain)
+         |SELECT doc_id, domain, n_tokens FROM rr WHERE cum <= budget
+         |ORDER BY doc_id""".stripMargin,
     "q138_html_extract" ->
       ("""WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id AS VARCHAR) || '</title>'
