@@ -309,6 +309,25 @@ object SqlFunctions {
         plan(graft.operators.Multimodal.imageNearDupPairs(
           tbl(strLit(f, "table", exprs(0))),
           maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_repetition('tbl', 'idCol', 'textCol', topN, dupN): the six
+      // Gopher repetition quality signals from a pure-SQL FROM clause —
+      // duplicate line/paragraph occurrence+character fractions and the
+      // top-topN-gram / duplicated-dupN-gram character coverage fractions,
+      // exactly the q151/q152 chain; thresholding stays in the caller's SQL.
+      ("graft_repetition", graft.operators.RepetitionStats.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_repetition", 5, exprs)
+        val f = "graft_repetition"
+        import org.apache.spark.sql.functions.col
+        plan(graft.operators.RepetitionStats.withRepetitionSignals(
+            tbl(strLit(f, "table", exprs(0))),
+            strLit(f, "textCol", exprs(2)),
+            topN = intLit(f, "topN", exprs(3)),
+            dupN = intLit(f, "dupN", exprs(4)))
+          .select(col(strLit(f, "idCol", exprs(1))),
+            col("dup_line_frac"), col("dup_line_char_frac"),
+            col("dup_para_frac"), col("dup_para_char_frac"),
+            col("top_gram_char_frac"), col("dup_gram_char_frac"))) }),
       // graft_audio_neardup('tbl', maxHamming): audio near-duplicate pairs
       // from a pure-SQL FROM clause — the table carries (media_id, payload)
       // WAV rows; RIFF parse → 64-frame energy hash → Hamming-banded

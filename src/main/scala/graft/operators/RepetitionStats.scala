@@ -133,12 +133,47 @@ object RepetitionStats {
       .otherwise(covered.cast("double") / tot.cast("double"))
   }
 
+  /** Per-position "this gram start is duplicated" flags, computed WITHOUT a
+    * per-element membership scan: zip grams with their positions, ONE struct
+    * sort brings equal grams adjacent, neighbor equality marks every member
+    * of a run ≥ 2, and a second struct sort inverts the permutation —
+    * O(G log G) total.
+    *
+    * LAMBDA-BODY DISCIPLINE (the q142 staging trap, projection-collapse
+    * form): a higher-order function evaluates its ARGUMENT arrays once per
+    * row but its lambda body once per ELEMENT, and CollapseProject inlines
+    * single-use staged columns into that body — `array_contains(dupVals, g)`
+    * re-derived the sorted dup-value set per gram (measured 76 s for 500
+    * docs at sf0.01; this chain: sub-second). Every expensive array here
+    * sits in argument position only; lambda bodies touch lambda variables
+    * and attributes. */
+  def dupStartFlags(grams: Column): Column = {
+    val g = size(grams)
+    val gi = zip_with(grams, sequence(lit(1), greatest(g, lit(1))),
+      (gr, i) => struct(gr.as("g"), i.as("idx")))
+    val sgi = array_sort(gi) // struct order: gram, then position
+    val nxt = zip_with(sgi, slice(sgi, lit(2), greatest(g - 1, lit(0))),
+      (a, b) => coalesce(a.getField("g") === b.getField("g"), lit(false)))
+    val dupSorted = zip_with(nxt,
+      concat(array(lit(false)), slice(nxt, lit(1), greatest(g - 1, lit(0)))),
+      (n, p) => n || p)
+    val backSorted = array_sort(zip_with(sgi, dupSorted,
+      (s, d) => struct(s.getField("idx").as("idx"), d.as("flag"))))
+    when(g >= 2, transform(backSorted, x => coalesce(x.getField("flag"), lit(false))))
+      .otherwise(when(g === 1, array(lit(false)))
+        .otherwise(typedLit(Seq.empty[Boolean])))
+  }
+
   /** All six repetition signals appended to the input rows (original columns
     * preserved; signal columns as named below). Lines split on \n, paragraphs
     * on \n\n, tokens via [[TextFunctions.tokens]]. `topN`/`dupN` pick the
     * gram sizes for the top-gram and duplicated-gram character signals
     * (Gopher runs n=2..4 / n=5..10; the defaults are the strictest of each
-    * family). Entirely scan-side — no shuffle. */
+    * family). Entirely scan-side — no shuffle. See [[dupStartFlags]] for the
+    * lambda-body discipline every stage here follows: the top-gram flags put
+    * the argmax value in argument position via `array_repeat`, and the
+    * coverage expressions reference each flag column 2+ times so
+    * CollapseProject keeps them staged per row. */
   def withRepetitionSignals(docs: DataFrame, textCol: String = "text",
                             topN: Int = 2, dupN: Int = 5): DataFrame = {
     val staged = docs
@@ -154,20 +189,19 @@ object RepetitionStats {
       .withColumn("dup_line_char_frac", lineCharFrac)
       .withColumn("dup_para_frac", paraFrac)
       .withColumn("dup_para_char_frac", paraCharFrac)
-      .withColumn("_rs_topval", topGramValue(col("_rs_gtop")))
-      .withColumn("_rs_dupvals", dupGramValues(col("_rs_gdup")))
-      // stage the value columns BEFORE the per-element scans so the
-      // aggregate/argmax trees are not re-evaluated per gram
+      // argmax value consumed in ARGUMENT position (array_repeat child) —
+      // evaluated once per row, never per element
       .withColumn("_rs_topflags",
-        transform(col("_rs_gtop"), gr => coalesce(gr === col("_rs_topval"), lit(false))))
-      .withColumn("_rs_dupflags",
-        transform(col("_rs_gdup"), gr => array_contains(col("_rs_dupvals"), gr)))
+        zip_with(col("_rs_gtop"),
+          array_repeat(topGramValue(col("_rs_gtop")), size(col("_rs_gtop"))),
+          (gr, v) => coalesce(gr === v, lit(false))))
+      .withColumn("_rs_dupflags", dupStartFlags(col("_rs_gdup")))
       .withColumn("top_gram_char_frac",
         coveredCharFraction(col("_rs_toks"), col("_rs_topflags"), topN))
       .withColumn("dup_gram_char_frac",
         coveredCharFraction(col("_rs_toks"), col("_rs_dupflags"), dupN))
     flagged.drop("_rs_lines", "_rs_paras", "_rs_toks", "_rs_gtop", "_rs_gdup",
-      "_rs_topval", "_rs_dupvals", "_rs_topflags", "_rs_dupflags")
+      "_rs_topflags", "_rs_dupflags")
   }
 
   /** Keep documents passing every threshold — a pure scan-side predicate

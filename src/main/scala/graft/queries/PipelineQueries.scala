@@ -1849,6 +1849,22 @@ object PipelineQueries {
           ORDER BY id_a, id_b""")
     }),
 
+    // q156: repetition signals from pure SQL — the graft_repetition TABLE
+    // function over the q151/q152 fixture registered as a view, with the
+    // six-threshold keep flag computed in the caller's SQL; shares q152's
+    // oracle verbatim.
+    "q156_sql_repetition" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      repFixture(t(s, dir, "documents"))
+        .createOrReplaceTempView("graft_rep_docs")
+      s.sql("""SELECT doc_id, top_gram_char_frac, dup_gram_char_frac,
+          (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+           AND top_gram_char_frac <= 0.20 AND dup_gram_char_frac <= 0.15) AS pass
+          FROM graft_repetition('graft_rep_docs', 'doc_id', 'text', 2, 5)
+          ORDER BY doc_id""")
+    }),
+
     // q155: TOKEN-BUDGET MIXTURE — compose a training recipe in TOKENS per
     // domain (The Pile / Llama-style mixtures): greedy hash-ordered prefix
     // per domain, kept iff cumulative tokens ≤ the domain budget; domains
@@ -2110,6 +2126,55 @@ object PipelineQueries {
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q152 n-gram repetition oracle, shared VERBATIM by q156 (the
+    * graft_repetition TABLE function must reproduce the Scala chain
+    * exactly). */
+  private lazy val q152OracleSql: String =
+      s"""WITH $repCtes,
+         |$repSegSigCtes,
+         |rtk AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM tr),
+         |rtp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS p,
+         |    length(t[CAST(i AS INT)]) AS lt
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         |rtot AS (SELECT doc_id, sum(lt) AS tot FROM rtp GROUP BY 1),
+         |rg2 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS g
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)),
+         |rtop2 AS (SELECT doc_id, g FROM (SELECT doc_id, g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+         |  FROM rg2 GROUP BY doc_id, g) z WHERE rn = 1),
+         |rcv2 AS (SELECT doc_id, sum(lt) AS cov FROM (
+         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
+         |  FROM rtp JOIN (SELECT rg2.doc_id, rg2.i FROM rg2
+         |      JOIN rtop2 ON rg2.doc_id = rtop2.doc_id AND rg2.g = rtop2.g) st
+         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 1) z
+         |  GROUP BY doc_id),
+         |rg5 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
+         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 4)) AS s(i)),
+         |rd5 AS (SELECT doc_id, g FROM (SELECT doc_id, g, count(*) AS c
+         |  FROM rg5 GROUP BY 1, 2) z WHERE c > 1),
+         |rcv5 AS (SELECT doc_id, sum(lt) AS cov FROM (
+         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
+         |  FROM rtp JOIN (SELECT rg5.doc_id, rg5.i FROM rg5
+         |      JOIN rd5 ON rg5.doc_id = rd5.doc_id AND rg5.g = rd5.g) st
+         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 4) z
+         |  GROUP BY doc_id),
+         |rsig AS (SELECT rtot.doc_id,
+         |  coalesce(CAST(rcv2.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
+         |    AS top_gram_char_frac,
+         |  coalesce(CAST(rcv5.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
+         |    AS dup_gram_char_frac
+         |  FROM rtot LEFT JOIN rcv2 ON rtot.doc_id = rcv2.doc_id
+         |    LEFT JOIN rcv5 ON rtot.doc_id = rcv5.doc_id)
+         |SELECT r.doc_id, r.top_gram_char_frac, r.dup_gram_char_frac,
+         |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
+         |   AND p.dup_para_frac <= 0.30 AND p.dup_para_char_frac <= 0.20
+         |   AND r.top_gram_char_frac <= 0.20 AND r.dup_gram_char_frac <= 0.15) AS pass
+         |FROM rsig r JOIN lsig l ON r.doc_id = l.doc_id
+         |  JOIN psig p ON r.doc_id = p.doc_id
+         |ORDER BY r.doc_id""".stripMargin
 
   /** The q153 audio-near-dup oracle, shared VERBATIM by q154 (the
     * graft_audio_neardup TABLE function must reproduce the Scala chain
@@ -2945,51 +3010,8 @@ object PipelineQueries {
          |SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
          |  p.dup_para_frac, p.dup_para_char_frac
          |FROM lsig l JOIN psig p USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "q152_repetition_ngrams" ->
-      s"""WITH $repCtes,
-         |$repSegSigCtes,
-         |rtk AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM tr),
-         |rtp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS p,
-         |    length(t[CAST(i AS INT)]) AS lt
-         |  FROM rtk, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
-         |rtot AS (SELECT doc_id, sum(lt) AS tot FROM rtp GROUP BY 1),
-         |rg2 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
-         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS g
-         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 1)) AS s(i)),
-         |rtop2 AS (SELECT doc_id, g FROM (SELECT doc_id, g,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
-         |  FROM rg2 GROUP BY doc_id, g) z WHERE rn = 1),
-         |rcv2 AS (SELECT doc_id, sum(lt) AS cov FROM (
-         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
-         |  FROM rtp JOIN (SELECT rg2.doc_id, rg2.i FROM rg2
-         |      JOIN rtop2 ON rg2.doc_id = rtop2.doc_id AND rg2.g = rtop2.g) st
-         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 1) z
-         |  GROUP BY doc_id),
-         |rg5 AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i,
-         |    array_to_string(t[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS g
-         |  FROM rtk, LATERAL unnest(generate_series(1, len(t) - 4)) AS s(i)),
-         |rd5 AS (SELECT doc_id, g FROM (SELECT doc_id, g, count(*) AS c
-         |  FROM rg5 GROUP BY 1, 2) z WHERE c > 1),
-         |rcv5 AS (SELECT doc_id, sum(lt) AS cov FROM (
-         |  SELECT DISTINCT rtp.doc_id, rtp.p, rtp.lt
-         |  FROM rtp JOIN (SELECT rg5.doc_id, rg5.i FROM rg5
-         |      JOIN rd5 ON rg5.doc_id = rd5.doc_id AND rg5.g = rd5.g) st
-         |    ON st.doc_id = rtp.doc_id AND rtp.p BETWEEN st.i AND st.i + 4) z
-         |  GROUP BY doc_id),
-         |rsig AS (SELECT rtot.doc_id,
-         |  coalesce(CAST(rcv2.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
-         |    AS top_gram_char_frac,
-         |  coalesce(CAST(rcv5.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
-         |    AS dup_gram_char_frac
-         |  FROM rtot LEFT JOIN rcv2 ON rtot.doc_id = rcv2.doc_id
-         |    LEFT JOIN rcv5 ON rtot.doc_id = rcv5.doc_id)
-         |SELECT r.doc_id, r.top_gram_char_frac, r.dup_gram_char_frac,
-         |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
-         |   AND p.dup_para_frac <= 0.30 AND p.dup_para_char_frac <= 0.20
-         |   AND r.top_gram_char_frac <= 0.20 AND r.dup_gram_char_frac <= 0.15) AS pass
-         |FROM rsig r JOIN lsig l ON r.doc_id = l.doc_id
-         |  JOIN psig p ON r.doc_id = p.doc_id
-         |ORDER BY r.doc_id""".stripMargin,
+    "q152_repetition_ngrams" -> q152OracleSql,
+    "q156_sql_repetition" -> q152OracleSql,
     // q140 is the SAME train→vocab→encode chain through the graft_bpe_encode
     // TABLE function — shares the oracle verbatim (the SQL surface must be
     // invisible in the result).
