@@ -165,6 +165,66 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append `newDocs` to a PERSISTED [[saveTextIndex]] index WITHOUT
+    * re-tokenizing the already-indexed corpus — the [[ProductQuantization
+    * .appendToPqIndex]] discipline for the text side: new postings/doclens
+    * parquet files land beside the old ones (file-level term_bucket pruning
+    * keeps working across both generations), while the two vocabulary-sized
+    * tables rebuild incrementally — `terms` as old-df ⊕ new-per-term doc
+    * counts (a driver-side merge of two vocab-sized reads; NEVER a full
+    * postings rescan) and `meta` by adding the new corpus stats.
+    *
+    * Loud contracts: the index must exist (meta read fails otherwise), the
+    * bucket count comes from META — not a caller parameter — so the new
+    * postings shard exactly like the old, and `newDocs` ids must be disjoint
+    * from the indexed ids (an overlapping append would double-count df/dl
+    * for every downstream reader). Writes are not atomic: postings/doclens
+    * append first, the derived tables (terms, then meta) last, so a crash
+    * mid-append leaves meta describing the OLD consistent index. */
+  def appendToTextIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val (nDocs, sumDl, nBuckets) = scala.util.Try(spark.read.parquet(s"$path/meta")
+        .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"))
+        .as[(Long, Long, Int)].collect().head)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendToTextIndex: no index meta at $path — saveTextIndex first"))
+    val staged = newDocs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    val clashes = staged.select(col("doc_id"))
+      .join(spark.read.parquet(s"$path/doclens").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .limit(5).as[Long].collect()
+    require(clashes.isEmpty,
+      s"appendToTextIndex: doc ids already indexed at $path: ${clashes.mkString(", ")}")
+    staged.select(col("doc_id"), col("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val postings = staged
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    postings
+      .withColumn("term_bucket", TextFunctions.hashBucket(col("term"), nBuckets))
+      .write.mode("append").partitionBy("term_bucket").parquet(s"$path/postings")
+    // vocab-sized driver merge (old terms path is about to be OVERWRITTEN —
+    // a lazy self-referencing plan would read the path it writes)
+    val newDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val oldDf = spark.read.parquet(s"$path/terms")
+      .select(col("term"), col("df").cast("long"))
+      .as[(String, Long)].collect().toMap
+    val merged = (oldDf.keySet ++ newDf.keySet).toSeq.map(t =>
+      (t, oldDf.getOrElse(t, 0L) + newDf.getOrElse(t, 0L)))
+    merged.toDF("term", "df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+    val (newN, newSdl) = staged
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .as[(Long, Long)].collect().head
+    Seq((nDocs + newN, sumDl + newSdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Load a [[saveTextIndex]] index: meta collects driver-side (three
     * numbers); terms, postings and doclens stay lazy. */
   def loadTextIndex(spark: org.apache.spark.sql.SparkSession,

@@ -185,6 +185,43 @@ class RetrievalSpec extends SparkSpec {
     assert(ghost.forall(_ === 0.0))
   }
 
+  test("appendToTextIndex: appended index ranks BIT-identically to a full rebuild") {
+    val path = tempDir().resolve("textindex_app").toString
+    val extra = Seq(
+      (5L, "spark words appear here"),
+      (6L, "fresh vocabulary entirely novel")).toDF("doc_id", "text")
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    Retrieval.appendToTextIndex(extra, "doc_id", "text", path)
+    val appended = Retrieval.loadTextIndex(spark, path)
+    assert(appended.nDocs === 6L && appended.sumDl === 24L && appended.nBuckets === 8)
+    val full = tempDir().resolve("textindex_full").toString
+    Retrieval.saveTextIndex(corpus.unionByName(extra), "doc_id", "text", full, nBuckets = 8)
+    val rebuilt = Retrieval.loadTextIndex(spark, full)
+    val terms = Seq("spark", "rare", "novel", "words")
+    def scores(ix: Retrieval.TextIndex) =
+      Retrieval.bm25ScoresFromIndex(ix, terms).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scores(appended) === scores(rebuilt),
+      "append must be invisible vs full rebuild — exact integer stats")
+    // terms table merged exactly: old term df grew, new-vocab term present
+    val df = appended.terms.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("spark") === 3L && df("novel") === 1L)
+  }
+
+  test("appendToTextIndex contracts: missing index, overlapping ids are loud") {
+    val path = tempDir().resolve("textindex_bad").toString
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToTextIndex(corpus, "doc_id", "text", path)
+    }
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val clash = intercept[IllegalArgumentException] {
+      Retrieval.appendToTextIndex(corpus.limit(1), "doc_id", "text", path)
+    }
+    assert(clash.getMessage.contains("already indexed"))
+    // the failed append must not have changed meta
+    assert(Retrieval.loadTextIndex(spark, path).nDocs === 4L)
+  }
+
   test("persisted text index: bucket literal matches hashBucket; empty index is loud") {
     import graft.functions.TextFunctions
     val path = tempDir().resolve("textindex2").toString
