@@ -795,6 +795,15 @@ class PipelineOpsSpec extends SparkSpec {
       "unrelated clip must not pair")
   }
 
+  test("RIFF fast path is parse-equivalent to the javax.sound decoder") {
+    val s = Array.tabulate(2048)(t => (((t * 131 + 7) % 4000) - 2000).toShort)
+    val wav = Multimodal.encodeWav(s, 8000)
+    val viaRiff = Multimodal.audioEnergyHashes(wavMedia(9L -> s)).collect().head
+    val viaJavax = Multimodal.javaxFrameEnergies(9L, wav, 64)
+    assert(viaRiff.energies.toSeq === viaJavax.toSeq,
+      "chunk walk and SPI decode must agree sample-for-sample")
+  }
+
   test("audioEnergyHashes contracts are loud: too few samples, bad frame count") {
     intercept[IllegalArgumentException](
       Multimodal.audioEnergyHashes(wavMedia(1L -> Array.fill(32)(1.toShort)), frames = 65))
