@@ -1849,6 +1849,28 @@ object PipelineQueries {
           ORDER BY id_a, id_b""")
     }),
 
+    // q157: LINEAR-CLASSIFIER TRAINING — the fastText/CCNet-style quality
+    // filter's trainable half as a distributed EXACT-INTEGER batch
+    // perceptron over hashed token-count features (16 dims, 3 iterations,
+    // labels = length threshold). Every iteration is one corpus aggregate
+    // reducing to a dims-sized gradient; the oracle RE-TRAINS the identical
+    // model as unrolled per-iteration CTEs (w=0 start makes iteration 1
+    // update on every doc — the deterministic convention both engines pin).
+    "q157_perceptron_train" -> ((s, dir) => {
+      val lt = graft.operators.LinearTrainer
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+        .withColumn("_bk", lt.tokenBuckets(col("_t"), PerceptronDims))
+        .select(col("doc_id"),
+          lt.countsFromBuckets(col("_bk"), PerceptronDims).as("features"),
+          when(size(col("_t")) >= 55, 1L).otherwise(-1L).as("label"))
+      val w = lt.perceptronTrain(staged, "features", "label",
+        PerceptronDims, PerceptronIters)
+      import s.implicits._
+      w.zipWithIndex.map { case (wv, p) => (p.toLong, wv) }.toSeq
+        .toDF("pos", "weight").orderBy("pos")
+    }),
+
     // q156: repetition signals from pure SQL — the graft_repetition TABLE
     // function over the q151/q152 fixture registered as a view, with the
     // six-threshold keep flag computed in the caller's SQL; shares q152's
@@ -2175,6 +2197,44 @@ object PipelineQueries {
          |FROM rsig r JOIN lsig l ON r.doc_id = l.doc_id
          |  JOIN psig p ON r.doc_id = p.doc_id
          |ORDER BY r.doc_id""".stripMargin
+
+  /** q157's geometry (shared by the query and the unrolled oracle). */
+  private val PerceptronDims = 16
+  private val PerceptronIters = 3
+
+  /** Unrolled DuckDB re-TRAINING of the q157 batch perceptron: sparse
+    * (doc, pos, count) features (missing positions are zero on both engine
+    * sides — the dense array's zeros contribute nothing to any sum), labels
+    * from the shared length threshold, and per iteration the margin /
+    * misclassified-update / weight-merge CTE triple. Iteration 1 from w=0
+    * has margin 0 ≤ 0 everywhere, so it updates on every doc on both
+    * engines. All integer arithmetic. */
+  private def perceptronOracleSql(dims: Int, iters: Int): String = {
+    val iterCtes = (2 to iters).map { i =>
+      s"""m$i AS (SELECT f.doc_id, sum(coalesce(w.w, 0) * f.x) * max(l.y) AS margin
+         |  FROM px f JOIN pl l USING (doc_id)
+         |  LEFT JOIN w${i - 1} w ON f.pos = w.pos GROUP BY f.doc_id),
+         |u$i AS (SELECT f.pos, sum(f.x * l.y) AS g
+         |  FROM px f JOIN pl l USING (doc_id)
+         |  WHERE f.doc_id IN (SELECT doc_id FROM m$i WHERE margin <= 0)
+         |  GROUP BY f.pos),
+         |w$i AS (SELECT coalesce(a.pos, b.pos) AS pos,
+         |    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+         |  FROM w${i - 1} a FULL OUTER JOIN u$i b ON a.pos = b.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pt AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |pl AS (SELECT doc_id, CASE WHEN len(t) >= 55 THEN 1 ELSE -1 END AS y FROM pt),
+       |px AS MATERIALIZED (SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $dims AS pos,
+       |    count(*) AS x
+       |  FROM pt, LATERAL unnest(t) AS u(tok) GROUP BY 1, 2),
+       |w1 AS (SELECT pos, sum(x * y) AS w
+       |  FROM px JOIN pl USING (doc_id) GROUP BY pos),
+       |$iterCtes
+       |SELECT CAST(d.pos AS BIGINT) AS pos, CAST(coalesce(w.w, 0) AS BIGINT) AS weight
+       |FROM (SELECT unnest(generate_series(0, ${dims - 1})) AS pos) d
+       |LEFT JOIN w$iters w ON d.pos = w.pos ORDER BY pos""".stripMargin
+  }
 
   /** The q153 audio-near-dup oracle, shared VERBATIM by q154 (the
     * graft_audio_neardup TABLE function must reproduce the Scala chain
@@ -3040,6 +3100,7 @@ object PipelineQueries {
     "q143_sql_image_neardup" -> q137OracleSql,
     "q153_audio_neardup" -> q153OracleSql,
     "q154_sql_audio_neardup" -> q153OracleSql,
+    "q157_perceptron_train" -> perceptronOracleSql(PerceptronDims, PerceptronIters),
     "q155_token_budget_mix" ->
       s"""WITH md AS (SELECT doc_id,
          |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'
