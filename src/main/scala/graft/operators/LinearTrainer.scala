@@ -41,11 +41,20 @@ object LinearTrainer {
 
   /** Dense integer count vector (length `dims`) from an ALREADY-BOUND bucket
     * array: counts[d] = occurrences of bucket d. Pass an attribute
-    * reference. O(T·dims) cheap comparisons per row, zero shuffle. */
+    * reference. O(T·dims) cheap comparisons per row, zero shuffle.
+    *
+    * The `when(size(buckets) >= 0, …)` guard is STRUCTURAL, not defensive:
+    * it makes this expression reference `buckets` twice, so CollapseProject
+    * keeps the caller's staged bucket column as a per-row projection instead
+    * of inlining the md5 hashing into the per-dimension filter lambda (the
+    * SCALE.md lambda-body corollary — measured 26 s → 2 s on q157's
+    * 3-iteration training at sf0.1). */
   def countsFromBuckets(buckets: Column, dims: Int): Column = {
     require(dims >= 1, s"dims must be positive: $dims")
-    transform(sequence(lit(0), lit(dims - 1)),
-      d => size(filter(buckets, b => b === d)).cast("long"))
+    when(size(buckets) >= 0,
+      transform(sequence(lit(0), lit(dims - 1)),
+        d => size(filter(buckets, b => b === d)).cast("long")))
+      .otherwise(typedLit(Seq.empty[Long]))
   }
 
   /** ⟨w, x⟩ for a literal weight vector — weights ride `typedlit` in
@@ -61,10 +70,17 @@ object LinearTrainer {
   def perceptronTrain(feat: DataFrame, featuresCol: String, labelCol: String,
                       dims: Int, iters: Int): Array[Long] = {
     require(dims >= 1 && iters >= 1, s"need dims >= 1 and iters >= 1, got $dims/$iters")
+    // materialize the features ONCE: training is inherently multi-pass, and
+    // without the lineage cut PushDownPredicate splices the whole feature
+    // expression into each iteration's margin Filter — where the
+    // CollapseProject alias-cost guard does not apply, so the per-token
+    // hashing re-runs per DIMENSION inside the count lambda (measured 22 s →
+    // 1.6 s for 3 iterations at sf0.1, `tools/PercProf`)
+    val staged = feat.select(col(featuresCol), col(labelCol)).localCheckpoint()
     val w = Array.fill(dims)(0L)
     for (_ <- 1 to iters) {
       val margin = dotWithWeights(col(featuresCol), w.toSeq) * col(labelCol)
-      val grad = feat.filter(margin <= 0)
+      val grad = staged.filter(margin <= 0)
         .select(col(labelCol).as("_y"), posexplode(col(featuresCol)).as(Seq("_pos", "_x")))
         .groupBy(col("_pos")).agg(sum(col("_x") * col("_y")).as("_g"))
         .collect() // dims rows, bounded by construction
