@@ -400,6 +400,9 @@ object Multimodal {
     var dataLen = 0
     while (off + 8 <= bytes.length && (!fmtOk || dataOff < 0)) {
       val id4 = tag(off); val sz = u32(off + 4).toInt
+      // untrusted size: a u32 >= 2^31 goes negative via .toInt and would make
+      // the offset step non-advancing — hang the executor instead of failing
+      require(sz >= 0, s"media_id=$id: corrupt chunk '$id4' with size ${u32(off + 4)}")
       if (id4 == "fmt ") {
         require(sz >= 16 && off + 8 + 16 <= bytes.length,
           s"media_id=$id: truncated fmt chunk")

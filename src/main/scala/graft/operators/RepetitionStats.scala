@@ -80,18 +80,6 @@ object RepetitionStats {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(emptyStrArr)
 
-  /** Distinct gram values occurring more than once, via one sorted adjacency
-    * pass (no per-element O(G) counting). Pass an attribute reference. */
-  def dupGramValues(grams: Column): Column = {
-    val g = size(grams)
-    val sorted = array_sort(grams)
-    when(g >= 2,
-      array_distinct(array_compact(transform(sequence(lit(2), g),
-        i => when(element_at(sorted, i) === element_at(sorted, i - 1),
-          element_at(sorted, i))))))
-      .otherwise(emptyStrArr)
-  }
-
   /** The document's most frequent gram value; ties break to the
     * lexicographically smallest (count desc, value asc — the deterministic
     * convention the oracle replays with `ORDER BY cnt DESC, gram`). NULL on

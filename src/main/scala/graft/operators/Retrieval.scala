@@ -111,6 +111,44 @@ object Retrieval {
     def avgdl: Double = sumDl.toDouble / nDocs.toDouble
   }
 
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generation numbers visible as `<prefix>N` child directories of `base`
+    * (e.g. `meta_g3`, `gen=2`) — a pure filesystem listing, no data read. */
+  private def listGens(spark: org.apache.spark.sql.SparkSession, base: String,
+                       prefix: String, requireSuccess: Boolean): Seq[Int] = {
+    val f = hadoopFs(spark, base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(prefix)) None
+      else scala.util.Try(n.stripPrefix(prefix).toInt).toOption.filter { _ =>
+        !requireSuccess ||
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+      }
+    }
+  }
+
+  /** The COMMITTED index state at `path`: the highest-numbered `meta_gN`
+    * directory whose `_SUCCESS` marker landed — the single commit point of
+    * the save/append protocol. Returns (gen, n_docs, sum_dl, n_buckets,
+    * committed gens). */
+  private def committedMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[(Int, Long, Long, Int, Seq[Int])] = {
+    import spark.implicits._
+    listGens(spark, path, "meta_g", requireSuccess = true).sorted.lastOption
+      .map { g =>
+        val m = spark.read.parquet(s"$path/meta_g$g")
+          .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"),
+            col("gens"))
+          .as[(Long, Long, Int, Seq[Int])].collect().head
+        (g, m._1, m._2, m._3, m._4)
+      }
+  }
+
   /** Driver-side twin of [[TextFunctions.hashBucket]] for a literal term —
     * first 32 md5 bits of the string, mod `buckets` (the same arithmetic the
     * column expression and every oracle use). */
@@ -134,35 +172,52 @@ object Retrieval {
     *   - `doclens`: (doc_id, dl) — the per-doc length BM25's normalizer
     *     needs;
     *   - `terms`: (term, df) exact document frequencies (vocab-sized);
-    *   - `meta`: one row (n_docs, sum_dl, n_buckets).
+    *   - `meta`: one row (n_docs, sum_dl, n_buckets, committed gens).
     *
     * Exact integer statistics throughout, so a reloaded index ranks
-    * BIT-IDENTICALLY to the from-corpus pass (spec-pinned). */
+    * BIT-IDENTICALLY to the from-corpus pass (spec-pinned).
+    *
+    * Commit protocol (shared with [[appendToTextIndex]]): every write lands
+    * under an explicit GENERATION — `gen=N` partitions for postings/doclens,
+    * `terms_gN` / `meta_gN` directories for the derived tables — and a
+    * generation becomes visible only when its `meta_gN` directory commits
+    * (`_SUCCESS` marker). Readers take the highest committed meta and filter
+    * postings/doclens to its `gens` list, so a crash at ANY point leaves the
+    * previously committed index exactly as it was and orphaned files from
+    * the failed attempt are never read. */
   def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    // a fresh save owns the path: clear stale generations from any previous
+    // index here, or their higher-numbered metas would shadow this one
+    val f = hadoopFs(spark, path)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
     val staged = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
-    staged.select(col("doc_id"), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
+    staged.select(col("doc_id"), col("dl"), lit(0).as("gen"))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/doclens")
     val postings = staged
       .select(col("doc_id"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     postings
       .withColumn("term_bucket", TextFunctions.hashBucket(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen", "term_bucket")
+      .parquet(s"$path/postings")
     // df from the postings relation: one row per (term, doc) ⇒ count = docs
     // containing the term — the exact array_contains statistic
     spark.read.parquet(s"$path/postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms_g0")
     val stats = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .as[(Long, Long)].collect().head
-    Seq((stats._1, stats._2, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the commit: meta_g0 landing (with _SUCCESS) makes generation 0 visible
+    Seq((stats._1, stats._2, nBuckets, Seq(0)))
+      .toDF("n_docs", "sum_dl", "n_buckets", "gens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g0")
   }
 
   /** Append `newDocs` to a PERSISTED [[saveTextIndex]] index WITHOUT
@@ -174,72 +229,90 @@ object Retrieval {
     * counts (a driver-side merge of two vocab-sized reads; NEVER a full
     * postings rescan) and `meta` by adding the new corpus stats.
     *
-    * Loud contracts: the index must exist (meta read fails otherwise), the
-    * bucket count comes from META — not a caller parameter — so the new
+    * Loud contracts: the index must exist (no committed meta fails loudly),
+    * the bucket count comes from META — not a caller parameter — so the new
     * postings shard exactly like the old, and `newDocs` ids must be disjoint
-    * from the indexed ids (an overlapping append would double-count df/dl
-    * for every downstream reader). Writes are not atomic: postings/doclens
-    * append first, the derived tables (terms, then meta) last, so a crash
-    * mid-append leaves meta describing the OLD consistent index. */
+    * from the COMMITTED ids (an overlapping append would double-count df/dl
+    * for every downstream reader).
+    *
+    * Crash safety: the append is a new GENERATION. Postings/doclens land
+    * under a fresh `gen=N` partition, the merged vocabulary under `terms_gN`,
+    * and the single COMMIT is the final `meta_gN` write — readers only see
+    * generations listed by the highest committed meta, so a crash anywhere
+    * mid-append leaves the old index fully consistent AND readable, and a
+    * retry simply takes the next generation number (the orphaned files of
+    * the failed attempt are never listed, at the cost of dead bytes until a
+    * fresh [[saveTextIndex]] reclaims the path). */
   def appendToTextIndex(newDocs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val (nDocs, sumDl, nBuckets) = scala.util.Try(spark.read.parquet(s"$path/meta")
-        .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"))
-        .as[(Long, Long, Int)].collect().head)
+    val (metaGen, nDocs, sumDl, nBuckets, gens) = committedMeta(spark, path)
       .getOrElse(throw new IllegalArgumentException(
-        s"appendToTextIndex: no index meta at $path — saveTextIndex first"))
+        s"appendToTextIndex: no committed index meta at $path — saveTextIndex first"))
+    // next generation: strictly above everything on disk — committed gens AND
+    // orphans from crashed attempts (doclens partition dirs + meta dirs are
+    // both pure filesystem listings)
+    val newGen = 1 + (gens ++ listGens(spark, s"$path/doclens", "gen=", requireSuccess = false)
+      ++ listGens(spark, path, "meta_g", requireSuccess = false)).max
     val staged = newDocs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     val clashes = staged.select(col("doc_id"))
-      .join(spark.read.parquet(s"$path/doclens").select(col("doc_id")),
+      .join(spark.read.parquet(s"$path/doclens")
+          .filter(col("gen").isin(gens: _*)).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .limit(5).as[Long].collect()
     require(clashes.isEmpty,
       s"appendToTextIndex: doc ids already indexed at $path: ${clashes.mkString(", ")}")
-    staged.select(col("doc_id"), col("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
+    staged.select(col("doc_id"), col("dl"), lit(newGen).as("gen"))
+      .write.mode("append").partitionBy("gen").parquet(s"$path/doclens")
     val postings = staged
       .select(col("doc_id"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     postings
       .withColumn("term_bucket", TextFunctions.hashBucket(col("term"), nBuckets))
-      .write.mode("append").partitionBy("term_bucket").parquet(s"$path/postings")
-    // vocab-sized driver merge (old terms path is about to be OVERWRITTEN —
-    // a lazy self-referencing plan would read the path it writes)
+      .withColumn("gen", lit(newGen))
+      .write.mode("append").partitionBy("gen", "term_bucket")
+      .parquet(s"$path/postings")
+    // vocab-sized driver merge of the committed terms table with the new
+    // per-term doc counts — never a full postings rescan
     val newDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
-    val oldDf = spark.read.parquet(s"$path/terms")
+    val oldDf = spark.read.parquet(s"$path/terms_g$metaGen")
       .select(col("term"), col("df").cast("long"))
       .as[(String, Long)].collect().toMap
     val merged = (oldDf.keySet ++ newDf.keySet).toSeq.map(t =>
       (t, oldDf.getOrElse(t, 0L) + newDf.getOrElse(t, 0L)))
     merged.toDF("term", "df")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/terms_g$newGen")
     val (newN, newSdl) = staged
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .as[(Long, Long)].collect().head
-    Seq((nDocs + newN, sumDl + newSdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the commit: once meta_gN lands with _SUCCESS the new generation is
+    // visible atomically (readers pick the highest committed meta)
+    Seq((nDocs + newN, sumDl + newSdl, nBuckets, gens :+ newGen))
+      .toDF("n_docs", "sum_dl", "n_buckets", "gens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
   }
 
-  /** Load a [[saveTextIndex]] index: meta collects driver-side (three
-    * numbers); terms, postings and doclens stay lazy. */
+  /** Load a [[saveTextIndex]] index: the highest COMMITTED meta collects
+    * driver-side; terms, postings and doclens stay lazy, filtered to the
+    * committed generations (uncommitted files from a crashed append are
+    * invisible — `gen` is a partition column, so the filter prunes at file
+    * level and never reads the orphans). */
   def loadTextIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): TextIndex = {
-    import spark.implicits._
-    val meta = scala.util.Try(spark.read.parquet(s"$path/meta")
-        .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"))
-        .as[(Long, Long, Int)].collect().head)
+    val (metaGen, nDocs, sumDl, nBuckets, gens) = committedMeta(spark, path)
       .getOrElse(throw new IllegalArgumentException(
-        s"loadTextIndex: no index meta at $path — saveTextIndex first"))
-    require(meta._1 > 0, s"loadTextIndex: empty corpus index at $path")
-    TextIndex(meta._1, meta._2, meta._3,
-      spark.read.parquet(s"$path/terms"),
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doclens"))
+        s"loadTextIndex: no committed index meta at $path — saveTextIndex first"))
+    require(nDocs > 0, s"loadTextIndex: empty corpus index at $path")
+    TextIndex(nDocs, sumDl, nBuckets,
+      spark.read.parquet(s"$path/terms_g$metaGen"),
+      spark.read.parquet(s"$path/postings")
+        .filter(col("gen").isin(gens: _*)).drop("gen"),
+      spark.read.parquet(s"$path/doclens")
+        .filter(col("gen").isin(gens: _*)).drop("gen"))
   }
 
   /** Per-document BM25 scores from a PERSISTED index — [[bm25Scores]]

@@ -222,6 +222,14 @@ object Sampling {
     val outCols = docs.columns.toSeq
     val staged = docs
       .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
+      // the whole-bucket keep/drop equivalence with the plain window cumsum
+      // needs a MONOTONE cumsum — fail loudly on a negative token count
+      // instead of silently breaking the greedy-prefix semantics
+      .withColumn("_mix_tok",
+        when(col(tokensCol) >= 0, col(tokensCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"tokenBudgetMix: negative $tokensCol for $idCol="),
+            col(idCol).cast("string")))))
       .withColumn("_mix_draw",
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("_mix_bucket",
@@ -229,7 +237,7 @@ object Sampling {
     // bounded collect: ≤ |budgets| × 4096 (domain, bucket, tokens) rows
     val hist = staged
       .groupBy(col(domainCol).as("_d"), col("_mix_bucket"))
-      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .agg(sum(col("_mix_tok")).as("_t"))
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val decisions = hist.groupBy(_._1).toSeq.map { case (domain, rows) =>
@@ -252,7 +260,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = joined.filter(col("_mix_bucket") === col("_mix_cutoff"))
       .withColumn("_mix_cum",
-        sum(col(tokensCol).cast("long")).over(win) + col("_mix_offset"))
+        sum(col("_mix_tok")).over(win) + col("_mix_offset"))
       .filter(col("_mix_cum") <= col("_mix_budget"))
     below.select(outCols.map(col): _*)
       .unionByName(boundary.select(outCols.map(col): _*))

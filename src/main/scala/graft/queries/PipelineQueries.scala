@@ -182,25 +182,34 @@ object PipelineQueries {
     val rep = toks.select(col("doc_id"),
       concat(col("_t"), flatten(array_repeat(slice(col("_t"), 1, 6),
         pmod(col("doc_id"), lit(4)).cast("int")))).as("_t"))
+    // zero-token guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark
+    // (two phantom empty lines) while the oracle's generate_series(1, 0) is
+    // empty — both chunkings must agree on degenerate docs
     val lined = rep.select(col("doc_id"),
-      transform(
-        sequence(lit(1L), floor((size(col("_t")) - 1).cast("double") / 8.0).cast("long") + 1L),
-        i => array_join(slice(col("_t"), ((i - 1L) * 8L + 1L).cast("int"), lit(8)), " "))
+      when(size(col("_t")) === 0, typedLit(Seq.empty[String])).otherwise(
+        transform(
+          sequence(lit(1L), floor((size(col("_t")) - 1).cast("double") / 8.0).cast("long") + 1L),
+          i => array_join(slice(col("_t"), ((i - 1L) * 8L + 1L).cast("int"), lit(8)), " ")))
         .as("_ls"))
     val lPlant = lined.select(col("doc_id"),
       concat(col("_ls"),
         when(pmod(col("doc_id"), lit(3)) === 0, array(element_at(col("_ls"), 1)))
           .otherwise(typedLit(Seq.empty[String]))).as("_ls"))
     val paras = lPlant.select(col("doc_id"),
-      transform(
-        sequence(lit(1L), floor((size(col("_ls")) - 1).cast("double") / 2.0).cast("long") + 1L),
-        i => array_join(slice(col("_ls"), ((i - 1L) * 2L + 1L).cast("int"), lit(2)), "\n"))
+      when(size(col("_ls")) === 0, typedLit(Seq.empty[String])).otherwise(
+        transform(
+          sequence(lit(1L), floor((size(col("_ls")) - 1).cast("double") / 2.0).cast("long") + 1L),
+          i => array_join(slice(col("_ls"), ((i - 1L) * 2L + 1L).cast("int"), lit(2)), "\n")))
         .as("_ps"))
     val pPlant = paras.select(col("doc_id"),
       concat(col("_ps"),
         when(pmod(col("doc_id"), lit(4)) === 0, array(element_at(col("_ps"), 1)))
           .otherwise(typedLit(Seq.empty[String]))).as("_ps"))
+    // stage the synthesized text ONCE: withRepetitionSignals derives five
+    // columns from it, and without the lineage cut each would re-run the
+    // whole chunk/plant chain per row (the fixture dominated q152/q156)
     pPlant.select(col("doc_id"), array_join(col("_ps"), "\n\n").as("text"))
+      .localCheckpoint()
   }
 
   /** Oracle construction CTEs ending in `tr(doc_id, text)` — the twin of

@@ -208,6 +208,43 @@ class RetrievalSpec extends SparkSpec {
     assert(df("spark") === 3L && df("novel") === 1L)
   }
 
+  test("torn append is invisible: readers see the old index; a retry commits cleanly") {
+    import org.apache.spark.sql.functions.lit
+    val path = tempDir().resolve("textindex_torn").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    val before = Retrieval.bm25ScoresFromIndex(
+        Retrieval.loadTextIndex(spark, path), Seq("spark"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // simulate a crash mid-append: postings/doclens rows of generation 1
+    // landed but the meta_g1 commit never did
+    val extra = Seq((5L, "spark spark torn append")).toDF("doc_id", "text")
+    extra.select($"doc_id", lit(4L).as("dl"), lit(1).as("gen"))
+      .write.mode("append").partitionBy("gen").parquet(s"$path/doclens")
+    Seq(("spark", 5L, 2L, 1)).toDF("term", "doc_id", "tf", "gen")
+      .withColumn("term_bucket",
+        graft.functions.TextFunctions.hashBucket($"term", 8))
+      .write.mode("append").partitionBy("gen", "term_bucket")
+      .parquet(s"$path/postings")
+    // the torn generation must be invisible to readers
+    val torn = Retrieval.loadTextIndex(spark, path)
+    assert(torn.nDocs === 4L, "uncommitted generation leaked into meta")
+    val after = Retrieval.bm25ScoresFromIndex(torn, Seq("spark"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after === before, "uncommitted postings/doclens leaked into scoring")
+    // the retry must succeed (no clash against orphans) on a FRESH generation
+    // and rank identically to a full rebuild
+    Retrieval.appendToTextIndex(extra, "doc_id", "text", path)
+    val retried = Retrieval.loadTextIndex(spark, path)
+    assert(retried.nDocs === 5L)
+    val full = tempDir().resolve("textindex_torn_full").toString
+    Retrieval.saveTextIndex(corpus.unionByName(extra), "doc_id", "text", full, nBuckets = 8)
+    def scores(ix: Retrieval.TextIndex) =
+      Retrieval.bm25ScoresFromIndex(ix, Seq("spark", "torn")).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(scores(retried) === scores(Retrieval.loadTextIndex(spark, full)),
+      "retried append must be invisible vs full rebuild despite the orphans")
+  }
+
   test("appendToTextIndex contracts: missing index, overlapping ids are loud") {
     val path = tempDir().resolve("textindex_bad").toString
     intercept[IllegalArgumentException] {

@@ -58,4 +58,15 @@ class TokenBudgetMixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.tokenBudgetMix(docs, "dom", "tok", "id", Map("a" -> -1L)))
   }
+
+  test("a negative token count fails loudly instead of breaking the greedy prefix") {
+    val bad = Seq((1L, "a", 10L), (2L, "a", -5L), (3L, "a", 10L))
+      .toDF("id", "dom", "tok")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetMix(bad, "dom", "tok", "id", Map("a" -> 100L)).collect()
+    }
+    assert(e.getMessage.contains("negative tok") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative tok")),
+      s"unexpected error: $e")
+  }
 }
