@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * (never rows to the driver — `dims` rows per iteration). T iterations scan
   * the feature frame T times: localCheckpoint/cache it at the call site when
   * iterating deeply.
+  *
+  * Two feature representations, same exact-integer update:
+  *   - DENSE ([[countsFromBuckets]] / [[perceptronTrain]]) — O(T·dims) per
+  *     row; right at small probe dims (q157's 16);
+  *   - SPARSE ([[sparseCountsFromSorted]] / [[perceptronTrainSparse]]) — one
+  *     (pos, cnt) entry per distinct bucket, cost ∝ the corpus's tokens with
+  *     no per-row dims term; the production shape for fastText-regime hash
+  *     spaces (2^16–2^21 buckets), where gradient shuffle and collect are
+  *     bounded by the ACTIVE vocabulary, not the config. Spec-pinned equal
+  *     weights at equal geometry.
   */
 object LinearTrainer {
 
@@ -93,4 +103,128 @@ object LinearTrainer {
     * (zero scores −1, matching the training margin convention). */
   def predict(features: Column, weights: Seq[Long]): Column =
     when(dotWithWeights(features, weights) > 0, 1L).otherwise(-1L)
+
+  // ── sparse feature path (production dims: 2^16–2^21 hash buckets) ─────────
+
+  /** SORTED per-token hash buckets — stage THIS as a column before
+    * [[sparseCountsFromSorted]]. The sort brings equal buckets adjacent so
+    * the sparse encoding is one run-length pass; the md5 runs once per token
+    * here (the [[tokenBuckets]] staging discipline). */
+  def sortedTokenBuckets(toks: Column, dims: Int): Column =
+    array_sort(tokenBuckets(toks, dims))
+
+  /** Sparse feature entries — array<struct<pos:int, cnt:bigint>>, one entry
+    * per DISTINCT bucket, positions ascending — from an ALREADY-BOUND SORTED
+    * bucket array (pass an attribute reference). This is the scale-correct
+    * feature shape: per-row cost is O(T) in the document's tokens with NO
+    * dims term anywhere, where the dense [[countsFromBuckets]] pays
+    * O(T·dims) per row — fine at q157's dims=16, a non-starter at the
+    * fastText-regime 2^20 hash buckets production quality filters use. */
+  def sparseCountsFromSorted(sorted: Column): Column = {
+    val n = size(sorted)
+    // run starts: 1-based indices opening a new value run in the sorted array
+    // (the when-guard keeps ANSI element_at away from index 0)
+    def starts = filter(sequence(lit(1), n), i =>
+      when(i === 1, lit(true))
+        .otherwise(element_at(sorted, i) =!= element_at(sorted, i - 1)))
+    // each run's length = next start − this start (sentinel n+1 closes the
+    // last run); `starts` is duplicated across ARGUMENT positions only —
+    // per-row O(T) each, never per-element re-derivation
+    val nexts = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(n + 1))
+    when(n === 0, array().cast("array<struct<pos:int,cnt:bigint>>"))
+      .otherwise(zip_with(starts, nexts, (a, b) =>
+        struct(element_at(sorted, a).cast("int").as("pos"),
+          (b - a).cast("long").as("cnt"))))
+  }
+
+  /** ⟨w, x⟩ over sparse entries: one O(1) array lookup per DISTINCT token
+    * bucket of the row. The weight vector ships as a single dims-length
+    * literal in the PLAN (once per query, never per row) — rows carry only
+    * their sparse entries. Exact long arithmetic. */
+  def dotSparse(sfeat: Column, weights: Seq[Long]): Column =
+    aggregate(sfeat, lit(0L), (acc, e) =>
+      acc + e.getField("cnt") *
+        element_at(typedlit(weights), e.getField("pos") + 1))
+
+  /** Shared batch-perceptron loop over pre-staged sparse features: returns
+    * (final weights, Σ per-iteration weights). The gradient is the explode
+    * of MISCLASSIFIED rows' sparse entries reduced map-side — shuffle and
+    * collect are both bounded by the number of DISTINCT ACTIVE buckets
+    * (≤ min(dims, corpus vocabulary)), never dims itself. */
+  private def sparseTrainLoop(staged: DataFrame, sparseCol: String,
+                              labelCol: String, dims: Int,
+                              iters: Int): (Array[Long], Array[Long]) = {
+    val w = Array.fill(dims)(0L)
+    val summed = Array.fill(dims)(0L)
+    for (_ <- 1 to iters) {
+      val margin = dotSparse(col(sparseCol), w.toSeq) * col(labelCol)
+      val grad = staged.filter(margin <= 0)
+        .select(col(labelCol).as("_y"), explode(col(sparseCol)).as("_e"))
+        .groupBy(col("_e.pos").as("_pos"))
+        .agg(sum(col("_e.cnt") * col("_y")).as("_g"))
+        .collect() // ≤ distinct active buckets rows, bounded by construction
+      grad.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      var d = 0
+      while (d < dims) { summed(d) += w(d); d += 1 }
+    }
+    (w, summed)
+  }
+
+  /** [[perceptronTrain]] over SPARSE (pos, cnt) features — identical weights
+    * at equal geometry (spec-pinned), with cost tracking the corpus instead
+    * of the dims config. `sparseCol`: an [[sparseCountsFromSorted]] column. */
+  def perceptronTrainSparse(feat: DataFrame, sparseCol: String, labelCol: String,
+                            dims: Int, iters: Int): Array[Long] =
+    perceptronTrainAveragedSparse(feat, sparseCol, labelCol, dims, iters)._1
+
+  /** Averaged batch perceptron (Freund & Schapire 1999's voted-perceptron
+    * average, batch form): returns (final weights, Σ_{t=1..T} w_t) — the sum
+    * of the weight vector AFTER each iteration, exact integers so the oracle
+    * re-trains it in unrolled CTEs. sign(Σw_t·x) = sign(avg·x) (positive
+    * scaling), so the unnormalized sum IS the averaged classifier; it damps
+    * the final iterate's oscillation on non-separable data. */
+  def perceptronTrainAveragedSparse(feat: DataFrame, sparseCol: String,
+                                    labelCol: String, dims: Int,
+                                    iters: Int): (Array[Long], Array[Long]) = {
+    require(dims >= 1 && iters >= 1, s"need dims >= 1 and iters >= 1, got $dims/$iters")
+    // lineage-cut once: training is inherently multi-pass (see perceptronTrain)
+    val staged = feat.select(col(sparseCol), col(labelCol)).localCheckpoint()
+    sparseTrainLoop(staged, sparseCol, labelCol, dims, iters)
+  }
+
+  /** One-vs-all MULTI-CLASS training (the language-ID shape): one binary
+    * sparse perceptron per distinct class, classes in ascending order.
+    * The feature frame checkpoints ONCE and every class's loop reuses it —
+    * K·T corpus passes total, each reducing to an active-buckets gradient.
+    * `averaged` picks the summed-iterate weights per class. */
+  def perceptronTrainOneVsAll(feat: DataFrame, sparseCol: String,
+                              classCol: String, dims: Int, iters: Int,
+                              averaged: Boolean = false): Seq[(String, Array[Long])] = {
+    require(dims >= 1 && iters >= 1, s"need dims >= 1 and iters >= 1, got $dims/$iters")
+    val staged = feat.select(col(sparseCol), col(classCol)).localCheckpoint()
+    val classes = staged.select(col(classCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // bounded: #classes
+    require(classes.length >= 2,
+      s"one-vs-all needs >= 2 classes, got ${classes.mkString(", ")}")
+    classes.map { c =>
+      val bin = staged.withColumn("_ova_y",
+        when(col(classCol) === c, 1L).otherwise(-1L))
+      val (fin, avg) = sparseTrainLoop(bin, sparseCol, "_ova_y", dims, iters)
+      (c, if (averaged) avg else fin)
+    }
+  }
+
+  /** Argmax prediction for a [[perceptronTrainOneVsAll]] model: the class
+    * with the highest ⟨w_c, x⟩, ties to the EARLIEST model in the given
+    * order (ascending class name from the trainer). Each dot evaluates once
+    * (array-constructor argument position); the struct comparison orders by
+    * (score, −index). */
+  def predictOneVsAll(sfeat: Column, models: Seq[(String, Array[Long])]): Column = {
+    require(models.nonEmpty, "predictOneVsAll needs at least one model")
+    array_max(array(models.zipWithIndex.map { case ((c, w), i) =>
+      struct(dotSparse(sfeat, w.toSeq).as("s"), lit(-i).as("ni"), lit(c).as("c"))
+    }: _*)).getField("c")
+  }
 }

@@ -1880,6 +1880,77 @@ object PipelineQueries {
         .toDF("pos", "weight").orderBy("pos")
     }),
 
+    // q158: SPARSE-FEATURE perceptron training at fastText-regime dims
+    // (2^16 hash buckets) — the same exact-integer batch update as q157 with
+    // per-row cost ∝ the document's tokens instead of O(T·dims): features
+    // are run-length (pos, cnt) entries over the sorted bucket array, the
+    // gradient explodes only MISCLASSIFIED rows' sparse entries, and the
+    // per-iteration collect is bounded by the ACTIVE vocabulary. The oracle
+    // re-trains the identical model (its features were always sparse) and
+    // both sides emit only the nonzero weights.
+    "q158_perceptron_sparse" -> ((s, dir) => {
+      val lt = graft.operators.LinearTrainer
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+        .withColumn("_sb", lt.sortedTokenBuckets(col("_t"), SparsePerceptronDims))
+        .select(col("doc_id"),
+          lt.sparseCountsFromSorted(col("_sb")).as("sfeat"),
+          when(size(col("_t")) >= 55, 1L).otherwise(-1L).as("label"))
+      val w = lt.perceptronTrainSparse(staged, "sfeat", "label",
+        SparsePerceptronDims, PerceptronIters)
+      import s.implicits._
+      w.zipWithIndex.collect { case (wv, p) if wv != 0L => (p.toLong, wv) }
+        .toSeq.toDF("pos", "weight").orderBy("pos")
+    }),
+
+    // q159: AVERAGED perceptron (Freund & Schapire's voted average, batch
+    // form) — Σ of the weight vector after each iteration beside the final
+    // iterate, exact integers so the oracle re-trains BOTH from unrolled
+    // CTEs (wavg = union-all of the per-iteration weight tables, summed).
+    "q159_perceptron_averaged" -> ((s, dir) => {
+      val lt = graft.operators.LinearTrainer
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("_t"))
+        .withColumn("_sb", lt.sortedTokenBuckets(col("_t"), PerceptronDims))
+        .select(col("doc_id"),
+          lt.sparseCountsFromSorted(col("_sb")).as("sfeat"),
+          when(size(col("_t")) >= 55, 1L).otherwise(-1L).as("label"))
+      val (fin, avg) = lt.perceptronTrainAveragedSparse(staged, "sfeat", "label",
+        PerceptronDims, PerceptronIters)
+      import s.implicits._
+      (0 until PerceptronDims).map(p => (p.toLong, fin(p), avg(p)))
+        .toDF("pos", "weight", "weight_avg").orderBy("pos")
+    }),
+
+    // q160: one-vs-all MULTI-CLASS training (the language-ID shape) on the
+    // q88 suffix-augmented corpus — one binary sparse perceptron per
+    // language over a SHARED checkpointed feature frame, labels +1/−1 per
+    // class, active weights per class. The oracle unrolls all four training
+    // chains over the same pt/px CTEs.
+    "q160_perceptron_multiclass" -> ((s, dir) => {
+      val lt = graft.operators.LinearTrainer
+      val m = pmod(col("doc_id"), lit(4))
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(m === 1, repeat(lit(langSuffix("de")), 4))
+            .when(m === 2, repeat(lit(langSuffix("fr")), 4))
+            .when(m === 3, repeat(lit(langSuffix("es")), 4))
+            .otherwise(lit(""))).as("text"),
+        when(m === 0, lit("en")).when(m === 1, lit("de"))
+          .when(m === 2, lit("fr")).otherwise(lit("es")).as("cls"))
+      val staged = aug
+        .withColumn("_t", TextFunctions.tokens(col("text")))
+        .withColumn("_sb", lt.sortedTokenBuckets(col("_t"), MulticlassDims))
+        .select(col("doc_id"),
+          lt.sparseCountsFromSorted(col("_sb")).as("sfeat"), col("cls"))
+      val models = lt.perceptronTrainOneVsAll(staged, "sfeat", "cls",
+        MulticlassDims, MulticlassIters)
+      import s.implicits._
+      models.flatMap { case (c, w) => w.zipWithIndex.collect {
+        case (wv, p) if wv != 0L => (c, p.toLong, wv) } }
+        .toDF("cls", "pos", "weight").orderBy("cls", "pos")
+    }),
+
     // q156: repetition signals from pure SQL — the graft_repetition TABLE
     // function over the q151/q152 fixture registered as a view, with the
     // six-threshold keep flag computed in the caller's SQL; shares q152's
@@ -2211,38 +2282,116 @@ object PipelineQueries {
   private val PerceptronDims = 16
   private val PerceptronIters = 3
 
-  /** Unrolled DuckDB re-TRAINING of the q157 batch perceptron: sparse
-    * (doc, pos, count) features (missing positions are zero on both engine
-    * sides — the dense array's zeros contribute nothing to any sum), labels
-    * from the shared length threshold, and per iteration the margin /
-    * misclassified-update / weight-merge CTE triple. Iteration 1 from w=0
-    * has margin 0 ≤ 0 everywhere, so it updates on every doc on both
-    * engines. All integer arithmetic. */
-  private def perceptronOracleSql(dims: Int, iters: Int): String = {
-    val iterCtes = (2 to iters).map { i =>
-      s"""m$i AS (SELECT f.doc_id, sum(coalesce(w.w, 0) * f.x) * max(l.y) AS margin
-         |  FROM px f JOIN pl l USING (doc_id)
-         |  LEFT JOIN w${i - 1} w ON f.pos = w.pos GROUP BY f.doc_id),
-         |u$i AS (SELECT f.pos, sum(f.x * l.y) AS g
-         |  FROM px f JOIN pl l USING (doc_id)
-         |  WHERE f.doc_id IN (SELECT doc_id FROM m$i WHERE margin <= 0)
-         |  GROUP BY f.pos),
-         |w$i AS (SELECT coalesce(a.pos, b.pos) AS pos,
-         |    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
-         |  FROM w${i - 1} a FULL OUTER JOIN u$i b ON a.pos = b.pos)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pt AS (SELECT doc_id, $tokensSql AS t FROM documents),
-       |pl AS (SELECT doc_id, CASE WHEN len(t) >= 55 THEN 1 ELSE -1 END AS y FROM pt),
+  /** q158's geometry: the fastText-regime hash space the SPARSE path exists
+    * for — the dense O(T·dims)-per-row representation could not run this. */
+  private val SparsePerceptronDims = 1 << 16
+
+  /** Shared oracle head: tokenized docs (`pt`, from `srcRel` which must
+    * expose doc_id + text and any label columns) and the sparse hashed
+    * feature relation `px` — one (doc, pos, count) row per distinct bucket,
+    * the SAME sparse shape [[graft.operators.LinearTrainer
+    * .sparseCountsFromSorted]] stages engine-side. */
+  private def perceptronBaseCtes(dims: Int, srcRel: String,
+                                 extraCols: String = ""): String =
+    s"""pt AS (SELECT doc_id$extraCols, $tokensSql AS t FROM $srcRel),
        |px AS MATERIALIZED (SELECT doc_id,
        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $dims AS pos,
        |    count(*) AS x
-       |  FROM pt, LATERAL unnest(t) AS u(tok) GROUP BY 1, 2),
-       |w1 AS (SELECT pos, sum(x * y) AS w
-       |  FROM px JOIN pl USING (doc_id) GROUP BY pos),
-       |$iterCtes
+       |  FROM pt, LATERAL unnest(t) AS u(tok) GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled batch-perceptron training chain, CTE names suffixed `sfx`
+    * (so one-vs-all oracles unroll several chains over the shared pt/px):
+    * labels from `ySql` (an expression over pt's columns), and per iteration
+    * the margin / misclassified-update / weight-merge CTE triple. Iteration
+    * 1 from w=0 has margin 0 ≤ 0 everywhere, so it updates on every doc on
+    * both engines. Missing positions are zero on both sides — the dense
+    * array's zeros contribute nothing to any sum. All integer arithmetic. */
+  private def perceptronChainCtes(sfx: String, iters: Int, ySql: String): String = {
+    val first =
+      s"""pl$sfx AS (SELECT doc_id, $ySql AS y FROM pt),
+         |w1$sfx AS (SELECT pos, sum(x * y) AS w
+         |  FROM px JOIN pl$sfx USING (doc_id) GROUP BY pos)""".stripMargin
+    val rest = (2 to iters).map { i =>
+      s"""m$i$sfx AS (SELECT f.doc_id, sum(coalesce(w.w, 0) * f.x) * max(l.y) AS margin
+         |  FROM px f JOIN pl$sfx l USING (doc_id)
+         |  LEFT JOIN w${i - 1}$sfx w ON f.pos = w.pos GROUP BY f.doc_id),
+         |u$i$sfx AS (SELECT f.pos, sum(f.x * l.y) AS g
+         |  FROM px f JOIN pl$sfx l USING (doc_id)
+         |  WHERE f.doc_id IN (SELECT doc_id FROM m$i$sfx WHERE margin <= 0)
+         |  GROUP BY f.pos),
+         |w$i$sfx AS (SELECT coalesce(a.pos, b.pos) AS pos,
+         |    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+         |  FROM w${i - 1}$sfx a FULL OUTER JOIN u$i$sfx b ON a.pos = b.pos)""".stripMargin
+    }
+    (first +: rest).mkString(",\n")
+  }
+
+  private val perceptronLenLabelSql = "CASE WHEN len(t) >= 55 THEN 1 ELSE -1 END"
+
+  /** Unrolled DuckDB re-TRAINING of the q157 batch perceptron (dense output:
+    * every position 0..dims−1 gets a row). */
+  private def perceptronOracleSql(dims: Int, iters: Int): String =
+    s"""WITH ${perceptronBaseCtes(dims, "documents")},
+       |${perceptronChainCtes("", iters, perceptronLenLabelSql)}
        |SELECT CAST(d.pos AS BIGINT) AS pos, CAST(coalesce(w.w, 0) AS BIGINT) AS weight
        |FROM (SELECT unnest(generate_series(0, ${dims - 1})) AS pos) d
        |LEFT JOIN w$iters w ON d.pos = w.pos ORDER BY pos""".stripMargin
+
+  /** q158: the SAME re-training at fastText-regime dims, emitting only the
+    * ACTIVE (nonzero) weights — a dims-wide dense output would be absurd at
+    * 2^16 and the sparse path's whole point is that nothing anywhere is
+    * dims-sized except the final model vector. */
+  private def sparsePerceptronOracleSql(dims: Int, iters: Int): String =
+    s"""WITH ${perceptronBaseCtes(dims, "documents")},
+       |${perceptronChainCtes("", iters, perceptronLenLabelSql)}
+       |SELECT CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS weight
+       |FROM w$iters WHERE w <> 0 ORDER BY pos""".stripMargin
+
+  /** q159: averaged-perceptron re-training — the summed per-iteration weight
+    * vectors (Σ_{t=1..T} w_t, exact integers) beside the final iterate. */
+  private def averagedPerceptronOracleSql(dims: Int, iters: Int): String = {
+    val unionAll = (1 to iters)
+      .map(i => s"SELECT pos, w FROM w$i").mkString(" UNION ALL ")
+    s"""WITH ${perceptronBaseCtes(dims, "documents")},
+       |${perceptronChainCtes("", iters, perceptronLenLabelSql)},
+       |wavg AS (SELECT pos, sum(w) AS wa FROM ($unionAll) z GROUP BY pos)
+       |SELECT CAST(d.pos AS BIGINT) AS pos,
+       |  CAST(coalesce(w.w, 0) AS BIGINT) AS weight,
+       |  CAST(coalesce(a.wa, 0) AS BIGINT) AS weight_avg
+       |FROM (SELECT unnest(generate_series(0, ${dims - 1})) AS pos) d
+       |LEFT JOIN w$iters w ON d.pos = w.pos
+       |LEFT JOIN wavg a ON d.pos = a.pos ORDER BY pos""".stripMargin
+  }
+
+  /** q160's geometry (multi-class language-ID training). */
+  private val MulticlassDims = 32
+  private val MulticlassIters = 2
+  private val MulticlassLangs = Seq("en", "de", "fr", "es")
+
+  /** q160: one-vs-all multi-class re-training on the q88 language-suffix
+    * corpus — one unrolled chain per class over the SHARED pt/px, labels
+    * +1 for the class and −1 otherwise, active weights per class. */
+  private def multiclassPerceptronOracleSql(dims: Int, iters: Int): String = {
+    val clsSql = MulticlassLangs.zipWithIndex
+      .map { case (l, i) => s"WHEN doc_id % 4 = $i THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    val aug =
+      s"""src AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 4 = 1 THEN repeat('${langSuffix("de")}', 4)
+         |       WHEN doc_id % 4 = 2 THEN repeat('${langSuffix("fr")}', 4)
+         |       WHEN doc_id % 4 = 3 THEN repeat('${langSuffix("es")}', 4)
+         |       ELSE '' END AS text,
+         |  $clsSql AS cls FROM documents)""".stripMargin
+    val chains = MulticlassLangs.map(l =>
+      perceptronChainCtes(s"_$l", iters, s"CASE WHEN cls = '$l' THEN 1 ELSE -1 END"))
+      .mkString(",\n")
+    val finals = MulticlassLangs.map(l =>
+      s"SELECT '$l' AS cls, CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS weight " +
+        s"FROM w$iters" + s"_$l WHERE w <> 0").mkString(" UNION ALL ")
+    s"""WITH $aug,
+       |${perceptronBaseCtes(dims, "src", extraCols = ", cls")},
+       |$chains
+       |SELECT * FROM ($finals) z ORDER BY cls, pos""".stripMargin
   }
 
   /** The q153 audio-near-dup oracle, shared VERBATIM by q154 (the
@@ -3110,6 +3259,12 @@ object PipelineQueries {
     "q153_audio_neardup" -> q153OracleSql,
     "q154_sql_audio_neardup" -> q153OracleSql,
     "q157_perceptron_train" -> perceptronOracleSql(PerceptronDims, PerceptronIters),
+    "q158_perceptron_sparse" ->
+      sparsePerceptronOracleSql(SparsePerceptronDims, PerceptronIters),
+    "q159_perceptron_averaged" ->
+      averagedPerceptronOracleSql(PerceptronDims, PerceptronIters),
+    "q160_perceptron_multiclass" ->
+      multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
     "q155_token_budget_mix" ->
       s"""WITH md AS (SELECT doc_id,
          |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'
