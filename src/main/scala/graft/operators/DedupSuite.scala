@@ -322,6 +322,42 @@ object DedupSuite {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[hammingBandedPairs]] across TWO fingerprint frames — the probe-vs-
+    * index shape ([[MediaIndex]]'s near-dup-against-index, incremental media
+    * ingest): every (left item, right item) pair within `maxHamming` agrees
+    * on at least one of maxHamming+1 segments, found with NO all-pairs
+    * comparison and no `id_a < id_b` canonicalization (the sides are
+    * distinct id spaces — the append contract keeps probe ids disjoint from
+    * indexed ids). First-matching-band emission as in the self-join form,
+    * so no distinct() shuffle. Output (id_a from left, id_b from right,
+    * hamming). */
+  def hammingBandedPairsAcross(left: DataFrame, right: DataFrame,
+                               idCol: String, fpCol: String,
+                               bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
+    val seg = bits / bands
+    val segMask = if (seg == 64) -1L else (1L << seg) - 1
+    def segOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
+    def banded(df: DataFrame, ida: String, fpa: String) = df
+      .select(col(idCol).as(ida), col(fpCol).as(fpa))
+      .select(col(ida), col(fpa), posexplode(
+        array((0 until bands).map(segOf(col(fpa), _)): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val firstBlockOnly = (0 until bands).map { b =>
+      (col("block_idx") === b) && (0 until b)
+        .map(p => segOf(col("fp_a"), p) =!= segOf(col("fp_b"), p))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    banded(left, "id_a", "fp_a")
+      .join(banded(right, "id_b", "fp_b"), Seq("block_idx", "block_key"))
+      .filter(firstBlockOnly)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── n-gram Jaccard ─────────────────────────────────────────────────────────
 
   /** Verify candidate id pairs against the materialized gram index: attach both

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared generation-commit protocol helpers for persisted indexes
+  * ([[Retrieval]]'s text index, [[MediaIndex]]): data files land under
+  * explicit `gen=N` partitions, derived tables under `<name>_gN` dirs, and
+  * the single COMMIT point is a `meta_gN` directory whose `_SUCCESS` marker
+  * landed — readers take the highest committed meta and filter to its gens
+  * list, so a crash mid-append leaves the previous index consistent and a
+  * retry just takes the next generation number. */
+private[operators] object GenCommit {
+
+  def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generation numbers visible as `<prefix>N` child directories of `base`
+    * (e.g. `meta_g3`, `gen=2`) — a pure filesystem listing, no data read.
+    * With `requireSuccess`, only dirs whose `_SUCCESS` marker landed count
+    * (the committed set); without, every dir counts (orphans included — the
+    * namespace a fresh generation number must clear). */
+  def listGens(spark: SparkSession, base: String, prefix: String,
+               requireSuccess: Boolean): Seq[Int] = {
+    val f = fs(spark, base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(prefix)) None
+      else scala.util.Try(n.stripPrefix(prefix).toInt).toOption.filter { _ =>
+        !requireSuccess ||
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+      }
+    }
+  }
+
+  /** The next generation number: strictly above every committed gen AND
+    * every orphan visible in the data dir or the meta namespace. */
+  def nextGen(spark: SparkSession, path: String, dataDir: String,
+              committed: Seq[Int]): Int =
+    1 + (committed ++ listGens(spark, s"$path/$dataDir", "gen=", requireSuccess = false)
+      ++ listGens(spark, path, "meta_g", requireSuccess = false)).max
+}

@@ -731,6 +731,148 @@ object Multimodal {
       .filter(col("overlap") >= minOverlap)
   }
 
+  // ─── persisted fingerprint indexes ([[MediaIndex]] compositions) ───────────
+  //
+  // The batch near-dup operators above re-decode every payload every run;
+  // these persist the fingerprints once (decode is the expensive leg — the
+  // fingerprint rows are ~100 bytes against multi-KB payloads) and near-dup
+  // each ARRIVING batch against the index: hash the new clips in-scan, band
+  // probe-vs-index (hammingBandedPairsAcross — no all-pairs, no re-decode of
+  // the indexed side), exact-verify on the stored arrays. The q76/q150
+  // incremental-ingest shape for the three media modalities.
+
+  private val AudioIndexKind = "audio_energy_64"
+  private val VideoIndexKind = "video_frame_ahash_64"
+  private def imageIndexKind(hashKind: String) = s"image_${hashKind}_64"
+
+  /** Persist the audio energy-fingerprint index for `media` (one decode per
+    * clip, then never again). */
+  def saveAudioIndex(media: DataFrame, path: String): Unit =
+    MediaIndex.save(audioEnergyHashes(media, frames = 64).toDF(),
+      AudioIndexKind, path)
+
+  /** Append new clips' fingerprints as a fresh committed generation
+    * ([[MediaIndex.append]] contracts: disjoint ids, matching kind). */
+  def appendToAudioIndex(media: DataFrame, path: String): Unit =
+    MediaIndex.append(audioEnergyHashes(media, frames = 64).toDF(),
+      AudioIndexKind, path)
+
+  /** Near-dup NEW clips against the persisted index — [[audioNearDupPairs]]
+    * with the catalog side read from parquet fingerprints instead of
+    * re-decoded payloads. Output (id_a = new clip, id_b = indexed clip,
+    * hamming, l1), the q153 verify arithmetic. */
+  def audioNearDupAgainstIndex(newMedia: DataFrame, path: String,
+                               maxHamming: Int = 3): DataFrame = {
+    val idx = MediaIndex.load(newMedia.sparkSession, path)
+    require(idx.kind == AudioIndexKind,
+      s"audioNearDupAgainstIndex: index at $path holds '${idx.kind}', not '$AudioIndexKind'")
+    val probes = audioEnergyHashes(newMedia, frames = 64).toDF().localCheckpoint()
+    val cand = DedupSuite.hammingBandedPairsAcross(
+      probes.select(col("media_id"), col("fp")),
+      idx.fingerprints.select(col("media_id"), col("fp")),
+      "media_id", "fp", bits = 64, maxHamming = maxHamming)
+    cand
+      .join(probes.select(col("media_id").as("id_a"), col("energies").as("_ea")), Seq("id_a"))
+      .join(idx.fingerprints.select(col("media_id").as("id_b"), col("energies").as("_eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        aggregate(zip_with(col("_ea"), col("_eb"),
+          (a, b) => abs(a - b)), lit(0L), (acc, v) => acc + v).as("l1"))
+  }
+
+  /** Persist the image perceptual-hash index ("ahash" or "dhash" — the kind
+    * rides the meta so probes always hash the same way). */
+  def saveImageIndex(media: DataFrame, path: String,
+                     hashKind: String = "ahash"): Unit =
+    MediaIndex.save(imageHashesOf(media, hashKind).toDF(),
+      imageIndexKind(hashKind), path)
+
+  /** Append new images' fingerprints as a fresh committed generation. */
+  def appendToImageIndex(media: DataFrame, path: String,
+                         hashKind: String = "ahash"): Unit =
+    MediaIndex.append(imageHashesOf(media, hashKind).toDF(),
+      imageIndexKind(hashKind), path)
+
+  private def imageHashesOf(media: DataFrame, hashKind: String): Dataset[ImageHash] =
+    hashKind match {
+      case "ahash" => imageAHashes(media)
+      case "dhash" => imageDHashes(media)
+      case other => throw new IllegalArgumentException(
+        s"hashKind must be ahash|dhash, got '$other'")
+    }
+
+  /** Near-dup NEW images against the persisted index; the probe hash family
+    * comes from the INDEX meta (a caller cannot band ahash probes into a
+    * dhash catalog). Output (id_a = new, id_b = indexed, hamming, l1). */
+  def imageNearDupAgainstIndex(newMedia: DataFrame, path: String,
+                               maxHamming: Int = 3): DataFrame = {
+    val idx = MediaIndex.load(newMedia.sparkSession, path)
+    val hashKind = idx.kind match {
+      case "image_ahash_64" => "ahash"
+      case "image_dhash_64" => "dhash"
+      case other => throw new IllegalArgumentException(
+        s"imageNearDupAgainstIndex: index at $path holds '$other', not an image kind")
+    }
+    val probes = imageHashesOf(newMedia, hashKind).toDF().localCheckpoint()
+    val cand = DedupSuite.hammingBandedPairsAcross(
+      probes.select(col("media_id"), col("fp")),
+      idx.fingerprints.select(col("media_id"), col("fp")),
+      "media_id", "fp", bits = 64, maxHamming = maxHamming)
+    cand
+      .join(probes.select(col("media_id").as("id_a"), col("gray").as("_ga")), Seq("id_a"))
+      .join(idx.fingerprints.select(col("media_id").as("id_b"), col("gray").as("_gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        aggregate(zip_with(col("_ga"), col("_gb"),
+          (a, b) => abs(a - b).cast("long")), lit(0L), (acc, v) => acc + v).as("l1"))
+  }
+
+  /** Persist the video frame-hash index: per-clip DISTINCT frame aHashes
+    * (media_id, fp) — the banding/verify relation of [[videoNearDupPairs]],
+    * demuxed once. */
+  def saveVideoIndex(media: DataFrame, path: String, every: Int = 1): Unit =
+    MediaIndex.save(gifFrameAHashes(media, every).toDF()
+      .select(col("media_id"), col("fp")).distinct(), VideoIndexKind, path)
+
+  /** Append new clips' distinct frame hashes as a fresh committed generation. */
+  def appendToVideoIndex(media: DataFrame, path: String, every: Int = 1): Unit =
+    MediaIndex.append(gifFrameAHashes(media, every).toDF()
+      .select(col("media_id"), col("fp")).distinct(), VideoIndexKind, path)
+
+  /** Near-dup NEW clips against the persisted frame-hash index — the
+    * [[videoNearDupPairs]] chain with the catalog side's frames read from
+    * parquet: frame-level banding across probe/index, then the directional
+    * containment verify on both sides' distinct frame-hash sets. Output
+    * (id_a = new clip, id_b = indexed clip, m_a, n_a, m_b, n_b, overlap). */
+  def videoNearDupAgainstIndex(newMedia: DataFrame, path: String,
+                               every: Int = 1, maxHamming: Int = 3,
+                               minOverlap: Double = 0.5): DataFrame = {
+    require(minOverlap > 0.0 && minOverlap <= 1.0, s"bad minOverlap=$minOverlap")
+    val idx = MediaIndex.load(newMedia.sparkSession, path)
+    require(idx.kind == VideoIndexKind,
+      s"videoNearDupAgainstIndex: index at $path holds '${idx.kind}', not '$VideoIndexKind'")
+    val vfNew = gifFrameAHashes(newMedia, every).toDF()
+      .select(col("media_id"), col("fp")).distinct().localCheckpoint()
+    val vfIdx = idx.fingerprints
+    val cand = DedupSuite.hammingBandedPairsAcross(vfNew, vfIdx,
+        "media_id", "fp", bits = 64, maxHamming = maxHamming)
+      .select(col("id_a"), col("id_b")).distinct()
+    val pf = cand
+      .join(vfNew.select(col("media_id").as("id_a"), col("fp").as("_fpa")), Seq("id_a"))
+      .join(vfIdx.select(col("media_id").as("id_b"), col("fp").as("_fpb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("_fpa"), col("_fpb"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("h"))
+    def side(fpCol: String, mName: String, nName: String) = pf
+      .groupBy(col("id_a"), col("id_b"), col(fpCol))
+      .agg(min(col("h")).as("_mh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as(nName),
+        sum(when(col("_mh") <= maxHamming, 1L).otherwise(0L)).as(mName))
+    side("_fpa", "m_a", "n_a").join(side("_fpb", "m_b", "n_b"), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("m_a"), col("n_a"), col("m_b"), col("n_b"),
+        greatest(col("m_a").cast("double") / col("n_a").cast("double"),
+          col("m_b").cast("double") / col("n_b").cast("double")).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Byte-chunk frame sampling — the codec-agnostic fallback for containers

@@ -111,27 +111,6 @@ object Retrieval {
     def avgdl: Double = sumDl.toDouble / nDocs.toDouble
   }
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Generation numbers visible as `<prefix>N` child directories of `base`
-    * (e.g. `meta_g3`, `gen=2`) — a pure filesystem listing, no data read. */
-  private def listGens(spark: org.apache.spark.sql.SparkSession, base: String,
-                       prefix: String, requireSuccess: Boolean): Seq[Int] = {
-    val f = hadoopFs(spark, base)
-    val p = new org.apache.hadoop.fs.Path(base)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
-      val n = st.getPath.getName
-      if (!n.startsWith(prefix)) None
-      else scala.util.Try(n.stripPrefix(prefix).toInt).toOption.filter { _ =>
-        !requireSuccess ||
-          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
-      }
-    }
-  }
-
   /** The COMMITTED index state at `path`: the highest-numbered `meta_gN`
     * directory whose `_SUCCESS` marker landed — the single commit point of
     * the save/append protocol. Returns (gen, n_docs, sum_dl, n_buckets,
@@ -139,7 +118,7 @@ object Retrieval {
   private def committedMeta(spark: org.apache.spark.sql.SparkSession,
                             path: String): Option[(Int, Long, Long, Int, Seq[Int])] = {
     import spark.implicits._
-    listGens(spark, path, "meta_g", requireSuccess = true).sorted.lastOption
+    GenCommit.listGens(spark, path, "meta_g", requireSuccess = true).sorted.lastOption
       .map { g =>
         val m = spark.read.parquet(s"$path/meta_g$g")
           .select(col("n_docs"), col("sum_dl"), col("n_buckets").cast("int"),
@@ -192,7 +171,7 @@ object Retrieval {
     import spark.implicits._
     // a fresh save owns the path: clear stale generations from any previous
     // index here, or their higher-numbered metas would shadow this one
-    val f = hadoopFs(spark, path)
+    val f = GenCommit.fs(spark, path)
     f.delete(new org.apache.hadoop.fs.Path(path), true)
     val staged = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
@@ -253,8 +232,7 @@ object Retrieval {
     // next generation: strictly above everything on disk — committed gens AND
     // orphans from crashed attempts (doclens partition dirs + meta dirs are
     // both pure filesystem listings)
-    val newGen = 1 + (gens ++ listGens(spark, s"$path/doclens", "gen=", requireSuccess = false)
-      ++ listGens(spark, path, "meta_g", requireSuccess = false)).max
+    val newGen = GenCommit.nextGen(spark, path, "doclens", gens)
     val staged = newDocs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))

@@ -1951,6 +1951,27 @@ object PipelineQueries {
         .toDF("cls", "pos", "weight").orderBy("cls", "pos")
     }),
 
+    // q161: PERSISTED MEDIA-FINGERPRINT INDEX — audio near-dup AGAINST a
+    // saved-then-APPENDED index (the q150 persistence discipline for the
+    // media hash families): the catalog clips (doc_id%5 ∈ {0,3,4}) hash once
+    // into the gen-committed fingerprint index in two generations, and the
+    // probe clips (%5 ∈ {1,2}: the planted nudge/re-encode population) band
+    // and verify against the PARQUET fingerprints — the indexed payloads are
+    // never re-decoded. The oracle replays q153's arithmetic restricted to
+    // probe×catalog pairs; the round-trip must be invisible in the result.
+    "q161_audio_neardup_index" -> ((s, dir) => {
+      val mm = graft.operators.Multimodal
+      val media = audioFixture(t(s, dir, "documents"))
+      val catalog = media.filter(pmod(col("media_id"), lit(5)).isin(0, 3, 4))
+      val idxPath = "/tmp/graft_fixtures/q161_audioindex"
+      mm.saveAudioIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToAudioIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      mm.audioNearDupAgainstIndex(
+          media.filter(pmod(col("media_id"), lit(5)).isin(1, 2)), idxPath,
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q156: repetition signals from pure SQL — the graft_repetition TABLE
     // function over the q151/q152 fixture registered as a view, with the
     // six-threshold keep flag computed in the caller's SQL; shares q152's
@@ -2397,8 +2418,12 @@ object PipelineQueries {
   /** The q153 audio-near-dup oracle, shared VERBATIM by q154 (the
     * graft_audio_neardup TABLE function must reproduce the Scala chain
     * exactly): [[audioSample]]'s closed form → exact per-frame Σ|s| →
-    * cross-multiplied threshold bits → 16-bit-block banding → integer L1. */
-  private lazy val q153OracleSql: String =
+    * cross-multiplied threshold bits → 16-bit-block banding → integer L1.
+    * `pairCondSql` picks the candidate-pair population over banded sides a/b:
+    * the self-join canonical order for q153, the probe-side × catalog-side
+    * cross condition for q161 (near-dup against the persisted index — the
+    * persistence round-trip must be INVISIBLE in the arithmetic). */
+  private def audioNearDupOracleSql(pairCondSql: String): String =
       s"""WITH adm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
          |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
          |  FROM documents),
@@ -2419,13 +2444,22 @@ object PipelineQueries {
          |acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    $hammingSql AS hamming
          |  FROM ablk a JOIN ablk b ON a.block_idx = b.block_idx
-         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |    AND a.block_key = b.block_key AND ($pairCondSql)),
          |ahp AS (SELECT * FROM acand WHERE hamming <= 3)
          |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ea.e - eb.e)) AS BIGINT) AS l1
          |FROM ahp h JOIN aen ea ON ea.doc_id = h.id_a
          |  JOIN aen eb ON eb.doc_id = h.id_b AND eb.f = ea.f
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val q153OracleSql: String =
+    audioNearDupOracleSql("a.doc_id < b.doc_id")
+
+  /** q161: the q153 arithmetic with candidates restricted to PROBE clips
+    * (doc_id%5 ∈ {1,2} — the planted near-dup/re-encode population) against
+    * CATALOG clips (doc_id%5 ∈ {0,3,4} — the saved+appended index). */
+  private lazy val q161OracleSql: String =
+    audioNearDupOracleSql("a.doc_id % 5 IN (1, 2) AND b.doc_id % 5 IN (0, 3, 4)")
 
   /** The q94 BM25 oracle, shared VERBATIM by q150 (the persisted-text-index
     * surface must rank bit-identically to the from-corpus pass — the parquet
@@ -3265,6 +3299,7 @@ object PipelineQueries {
       averagedPerceptronOracleSql(PerceptronDims, PerceptronIters),
     "q160_perceptron_multiclass" ->
       multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
+    "q161_audio_neardup_index" -> q161OracleSql,
     "q155_token_budget_mix" ->
       s"""WITH md AS (SELECT doc_id,
          |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'

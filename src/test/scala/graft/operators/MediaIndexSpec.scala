@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MediaIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wavMedia(rows: (Long, Array[Short])*): DataFrame = {
+    val df = rows.map { case (id, s) =>
+      (id, Multimodal.encodeWav(s, 8000)) }.toDF("media_id", "payload")
+    Multimodal.asMediaFrame(df, "media_id", "payload", "audio")
+  }
+
+  private def grayMedia(rows: (Long, Array[Int])*): DataFrame = {
+    val df = rows.map { case (id, g) =>
+      (id, Multimodal.encodePngGray(8, 8, g)) }.toDF("media_id", "payload")
+    Multimodal.asMediaFrame(df, "media_id", "payload", "image")
+  }
+
+  private val baseClip = Array.tabulate(2048)(t => (((t * 37 + 11) % 1000) + 100).toShort)
+  private val otherClip = Array.tabulate(2048)(t => (((t * t * 91 + 13 * t + 5) % 2000) - 1000).toShort)
+  private val thirdClip = Array.tabulate(2048)(t => (((t * 131 + 7) % 4000) - 2000).toShort)
+
+  test("audio: save + append, probe near-dups hit the indexed catalog with exact L1") {
+    val path = tempDir().resolve("audioidx").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip, 4L -> otherClip), path)
+    Multimodal.appendToAudioIndex(wavMedia(5L -> thirdClip), path)
+    val idx = MediaIndex.load(spark, path)
+    assert(idx.kind === "audio_energy_64" && idx.nItems === 3L)
+    // probes: 102 = re-encode of 1; 103 = frame-0 nudge of 1; 106 unrelated
+    val nudged = baseClip.clone()
+    (0 until 32).foreach(t => nudged(t) = (nudged(t) + 192).toShort)
+    val fresh = Array.tabulate(2048)(t => (((t * 997 + 3) % 3000) - 1500).toShort)
+    val pairs = Multimodal.audioNearDupAgainstIndex(
+        wavMedia(102L -> baseClip, 103L -> nudged, 106L -> fresh), path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs((102L, 1L)) === ((0L, 0L)), "re-encode: hamming 0, L1 0")
+    assert(pairs((103L, 1L))._2 === 32L * 192L, "exact energy delta")
+    assert(!pairs.keySet.exists(p => p._1 == 106L), "unrelated probe must not pair")
+    assert(!pairs.keySet.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("audio: append == full rebuild (probe results identical)") {
+    val a = tempDir().resolve("audioidx_app").toString
+    val b = tempDir().resolve("audioidx_full").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), a)
+    Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip, 5L -> thirdClip), a)
+    Multimodal.saveAudioIndex(
+      wavMedia(1L -> baseClip, 4L -> otherClip, 5L -> thirdClip), b)
+    val probes = wavMedia(102L -> baseClip, 104L -> otherClip)
+    def res(p: String) = Multimodal.audioNearDupAgainstIndex(probes, p)
+      .collect().map(_.toSeq).toSet
+    assert(res(a) === res(b))
+    assert(res(a).nonEmpty)
+  }
+
+  test("torn append is invisible; retry commits on a fresh generation") {
+    val path = tempDir().resolve("audioidx_torn").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    // simulate a crash: a gen=1 fingerprint file landed, meta_g1 never did
+    Seq((77L, 0L, Array.fill(64)(1L), 1))
+      .toDF("media_id", "fp", "energies", "gen")
+      .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
+    val torn = MediaIndex.load(spark, path)
+    assert(torn.nItems === 1L, "uncommitted generation leaked into meta")
+    assert(torn.fingerprints.count() === 1L, "orphan rows leaked into the read")
+    Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path)
+    val retried = MediaIndex.load(spark, path)
+    assert(retried.nItems === 2L)
+    assert(retried.fingerprints.select("media_id").as[Long].collect().toSet
+      === Set(1L, 4L))
+  }
+
+  test("contracts are loud: missing index, kind mismatch, id clash, schema drift") {
+    val path = tempDir().resolve("audioidx_bad").toString
+    intercept[IllegalArgumentException](
+      Multimodal.appendToAudioIndex(wavMedia(1L -> baseClip), path))
+    intercept[IllegalArgumentException](MediaIndex.load(spark, path))
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    val clash = intercept[IllegalArgumentException](
+      Multimodal.appendToAudioIndex(wavMedia(1L -> otherClip), path))
+    assert(clash.getMessage.contains("already indexed"))
+    assert(MediaIndex.load(spark, path).nItems === 1L, "failed append must not commit")
+    val kind = intercept[IllegalArgumentException](
+      MediaIndex.append(Seq((9L, 1L)).toDF("media_id", "fp"), "image_ahash_64", path))
+    assert(kind.getMessage.contains("audio_energy_64"))
+    val cols = intercept[IllegalArgumentException](
+      MediaIndex.append(Seq((9L, 1L)).toDF("media_id", "fp"), "audio_energy_64", path))
+    assert(cols.getMessage.contains("columns"))
+    intercept[IllegalArgumentException](
+      MediaIndex.save(Seq((1L, 2L)).toDF("id", "fp"), "x", tempDir().resolve("nx").toString))
+  }
+
+  test("image: probe hash family comes from the index meta (dhash catalog catches curve edits)") {
+    // strictly-decreasing rows; convex curve keeps gradient signs (dhash 0)
+    // but moves the mean crossing past aHash banding (the PipelineOpsSpec pair)
+    val row = Array(248, 232, 216, 200, 184, 168, 152, 32)
+    val base = Array.tabulate(64)(p => row(p % 8))
+    val curved = base.map(g => g * g / 255)
+    val dpath = tempDir().resolve("imgidx_dhash").toString
+    Multimodal.saveImageIndex(grayMedia(1L -> base), dpath, hashKind = "dhash")
+    val viaD = Multimodal.imageNearDupAgainstIndex(grayMedia(50L -> curved), dpath)
+      .collect()
+    assert(viaD.length === 1 && viaD.head.getLong(0) === 50L
+      && viaD.head.getLong(1) === 1L && viaD.head.getLong(2) === 0L)
+    val apath = tempDir().resolve("imgidx_ahash").toString
+    Multimodal.saveImageIndex(grayMedia(1L -> base), apath)
+    assert(MediaIndex.load(spark, apath).kind === "image_ahash_64")
+    assert(Multimodal.imageNearDupAgainstIndex(grayMedia(50L -> curved), apath)
+      .collect().isEmpty, "ahash catalog must miss the curve edit")
+    // exact L1 on a one-pixel variant against the ahash catalog
+    val variant = base.clone(); variant(0) = base(0) - 48
+    val v = Multimodal.imageNearDupAgainstIndex(grayMedia(51L -> variant), apath)
+      .collect()
+    assert(v.length === 1 && v.head.getLong(3) === 48L)
+  }
+
+  test("video: trimmed probe is fully contained in the indexed original") {
+    def frames(ids: Range, seed: Int): Seq[Array[Int]] =
+      ids.map(f => Array.tabulate(64)(p => (37 + 91 * p + p * p + 17 * f + seed) % 256))
+    val full = Multimodal.encodeGifGray(frames(0 until 6, 0), 8, 8)
+    val trimmed = Multimodal.encodeGifGray(frames(1 to 4, 0), 8, 8)
+    val unrelated = Multimodal.encodeGifGray(frames(0 until 6, 131), 8, 8)
+    def gifMedia(rows: (Long, Array[Byte])*) = Multimodal.asMediaFrame(
+      rows.toSeq.toDF("media_id", "payload"), "media_id", "payload", "video")
+    val path = tempDir().resolve("vididx").toString
+    Multimodal.saveVideoIndex(gifMedia(1L -> full), path)
+    Multimodal.appendToVideoIndex(gifMedia(2L -> unrelated), path)
+    val out = Multimodal.videoNearDupAgainstIndex(gifMedia(60L -> trimmed), path)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 60L && r.getLong(1) === 1L)
+    assert(r.getDouble(6) === 1.0, "trimmed side must be fully contained")
+  }
+}
