@@ -466,24 +466,40 @@ object Multimodal {
     * ([[riffFrameEnergies]] — 19× the SPI path's scan throughput at 5M
     * clips, `r13_audio_hash_scan.json`); anything else falls back to
     * javax.sound. */
+  /** Decode one clip's per-frame energies: RIFF fast path or javax fallback. */
+  private def decodeEnergies(id: Long, payload: Array[Byte], frames: Int): Array[Long] =
+    if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F')
+      riffFrameEnergies(id, payload, frames)
+    else javaxFrameEnergies(id, payload, frames)
+
+  /** Threshold bitmap of an energy vector (MSB-first, cross-multiplied mean). */
+  private def energyFp(e: Array[Long], frames: Int): Long = {
+    var tot = 0L; var f = 0
+    while (f < frames) { tot += e(f); f += 1 }
+    var fp = 0L; f = 0
+    while (f < frames) {
+      if (frames.toLong * e(f) > tot) fp |= (1L << (63 - f))
+      f += 1
+    }
+    fp
+  }
+
+  /** One clip's 64-bit energy fingerprint straight from its payload bytes —
+    * the per-row core of [[audioEnergyHashes]], public so a STREAMING ingest
+    * can hash in-scan while carrying its own extra columns (event time). */
+  def audioFingerprintOf(id: Long, payload: Array[Byte], frames: Int = 64): Long = {
+    require(frames >= 1 && frames <= 64, s"frames must be in [1, 64], got $frames")
+    energyFp(decodeEnergies(id, payload, frames), frames)
+  }
+
   def audioEnergyHashes(media: DataFrame, frames: Int = 64): Dataset[AudioHash] = {
     require(frames >= 1 && frames <= 64, s"frames must be in [1, 64], got $frames")
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val e =
-          if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
-            payload(2) == 'F' && payload(3) == 'F')
-            riffFrameEnergies(id, payload, frames)
-          else javaxFrameEnergies(id, payload, frames)
-        var tot = 0L; var f = 0
-        while (f < frames) { tot += e(f); f += 1 }
-        var fp = 0L; f = 0
-        while (f < frames) {
-          if (frames.toLong * e(f) > tot) fp |= (1L << (63 - f))
-          f += 1
-        }
-        AudioHash(id, fp, e)
+        val e = decodeEnergies(id, payload, frames)
+        AudioHash(id, energyFp(e, frames), e)
       })
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -297,6 +297,98 @@ object EventPipeline {
           .partitionBy(col("window_start"), col("group"))
           .orderBy(col("score").desc, col("id"))).cast("int"))
     }
+  }
+
+  /** Streaming Gopher repetition gate — the [[graft.operators
+    * .RepetitionStats.repetitionFilter]] thresholds applied to an ARRIVING
+    * document stream. Every signal is a pure per-row column expression over
+    * the document's own text (the batch operator's defining property), so
+    * the identical plan runs on a stream COMPLETELY STATELESS: no watermark,
+    * no state store, any output mode, verdict-identical to the batch gate
+    * (spec-pinned across micro-batches). */
+  def streamingRepetitionFilter(docs: DataFrame, textCol: String = "text",
+      th: graft.operators.RepetitionStats.RepetitionThresholds =
+        graft.operators.RepetitionStats.RepetitionThresholds(),
+      topN: Int = 2, dupN: Int = 5): DataFrame =
+    graft.operators.RepetitionStats.repetitionFilter(docs, textCol, th, topN, dupN)
+
+  /** Streaming MEDIA ingest dedup — the [[streamingNearDupDedup]] shape for
+    * an arriving audio stream, near-dup'd against the PERSISTED fingerprint
+    * index ([[graft.operators.MediaIndex]], the q161 batch twin) plus
+    * watermark-bounded in-window banding for same-window duplicates:
+    *
+    *   1. hash in-scan: each arriving clip decodes ONCE to its 64-bit energy
+    *      fingerprint ([[graft.operators.Multimodal.audioFingerprintOf]]) —
+    *      payload bytes never survive past this projection;
+    *   2. index check, STATELESS: the committed index fingerprints group
+    *      into a per-band-key bucket table (built once, materialized), and
+    *      each probe row looks up its maxHamming+1 band keys via
+    *      stream-static left joins — a clip drops iff any bucket holds an
+    *      index fingerprint within `maxHamming` (the q153/q161 near-dup
+    *      criterion; the exact-L1 report stays a batch concern);
+    *   3. in-window banding, the two chained stateful aggregations of
+    *      [[streamingNearDupDedup]]: min-id winner per (window, band
+    *      segment), survive iff all bands won — same-window re-encodes and
+    *      nudges collapse to the minimum id, emitted when the watermark
+    *      closes the window.
+    *
+    * Recall contract (inherited): in-window banding only pairs clips within
+    * one `windowLen` of each other; the index catches everything CATALOGED
+    * regardless of arrival time. State: one id per live band bucket.
+    * Output: (window_start, media_id) of surviving clips. */
+  def streamingAudioIngestDedup(media: DataFrame, indexPath: String,
+                                tsCol: String, watermark: String = "1 hour",
+                                windowLen: String = "10 minutes",
+                                maxHamming: Int = 3): DataFrame = {
+    import graft.operators.{MediaIndex, Multimodal}
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idx = MediaIndex.load(spark, indexPath)
+    require(idx.kind == "audio_energy_64",
+      s"streamingAudioIngestDedup: index at $indexPath holds '${idx.kind}'")
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"64 bits not divisible by $bands bands")
+    val seg = 64 / bands
+    val segMask = (1L << seg) - 1
+    def segOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
+    // static per-band bucket table, one row per (band, key) with its indexed
+    // fingerprints — materialized once, not re-derived per micro-batch
+    val idxBands = idx.fingerprints
+      .select(col("fp"), posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*)))
+      .groupBy(col("pos").as("_bidx"), col("col").as("_bkey"))
+      .agg(collect_list(col("fp")).as("_fps"))
+      .localCheckpoint()
+    val hashed = media.select(col("media_id"), col(tsCol).as("_ts"), col("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.map { case (id, ts, payload) =>
+        (id, ts, Multimodal.audioFingerprintOf(id, payload))
+      }).toDF("media_id", "_ts", "fp")
+    // one stateless stream-static lookup per band; a probe drops iff ANY of
+    // its buckets holds an indexed fingerprint within maxHamming
+    val joined = (0 until bands).foldLeft(hashed) { (acc, b) =>
+      acc.join(
+        idxBands.filter(col("_bidx") === b)
+          .select(col("_bkey").as(s"_k$b"), col("_fps").as(s"_fps$b")),
+        segOf(col("fp"), b) === col(s"_k$b"), "left_outer")
+    }
+    val idxHit = (0 until bands).map(b =>
+      coalesce(exists(col(s"_fps$b"), f =>
+        bit_count(f.bitwiseXOR(col("fp"))) <= maxHamming), lit(false)))
+      .reduce(_ || _)
+    val clean = joined.filter(!idxHit).select(col("media_id"), col("_ts"), col("fp"))
+    // in-window banding: the streamingNearDupDedup two-stage min-id election
+    clean
+      .select(col("media_id"), col("_ts"), posexplode(
+        array((0 until bands).map(segOf(col("fp"), _)): _*))
+        .as(Seq("band_idx", "band_key")))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), col("band_idx"), col("band_key"))
+      .agg(min(col("media_id")).as("winner"))
+      .groupBy(col("window"), col("winner"))
+      .agg(count(lit(1)).as("n_won"))
+      .filter(col("n_won") === bands)
+      .select(col("window.start").as("window_start"), col("winner").as("media_id"))
   }
 
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,

@@ -493,4 +493,67 @@ class StreamingSpec extends SparkSpec {
       assert(all.length == all.distinct.length, s"duplicate emissions in sink: $all")
     } finally q2.stop()
   }
+
+  test("streaming repetition gate: verdicts identical to the batch filter across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val spammy = ("buy cheap pills now " * 12).trim // one dominant 2-gram + dup 5-grams
+    val dupLines = Seq.fill(4)("identical boilerplate line").mkString("\n") +
+      "\nsome unique content here"
+    val rows = Seq((1L, clean), (2L, spammy), (3L, dupLines), (4L, clean + " extra tail"))
+    val input = MemoryStream[(Long, String)]
+    val q = EventPipeline.streamingRepetitionFilter(input.toDF().toDF("doc_id", "text"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("repf").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("repf").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.RepetitionStats
+        .repetitionFilter(rows.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batch, "stream and batch verdicts must agree")
+      assert(batch.contains(1L) && !batch.contains(2L),
+        "the fixture must exercise both verdicts")
+    } finally q.stop()
+  }
+
+  test("streaming audio ingest: cataloged re-encodes drop via the index, same-window copies via banding") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    val cataloged = Array.tabulate(2048)(t => (((t * 37 + 11) % 1000) + 100).toShort)
+    val freshA = Array.tabulate(2048)(t => (((t * t * 91 + 13 * t + 5) % 2000) - 1000).toShort)
+    val freshB = Array.tabulate(2048)(t => (((t * 131 + 7) % 4000) - 2000).toShort)
+    val driver = Array.tabulate(2048)(t => (((t * 997 + 3) % 3000) - 1500).toShort)
+    val idxPath = tempDir().resolve("stream_audioidx").toString
+    mm.saveAudioIndex(mm.asMediaFrame(
+        Seq((1L, mm.encodeWav(cataloged, 8000))).toDF("media_id", "payload"),
+        "media_id", "payload", "audio"), idxPath)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = input.toDF().toDF("media_id", "payload", "ts")
+    val q = EventPipeline.streamingAudioIngestDedup(media, idxPath, "ts",
+      watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("aid").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a re-encode of the CATALOGED clip (drop via index) + fresh A
+      input.addData(
+        (102L, mm.encodeWav(cataloged, 8000), ts(0)),
+        (106L, mm.encodeWav(freshA, 8000), ts(1)))
+      q.processAllAvailable()
+      // batch 2, same window: a copy of fresh A (drops via in-window banding,
+      // min-id winner) + fresh B
+      input.addData(
+        (107L, mm.encodeWav(freshA, 8000), ts(2)),
+        (108L, mm.encodeWav(freshB, 8000), ts(3)))
+      q.processAllAvailable()
+      // watermark driver far in the future closes window 0
+      input.addData((999L, mm.encodeWav(driver, 8000), ts(120)))
+      q.processAllAvailable()
+      val got = spark.table("aid").collect().map(_.getLong(1)).toSet
+      assert(got === Set(106L, 108L),
+        s"index dup 102 and same-window copy 107 must drop, got $got")
+    } finally q.stop()
+  }
 }
