@@ -193,19 +193,40 @@ object RepetitionStats {
   }
 
   /** Keep documents passing every threshold — a pure scan-side predicate
-    * (the signal columns are computed and dropped in place; no join). */
+    * (the signal columns are computed and dropped in place; no join).
+    *
+    * The `_rs_nopush` barrier is the PushDownPredicate corollary of the
+    * lambda-body discipline: a Filter above the signal projections would be
+    * SPLICED through them (replaceAlias has no alias-cost guard, unlike
+    * CollapseProject), inlining every staged token/gram chain into the
+    * six-threshold condition — measured as a multi-minute hang on a
+    * 60-document corpus when this filter feeds further pipeline stages
+    * (curate's repetitionGate). One non-deterministic field in the top
+    * projection stops the descent, so the signals evaluate exactly once per
+    * row; unlike a localCheckpoint barrier it also works on STREAMING frames
+    * ([[graft.streaming.EventPipeline.streamingRepetitionFilter]]).
+    *
+    * The filter CONDITION must reference the barrier column (the trivially
+    * true first conjunct), or ColumnPruning deletes the unused
+    * non-deterministic field first and the now-deterministic projection
+    * pushes the predicate after all — measured: a 45 KB fully-inlined Filter
+    * over raw `split(text)` chains, interpreted (too big for codegen), with
+    * multi-level per-element re-derivation. */
   def repetitionFilter(docs: DataFrame, textCol: String = "text",
                        th: RepetitionThresholds = RepetitionThresholds(),
                        topN: Int = 2, dupN: Int = 5): DataFrame = {
     val sig = withRepetitionSignals(docs, textCol, topN, dupN)
+      .withColumn("_rs_nopush", spark_partition_id())
     sig.filter(
-        col("dup_line_frac") <= th.maxDupLineFrac &&
+        col("_rs_nopush") >= 0 &&
+          col("dup_line_frac") <= th.maxDupLineFrac &&
           col("dup_line_char_frac") <= th.maxDupLineCharFrac &&
           col("dup_para_frac") <= th.maxDupParaFrac &&
           col("dup_para_char_frac") <= th.maxDupParaCharFrac &&
           col("top_gram_char_frac") <= th.maxTopGramCharFrac &&
           col("dup_gram_char_frac") <= th.maxDupGramCharFrac)
       .drop("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
-        "dup_para_char_frac", "top_gram_char_frac", "dup_gram_char_frac")
+        "dup_para_char_frac", "top_gram_char_frac", "dup_gram_char_frac",
+        "_rs_nopush")
   }
 }

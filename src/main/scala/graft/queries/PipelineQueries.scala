@@ -1951,6 +1951,40 @@ object PipelineQueries {
         .toDF("cls", "pos", "weight").orderBy("cls", "pos")
     }),
 
+    // q162: THE FULL MODERN CURATION CHAIN, oracle-gated end to end —
+    // curateForTraining with BOTH optional stages engaged: the Gopher
+    // repetition gate (maxTopGramCharFrac tightened to 0.10, which drops
+    // ~10% of the natural corpus — the gate is discriminative here, not
+    // vacuous) joins quality/language in the scan predicates, and the
+    // Voronoi diversity cap (q145's construction, perCell=20 over the
+    // decontamination survivors' embeddings) runs before redaction/
+    // chunking/sharding. Output: (doc_id, shard) distinct from the chunk
+    // frame the pipeline WROTE — the oracle replays quality → language →
+    // repetition thresholds → LSH canonicals → decontamination → Voronoi
+    // cap → md5 shard, so every selection stage and the shard layout are
+    // pinned in one row set.
+    "q162_curation_full_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val coarse: Seq[Seq[Double]] = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val outPath = "/tmp/graft_fixtures/q162_curated"
+      graft.operators.CurationPipeline.curateForTraining(
+        docs, docs.filter(pmod(col("doc_id"), lit(101)) === 0), outPath,
+        repetitionGate = Some(graft.operators.RepetitionStats
+          .RepetitionThresholds(maxTopGramCharFrac = 0.10)),
+        diversity = Some(graft.operators.CurationPipeline.DiversitySpec(
+          emb, "embedding", coarse, perCell = 20)))
+      // read back what the pipeline WROTE (shard is the partition column) —
+      // gating the on-disk layout, and never re-executing the chain
+      s.read.parquet(outPath)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
     // q161: PERSISTED MEDIA-FINGERPRINT INDEX — audio near-dup AGAINST a
     // saved-then-APPENDED index (the q150 persistence discipline for the
     // media hash families): the catalog clips (doc_id%5 ∈ {0,3,4}) hash once
@@ -2253,10 +2287,13 @@ object PipelineQueries {
   /** The q152 n-gram repetition oracle, shared VERBATIM by q156 (the
     * graft_repetition TABLE function must reproduce the Scala chain
     * exactly). */
-  private lazy val q152OracleSql: String =
-      s"""WITH $repCtes,
-         |$repSegSigCtes,
-         |rtk AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM tr),
+  /** n-gram repetition signal CTEs over `tr(doc_id, text)` ending in
+    * `rsig(doc_id, top_gram_char_frac, dup_gram_char_frac)` — exact position
+    * coverage, the oracle twin of [[graft.operators.RepetitionStats]]'s
+    * gram-family signals. Shared by q152/q156 (over the planted fixture) and
+    * q162 (over the quality-filtered real corpus — `tr` is just an alias). */
+  private val repNgramSigCtes: String =
+      s"""rtk AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM tr),
          |rtp AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS p,
          |    length(t[CAST(i AS INT)]) AS lt
          |  FROM rtk, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
@@ -2290,7 +2327,12 @@ object PipelineQueries {
          |  coalesce(CAST(rcv5.cov AS DOUBLE) / CAST(rtot.tot AS DOUBLE), 0.0)
          |    AS dup_gram_char_frac
          |  FROM rtot LEFT JOIN rcv2 ON rtot.doc_id = rcv2.doc_id
-         |    LEFT JOIN rcv5 ON rtot.doc_id = rcv5.doc_id)
+         |    LEFT JOIN rcv5 ON rtot.doc_id = rcv5.doc_id)""".stripMargin
+
+  private lazy val q152OracleSql: String =
+      s"""WITH $repCtes,
+         |$repSegSigCtes,
+         |$repNgramSigCtes
          |SELECT r.doc_id, r.top_gram_char_frac, r.dup_gram_char_frac,
          |  (l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
          |   AND p.dup_para_frac <= 0.30 AND p.dup_para_char_frac <= 0.20
@@ -3300,6 +3342,58 @@ object PipelineQueries {
     "q160_perceptron_multiclass" ->
       multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
     "q161_audio_neardup_index" -> q161OracleSql,
+    // q162: the q149-family recursive chain with the repetition thresholds
+    // (q152's signal construction over the quality-filtered corpus — `tr` is
+    // an alias) and the q145 Voronoi cap over the decontamination survivors.
+    "q162_curation_full_chain" ->
+      s"""WITH RECURSIVE filt0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ($qualitySql) >= 0.5
+         |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+         |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+         |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+         |tr AS (SELECT doc_id, text FROM filt0),
+         |$repSegSigCtes,
+         |$repNgramSigCtes,
+         |filt AS (SELECT f.doc_id, f.text FROM filt0 f
+         |  JOIN rsig r ON f.doc_id = r.doc_id
+         |  JOIN lsig l ON f.doc_id = l.doc_id
+         |  JOIN psig p ON f.doc_id = p.doc_id
+         |  WHERE l.dup_line_frac <= 0.30 AND l.dup_line_char_frac <= 0.20
+         |    AND p.dup_para_frac <= 0.30 AND p.dup_para_char_frac <= 0.20
+         |    AND r.top_gram_char_frac <= 0.10 AND r.dup_gram_char_frac <= 0.15),
+         |${minhashPairsCtes("filt")},
+         |$componentsCtes,
+         |cur AS (SELECT f.doc_id, f.text FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+         |        WHERE comp.id IS NULL OR comp.component = f.doc_id),
+         |evsh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM evsh),
+         |csh AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM cur)),
+         |hit AS (SELECT DISTINCT c.doc_id
+         |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram)),
+         |dec AS (SELECT doc_id FROM cur
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |co AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $PqCoarseK) zc),
+         |embs AS (SELECT e.vec_id, e.embedding
+         |  FROM embeddings e JOIN dec d ON e.vec_id = d.doc_id),
+         |asg AS MATERIALIZED (SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e", "c")} DESC, c.ccid DESC) AS rn
+         |    FROM embs e CROSS JOIN co c) a WHERE rn = 1),
+         |rk AS (SELECT vec_id,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+         |  FROM asg)
+         |SELECT vec_id AS doc_id,
+         |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+         |FROM rk WHERE r <= 20 ORDER BY doc_id""".stripMargin,
     "q155_token_budget_mix" ->
       s"""WITH md AS (SELECT doc_id,
          |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'

@@ -103,4 +103,53 @@ class CurationPropertySpec extends SparkSpec {
     assert(twos > 0 && twos < copies.length,
       s"draws correlated: $twos of ${copies.length} got the fractional copy")
   }
+
+  test("curateForTraining with repetitionGate + diversity: every stage's invariant holds on the output") {
+    val rnd = new Random(7)
+    val en = Seq("the", "a", "of", "to", "and", "in", "is", "was", "for", "on",
+      "with", "that", "quick", "brown", "fox", "jumps", "river", "mountain",
+      "garden", "window", "journey", "evening")
+    def sentence(n: Int) = (1 to n).map(_ => en(rnd.nextInt(en.length))).mkString(" ")
+    val docs = ((1L to 40L).map { i =>
+      // every doc long + English enough for the quality/language gates
+      (i, sentence(60) + s" marker$i")
+    } ++ Seq(
+      (90L, ("spam phrase now " * 20).trim + " " + sentence(40)), // repetition offender
+      (91L, sentence(60) + " contaminated eval gram overlap here three"))).toDF("doc_id", "text")
+    val eval = Seq((1000L, "contaminated eval gram overlap here three"))
+      .toDF("doc_id", "text")
+    val emb = docs.select(col("doc_id"),
+      array((0 until 4).map(j => pmod(col("doc_id") + j, lit(5)).cast("float") + 0.1f): _*)
+        .as("embedding"))
+    val centroids = Seq(Seq(1.0, 2.0, 3.0, 4.0), Seq(4.0, 3.0, 2.0, 1.0))
+    val perCell = 8
+    val out = tempDir().resolve("cpt_full").toString
+    val th = RepetitionStats.RepetitionThresholds()
+    val chunks = CurationPipeline.curateForTraining(docs, eval, out,
+      repetitionGate = Some(th),
+      diversity = Some(CurationPipeline.DiversitySpec(emb, "embedding", centroids, perCell)))
+    val kept = chunks.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // the repetition offender and the contaminated doc are gone
+    assert(!kept.contains(90L), "repetition gate must drop the planted offender")
+    assert(!kept.contains(91L), "decontamination must drop the eval-overlap doc")
+    assert(kept.nonEmpty)
+    // every kept doc passes the repetition thresholds (gate soundness)
+    val passIds = RepetitionStats.repetitionFilter(docs, "text", th)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(passIds), "a kept doc failed the repetition gate")
+    // the Voronoi cap holds: at most perCell kept docs per cell
+    val cells = Sampling.diversitySample(
+        emb.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "embedding", "doc_id", centroids, Int.MaxValue)
+      .select(col("doc_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perCellCounts = kept.groupBy(cells).map { case (_, ids) => ids.size }
+    assert(perCellCounts.forall(_ <= perCell),
+      s"diversity cap violated: $perCellCounts")
+    // the written layout agrees with the returned frame
+    val written = spark.read.parquet(out).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(written === kept)
+  }
 }
