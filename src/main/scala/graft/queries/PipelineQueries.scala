@@ -2006,6 +2006,44 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q163: VIDEO near-dup against the persisted frame-hash index — the
+    // q161 persistence discipline for the clip modality: catalog clips
+    // (doc_id%7 ∈ {0,4,5,6}) demux once into the gen-committed index in two
+    // generations; the probe clips (%7 ∈ {1,2,3}: planted re-encode, trim,
+    // one-frame edit) band frame-level against the PARQUET frame hashes and
+    // run the directional containment verify. Oracle: q147's arithmetic on
+    // probe×catalog pairs.
+    "q163_video_neardup_index" -> ((s, dir) => {
+      val mm = graft.operators.Multimodal
+      val media = videoFixture(t(s, dir, "documents"))
+      val catalog = media.filter(!pmod(col("media_id"), lit(7)).isin(1, 2, 3))
+      val idxPath = "/tmp/graft_fixtures/q163_videoindex"
+      mm.saveVideoIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToVideoIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      mm.videoNearDupAgainstIndex(
+          media.filter(pmod(col("media_id"), lit(7)).isin(1, 2, 3)), idxPath,
+          every = 1, maxHamming = 3, minOverlap = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q164: IMAGE near-dup against the persisted aHash index — catalog
+    // images (doc_id%5 ∈ {0,3,4}) hash once into the index; probes (%5 ∈
+    // {1,2}: pixel nudge, re-encode) band against the parquet fingerprints
+    // with the exact gray-L1 verify. Oracle: q137's arithmetic on
+    // probe×catalog pairs.
+    "q164_image_neardup_index" -> ((s, dir) => {
+      val mm = graft.operators.Multimodal
+      val media = imageFixture(t(s, dir, "documents"))
+      val catalog = media.filter(pmod(col("media_id"), lit(5)).isin(0, 3, 4))
+      val idxPath = "/tmp/graft_fixtures/q164_imageindex"
+      mm.saveImageIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToImageIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      mm.imageNearDupAgainstIndex(
+          media.filter(pmod(col("media_id"), lit(5)).isin(1, 2)), idxPath,
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q156: repetition signals from pure SQL — the graft_repetition TABLE
     // function over the q151/q152 fixture registered as a view, with the
     // six-threshold keep flag computed in the caller's SQL; shares q152's
@@ -2256,7 +2294,10 @@ object PipelineQueries {
   /** The q137 image-near-dup oracle, shared VERBATIM by q143 (the
     * graft_image_neardup TABLE function must reproduce the Scala chain
     * exactly). */
-  private lazy val q137OracleSql: String =
+  /** `pairCondSql` picks the candidate-pair population (self-join canonical
+    * order for q137/q143; probe×catalog for q164's vs-index form — the
+    * persistence round-trip must be invisible in the arithmetic). */
+  private def imageNearDupOracleSql(pairCondSql: String): String =
       s"""WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN doc_id - 1
          |    WHEN doc_id % 5 = 2 THEN doc_id - 2 ELSE doc_id END AS b
          |  FROM documents),
@@ -2276,13 +2317,21 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    $hammingSql AS hamming
          |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
-         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |    AND a.block_key = b.block_key AND ($pairCondSql)),
          |hp AS (SELECT * FROM cand WHERE hamming <= 3)
          |SELECT h.id_a, h.id_b, h.hamming, CAST(sum(abs(ga.g - gb.g)) AS BIGINT) AS l1
          |FROM hp h JOIN gr ga ON ga.doc_id = h.id_a
          |  JOIN gr gb ON gb.doc_id = h.id_b AND gb.p = ga.p
          |GROUP BY h.id_a, h.id_b, h.hamming
          |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val q137OracleSql: String =
+    imageNearDupOracleSql("a.doc_id < b.doc_id")
+
+  /** q164: the q137 arithmetic restricted to PROBE images (doc_id%5 ∈ {1,2})
+    * against the saved+appended CATALOG index (%5 ∈ {0,3,4}). */
+  private lazy val q164OracleSql: String =
+    imageNearDupOracleSql("a.doc_id % 5 IN (1, 2) AND b.doc_id % 5 IN (0, 3, 4)")
 
   /** The q152 n-gram repetition oracle, shared VERBATIM by q156 (the
     * graft_repetition TABLE function must reproduce the Scala chain
@@ -2523,7 +2572,15 @@ object PipelineQueries {
     * frame-level 16-char banding to DISTINCT candidate clip pairs, and the
     * exact min-hamming directional-containment verify — m/n are integer
     * counts, overlap is one IEEE division per side + greatest. */
-  private lazy val q147OracleSql: String =
+  /** `pairCondSql` picks the candidate clip-pair population (self-join
+    * canonical order for q147/q148; probe×catalog for q163's vs-index
+    * form). The candidate stage here bands WITHOUT a frame-hamming filter
+    * while the engine's vs-index path filters candidates at frame level —
+    * equal results: a surviving pair needs >= 1 frame within maxHamming
+    * (overlap > 0 requires m >= 1), which pigeonhole banding + the hamming
+    * filter both find, and a band-collision pair with NO such frame scores
+    * overlap 0 on the verify either way. */
+  private def videoNearDupOracleSql(pairCondSql: String): String =
       s"""WITH vm AS (SELECT doc_id, doc_id % 7 AS kind,
          |    CASE WHEN doc_id % 7 = 1 THEN doc_id - 1
          |         WHEN doc_id % 7 = 2 THEN doc_id - 2
@@ -2549,7 +2606,7 @@ object PipelineQueries {
          |          substr(fp,33,16), substr(fp,49,16)]) AS block_key FROM vf),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM blocks a JOIN blocks b ON a.block_idx = b.block_idx
-         |    AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |    AND a.block_key = b.block_key AND ($pairCondSql)),
          |pf AS MATERIALIZED (SELECT c.id_a, c.id_b, fa.fp AS fpa, fb.fp AS fpb,
          |    ${hammingSqlOn("fa.fp", "fb.fp")} AS h
          |  FROM cand c JOIN vf fa ON fa.doc_id = c.id_a
@@ -2569,6 +2626,16 @@ object PipelineQueries {
          |SELECT id_a, id_b, m_a, n_a, m_b, n_b, overlap FROM res
          |WHERE overlap >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val q147OracleSql: String =
+    videoNearDupOracleSql("a.doc_id < b.doc_id")
+
+  /** q163: the q147 arithmetic restricted to PROBE clips (doc_id%7 ∈
+    * {1,2,3}: re-encode/trim/edit) against the saved+appended CATALOG index
+    * (%7 ∈ {0,4,5,6} — every planted pair's base). */
+  private lazy val q163OracleSql: String =
+    videoNearDupOracleSql(
+      "a.doc_id % 7 IN (1, 2, 3) AND b.doc_id % 7 NOT IN (1, 2, 3)")
 
   /** The q142 bigram-OOV oracle, shared VERBATIM by q144 (the
     * graft_bigram_oov TABLE function must reproduce the Scala chain
@@ -3342,6 +3409,8 @@ object PipelineQueries {
     "q160_perceptron_multiclass" ->
       multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
     "q161_audio_neardup_index" -> q161OracleSql,
+    "q163_video_neardup_index" -> q163OracleSql,
+    "q164_image_neardup_index" -> q164OracleSql,
     // q162: the q149-family recursive chain with the repetition thresholds
     // (q152's signal construction over the quality-filtered corpus — `tr` is
     // an alias) and the q145 Voronoi cap over the decontamination survivors.
