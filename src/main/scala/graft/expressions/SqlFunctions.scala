@@ -340,6 +340,19 @@ object SqlFunctions {
         plan(graft.operators.Multimodal.audioNearDupPairs(
           tbl(strLit(f, "table", exprs(0))),
           maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_audio_neardup_index('probes', 'indexPath', maxHamming): audio
+      // near-dup of a (media_id, payload) probe view AGAINST a persisted
+      // MediaIndex — the probes hash in-scan, the catalog side reads parquet
+      // fingerprints (never re-decoded); (id_a=probe, id_b=indexed, hamming,
+      // l1) rows, exactly q161's chain.
+      ("graft_audio_neardup_index", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_audio_neardup_index", 3, exprs)
+        val f = "graft_audio_neardup_index"
+        plan(graft.operators.Multimodal.audioNearDupAgainstIndex(
+          tbl(strLit(f, "probes", exprs(0))),
+          strLit(f, "indexPath", exprs(1)),
+          maxHamming = intLit(f, "maxHamming", exprs(2)))) }),
       // graft_video_neardup('table', every, maxHamming, minOverlap): video
       // near-dup over a (media_id, payload) GIF-clip view — per-frame aHash
       // in the demux scan, frame-level Hamming banding, exact directional-

@@ -2026,6 +2026,25 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q165: audio near-dup against the persisted index from PURE SQL — the
+    // graft_audio_neardup_index TABLE function over the q161 construction
+    // (index built the same way; probes registered as a view); shares q161's
+    // oracle verbatim — the SQL surface must be invisible in the result.
+    "q165_sql_audio_neardup_index" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      val mm = graft.operators.Multimodal
+      val media = audioFixture(t(s, dir, "documents"))
+      val catalog = media.filter(pmod(col("media_id"), lit(5)).isin(0, 3, 4))
+      val idxPath = "/tmp/graft_fixtures/q165_audioindex"
+      mm.saveAudioIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToAudioIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      media.filter(pmod(col("media_id"), lit(5)).isin(1, 2))
+        .createOrReplaceTempView("graft_audio_probes")
+      s.sql(s"""SELECT id_a, id_b, hamming, l1
+          FROM graft_audio_neardup_index('graft_audio_probes', '$idxPath', 3)
+          ORDER BY id_a, id_b""")
+    }),
+
     // q164: IMAGE near-dup against the persisted aHash index — catalog
     // images (doc_id%5 ∈ {0,3,4}) hash once into the index; probes (%5 ∈
     // {1,2}: pixel nudge, re-encode) band against the parquet fingerprints
@@ -3411,6 +3430,7 @@ object PipelineQueries {
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,
+    "q165_sql_audio_neardup_index" -> q161OracleSql,
     // q162: the q149-family recursive chain with the repetition thresholds
     // (q152's signal construction over the quality-filtered corpus — `tr` is
     // an alias) and the q145 Voronoi cap over the decontamination survivors.
