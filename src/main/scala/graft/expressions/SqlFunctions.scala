@@ -340,6 +340,20 @@ object SqlFunctions {
         plan(graft.operators.Multimodal.audioNearDupPairs(
           tbl(strLit(f, "table", exprs(0))),
           maxHamming = intLit(f, "maxHamming", exprs(1)))) }),
+      // graft_bm25_index('/index/path', 'term1,term2,…', topK): top-k BM25
+      // retrieval over a PERSISTED saveTextIndex layout from a pure-SQL FROM
+      // clause — corpus stats from meta/terms, per-term tf rows from the
+      // term_bucket-pruned postings, the identical fixed-order IEEE score
+      // chain; (doc_id, n_tokens, score) rows, exactly q150's surface.
+      ("graft_bm25_index", graft.operators.Retrieval.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_bm25_index", 3, exprs)
+        val f = "graft_bm25_index"
+        val path = strLit(f, "indexPath", exprs(0))
+        val terms = strLit(f, "terms", exprs(1)).split(",").map(_.trim).toSeq
+        val k = intLit(f, "topK", exprs(2))
+        val ret = graft.operators.Retrieval
+        plan(ret.bm25TopKFromIndex(ret.loadTextIndex(session(), path), terms, k)) }),
       // graft_audio_neardup_index('probes', 'indexPath', maxHamming): audio
       // near-dup of a (media_id, payload) probe view AGAINST a persisted
       // MediaIndex — the probes hash in-scan, the catalog side reads parquet

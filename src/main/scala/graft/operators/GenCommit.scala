@@ -41,4 +41,31 @@ private[operators] object GenCommit {
               committed: Seq[Int]): Int =
     1 + (committed ++ listGens(spark, s"$path/$dataDir", "gen=", requireSuccess = false)
       ++ listGens(spark, path, "meta_g", requireSuccess = false)).max
+
+  /** Reclaim dead bytes: delete `gen=N` data partitions whose N is not in
+    * the committed `gens` list (orphans of crashed appends) and superseded
+    * derived/meta directories (`<prefix>N` with N ≠ the current `metaGen` —
+    * readers only ever open the highest committed meta and ITS derived
+    * tables). Every deletion is individually safe at any point — none is
+    * reachable from the current committed meta — so a crash mid-vacuum
+    * leaves a smaller but equally consistent index. Returns the number of
+    * directories removed. */
+  def vacuum(spark: SparkSession, path: String, dataDirs: Seq[String],
+             gens: Seq[Int], metaGen: Int,
+             derivedPrefixes: Seq[String]): Int = {
+    val f = fs(spark, path)
+    val committed = gens.toSet
+    var removed = 0
+    def drop(p: String): Unit =
+      if (f.delete(new org.apache.hadoop.fs.Path(p), true)) removed += 1
+    for (d <- dataDirs;
+         g <- listGens(spark, s"$path/$d", "gen=", requireSuccess = false)
+         if !committed(g))
+      drop(s"$path/$d/gen=$g")
+    for (p <- derivedPrefixes :+ "meta_g";
+         g <- listGens(spark, path, p, requireSuccess = false)
+         if g != metaGen)
+      drop(s"$path/$p$g")
+    removed
+  }
 }

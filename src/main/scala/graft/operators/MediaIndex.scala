@@ -91,6 +91,17 @@ object MediaIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
   }
 
+  /** Reclaim dead bytes left by crashed appends ([[GenCommit.vacuum]]):
+    * orphaned fingerprint `gen=N` partitions and superseded `meta_gN` dirs.
+    * Safe at any point; probe results identical before/after (spec-pinned).
+    * Returns the number of directories removed. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val (metaGen, _, _, gens) = committedMeta(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MediaIndex.vacuum: no committed index meta at $path — save first"))
+    GenCommit.vacuum(spark, path, Seq("fingerprints"), gens, metaGen, Nil)
+  }
+
   /** Load the committed index at `path` (uncommitted generations from a
     * crashed append are invisible — file-level `gen` partition pruning). */
   def load(spark: SparkSession, path: String): Index = {

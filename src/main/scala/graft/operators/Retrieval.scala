@@ -274,6 +274,21 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
   }
 
+  /** Reclaim the dead bytes crashed appends leave behind ([[GenCommit
+    * .vacuum]]): orphaned postings/doclens `gen=N` partitions never listed
+    * by any committed meta, plus superseded `terms_gN`/`meta_gN` dirs below
+    * the current generation. Safe at any point — nothing reachable from the
+    * committed meta is touched; scores are bit-identical before and after
+    * (spec-pinned). Returns the number of directories removed. */
+  def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val (metaGen, _, _, _, gens) = committedMeta(spark, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"vacuumTextIndex: no committed index meta at $path — saveTextIndex first"))
+    GenCommit.vacuum(spark, path, Seq("doclens", "postings"), gens, metaGen,
+      Seq("terms_g"))
+  }
+
   /** Load a [[saveTextIndex]] index: the highest COMMITTED meta collects
     * driver-side; terms, postings and doclens stay lazy, filtered to the
     * committed generations (uncommitted files from a crashed append are

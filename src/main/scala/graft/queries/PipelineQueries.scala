@@ -2026,6 +2026,24 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q166: BM25 from the persisted text index from PURE SQL — the
+    // graft_bm25_index TABLE function over q150's construction (index saved
+    // then APPENDED in two generations, so the SQL read crosses a
+    // generation boundary); shares q94's oracle verbatim — persistence AND
+    // the SQL surface must both be invisible in the ranking.
+    "q166_sql_bm25_index" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      val ret = graft.operators.Retrieval
+      val idxPath = "/tmp/graft_fixtures/q166_textindex"
+      val docs = t(s, dir, "documents")
+      ret.saveTextIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", idxPath, nBuckets = 16)
+      ret.appendToTextIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", idxPath)
+      s.sql(s"""SELECT doc_id, n_tokens, score
+          FROM graft_bm25_index('$idxPath', '${Bm25Terms.mkString(",")}', 50)""")
+    }),
+
     // q165: audio near-dup against the persisted index from PURE SQL — the
     // graft_audio_neardup_index TABLE function over the q161 construction
     // (index built the same way; probes registered as a view); shares q161's
@@ -3431,6 +3449,7 @@ object PipelineQueries {
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,
     "q165_sql_audio_neardup_index" -> q161OracleSql,
+    "q166_sql_bm25_index" -> q94OracleSql,
     // q162: the q149-family recursive chain with the repetition thresholds
     // (q152's signal construction over the quality-filtered corpus — `tr` is
     // an alias) and the q145 Voronoi cap over the decontamination survivors.

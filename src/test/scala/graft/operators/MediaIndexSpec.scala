@@ -71,6 +71,19 @@ class MediaIndexSpec extends SparkSpec {
     assert(retried.nItems === 2L)
     assert(retried.fingerprints.select("media_id").as[Long].collect().toSet
       === Set(1L, 4L))
+    // vacuum drops the torn gen=1 orphan + the superseded meta_g0; probe
+    // results identical before/after
+    val probes = wavMedia(102L -> baseClip)
+    val before = Multimodal.audioNearDupAgainstIndex(probes, path)
+      .collect().map(_.toSeq).toSet
+    val removed = MediaIndex.vacuum(spark, path)
+    assert(removed >= 2, s"expected orphan + superseded dirs removed, got $removed")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/fingerprints/gen=1")))
+    assert(MediaIndex.load(spark, path).nItems === 2L)
+    assert(Multimodal.audioNearDupAgainstIndex(probes, path)
+      .collect().map(_.toSeq).toSet === before)
   }
 
   test("contracts are loud: missing index, kind mismatch, id clash, schema drift") {

@@ -245,6 +245,35 @@ class RetrievalSpec extends SparkSpec {
       "retried append must be invisible vs full rebuild despite the orphans")
   }
 
+  test("vacuumTextIndex reclaims orphans and superseded generations; scores bit-identical") {
+    import org.apache.spark.sql.functions.lit
+    val path = tempDir().resolve("textindex_vac").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    Retrieval.appendToTextIndex(
+      Seq((5L, "spark appended here")).toDF("doc_id", "text"), "doc_id", "text", path)
+    // a torn append's orphan: gen=7 data, no meta_g7
+    Seq((66L, 3L)).toDF("doc_id", "dl").withColumn("gen", lit(7))
+      .write.mode("append").partitionBy("gen").parquet(s"$path/doclens")
+    val before = Retrieval.bm25ScoresFromIndex(
+        Retrieval.loadTextIndex(spark, path), Seq("spark"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val removed = Retrieval.vacuumTextIndex(spark, path)
+    // the orphan gen=7 dir, the superseded terms_g0/meta_g0 — at least 3
+    assert(removed >= 3, s"expected orphan+superseded dirs removed, got $removed")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/doclens/gen=7")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_g0")))
+    val after = Retrieval.bm25ScoresFromIndex(
+        Retrieval.loadTextIndex(spark, path), Seq("spark"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after === before, "vacuum must not change any score")
+    // the index keeps working: another append commits cleanly
+    Retrieval.appendToTextIndex(
+      Seq((6L, "post vacuum doc")).toDF("doc_id", "text"), "doc_id", "text", path)
+    assert(Retrieval.loadTextIndex(spark, path).nDocs === 6L)
+  }
+
   test("appendToTextIndex contracts: missing index, overlapping ids are loud") {
     val path = tempDir().resolve("textindex_bad").toString
     intercept[IllegalArgumentException] {
