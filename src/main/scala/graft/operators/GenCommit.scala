@@ -46,9 +46,14 @@ private[operators] object GenCommit {
     * the committed `gens` list (orphans of crashed appends) and superseded
     * derived/meta directories (`<prefix>N` with N ≠ the current `metaGen` —
     * readers only ever open the highest committed meta and ITS derived
-    * tables). Every deletion is individually safe at any point — none is
-    * reachable from the current committed meta — so a crash mid-vacuum
-    * leaves a smaller but equally consistent index. Returns the number of
+    * tables). Every deletion is safe against READERS and against a crash
+    * mid-vacuum (nothing reachable from the current committed meta is
+    * touched — a partial vacuum is a smaller but equally consistent index).
+    * NOT safe against a CONCURRENT APPEND: an in-flight generation's data
+    * looks like an orphan until its meta commits, and vacuuming it away
+    * would let the append commit a meta whose data is gone — run vacuum
+    * only from the single writer, between appends (the same single-writer
+    * assumption the append protocol itself makes). Returns the number of
     * directories removed. */
   def vacuum(spark: SparkSession, path: String, dataDirs: Seq[String],
              gens: Seq[Int], metaGen: Int,

@@ -73,9 +73,13 @@ object MediaIndex {
       s"MediaIndex.append: index at $path holds '$idxKind' fingerprints, not '$kind'")
     val committed = spark.read.parquet(s"$path/fingerprints")
       .filter(col("gen").isin(gens: _*))
-    val expectCols = committed.columns.filterNot(_ == "gen").sorted.toSeq
-    require(newHashes.columns.sorted.toSeq == expectCols,
-      s"MediaIndex.append: columns ${newHashes.columns.sorted.toSeq} != indexed $expectCols")
+    // names AND types: a same-named generation with drifted types (int vs
+    // long ids, array<int> energies) would commit fine and poison every
+    // cross-generation read later
+    def shape(df: DataFrame) = df.schema.fields.filterNot(_.name == "gen")
+      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1).toSeq
+    require(shape(newHashes) == shape(committed),
+      s"MediaIndex.append: columns ${shape(newHashes)} != indexed ${shape(committed)}")
     val staged = newHashes.localCheckpoint()
     val clashes = staged.select(col("media_id")).distinct()
       .join(committed.select(col("media_id")), Seq("media_id"), "left_semi")

@@ -412,7 +412,11 @@ object Multimodal {
           s"media_id=$id: expected 16-bit mono PCM, got fmt=$audioFormat ch=$channels bits=$bits")
         fmtOk = true
       } else if (id4 == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1)
+      // long arithmetic: a chunk size near Int.MaxValue would wrap the int
+      // step negative (a non-advancing loop / bare StringIndexOutOfBounds);
+      // an overlong chunk ends the walk and the post-loop require reports it
+      val next = off.toLong + 8L + sz.toLong + (sz & 1)
+      off = if (next > bytes.length) bytes.length else next.toInt
     }
     require(fmtOk && dataOff >= 0 && dataOff + dataLen <= bytes.length,
       s"media_id=$id: missing or truncated fmt/data chunk")

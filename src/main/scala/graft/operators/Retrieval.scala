@@ -169,13 +169,15 @@ object Retrieval {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
-    // a fresh save owns the path: clear stale generations from any previous
-    // index here, or their higher-numbered metas would shadow this one
-    val f = GenCommit.fs(spark, path)
-    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    // resolve the input FIRST (select analyzes eagerly — a typo'd column
+    // throws here), THEN clear the path: a bad call must not destroy a good
+    // committed index before writing nothing
     val staged = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    // a fresh save owns the path: clear stale generations from any previous
+    // index here, or their higher-numbered metas would shadow this one
+    GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     staged.select(col("doc_id"), col("dl"), lit(0).as("gen"))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/doclens")
     val postings = staged

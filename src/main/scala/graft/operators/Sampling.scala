@@ -223,13 +223,15 @@ object Sampling {
     val staged = docs
       .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
       // the whole-bucket keep/drop equivalence with the plain window cumsum
-      // needs a MONOTONE cumsum — fail loudly on a negative token count
-      // instead of silently breaking the greedy-prefix semantics
+      // needs a MONOTONE cumsum — fail loudly on a negative or NULL token
+      // count instead of silently breaking the greedy-prefix semantics
+      // (a NULL would vanish from the sums but still emit its row)
       .withColumn("_mix_tok",
-        when(col(tokensCol) >= 0, col(tokensCol).cast("long"))
+        when(col(tokensCol).isNotNull && col(tokensCol) >= 0,
+          col(tokensCol).cast("long"))
           .otherwise(raise_error(concat(
-            lit(s"tokenBudgetMix: negative $tokensCol for $idCol="),
-            col(idCol).cast("string")))))
+            lit(s"tokenBudgetMix: negative or null $tokensCol for $idCol="),
+            coalesce(col(idCol).cast("string"), lit("NULL"))))))
       .withColumn("_mix_draw",
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))
       .withColumn("_mix_bucket",

@@ -349,7 +349,9 @@ object EventPipeline {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
     val seg = 64 / bands
-    val segMask = (1L << seg) - 1
+    // seg == 64 (maxHamming = 0, exact-dup mode): 1L << 64 wraps to 1 on the
+    // JVM and a zero mask would collapse every band key to 0
+    val segMask = if (seg == 64) -1L else (1L << seg) - 1
     def segOf(fp: Column, b: Int): Column =
       shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
     // static per-band bucket table, one row per (band, key) with its indexed

@@ -102,6 +102,13 @@ class MediaIndexSpec extends SparkSpec {
     val cols = intercept[IllegalArgumentException](
       MediaIndex.append(Seq((9L, 1L)).toDF("media_id", "fp"), "audio_energy_64", path))
     assert(cols.getMessage.contains("columns"))
+    // same names, drifted TYPES (int fp, int energies) must also be loud —
+    // a committed type-drifted generation would poison cross-gen reads
+    val drift = intercept[IllegalArgumentException](
+      MediaIndex.append(
+        Seq((9L, 1, Array(1, 2))).toDF("media_id", "fp", "energies"),
+        "audio_energy_64", path))
+    assert(drift.getMessage.contains("columns"))
     intercept[IllegalArgumentException](
       MediaIndex.save(Seq((1L, 2L)).toDF("id", "fp"), "x", tempDir().resolve("nx").toString))
   }

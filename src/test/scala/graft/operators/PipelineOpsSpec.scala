@@ -804,6 +804,32 @@ class PipelineOpsSpec extends SparkSpec {
       "chunk walk and SPI decode must agree sample-for-sample")
   }
 
+  test("corrupt RIFF chunk sizes fail loudly: negative u32 and near-Int.MaxValue overlong chunks") {
+    def riff(chunkSize: Long): Array[Byte] = {
+      val b = new Array[Byte](100)
+      def put(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, o)
+      def putU32(o: Int, v: Long): Unit =
+        (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+      put(0, "RIFF"); putU32(4, 92); put(8, "WAVE")
+      put(12, "JUNK"); putU32(16, chunkSize)
+      b
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // u32 >= 2^31: the int cast would go negative (a non-advancing offset)
+    val neg = intercept[Exception](Multimodal.audioEnergyHashes(
+      Multimodal.asMediaFrame(Seq((7L, riff(0x80000000L))).toDF("media_id", "payload"),
+        "media_id", "payload", "audio")).collect())
+    assert(msgs(neg).exists(m => m.contains("media_id=7") && m.contains("corrupt chunk")))
+    // sz just under 2^31: off + 8 + sz would wrap the int step negative —
+    // must end the walk and report the missing fmt/data, tagged, not throw
+    // a bare StringIndexOutOfBounds
+    val big = intercept[Exception](Multimodal.audioEnergyHashes(
+      Multimodal.asMediaFrame(Seq((8L, riff(0x7FFFFFF0L))).toDF("media_id", "payload"),
+        "media_id", "payload", "audio")).collect())
+    assert(msgs(big).exists(m => m.contains("media_id=8")), s"untagged: ${msgs(big)}")
+  }
+
   test("audioEnergyHashes contracts are loud: too few samples, bad frame count") {
     intercept[IllegalArgumentException](
       Multimodal.audioEnergyHashes(wavMedia(1L -> Array.fill(32)(1.toShort)), frames = 65))

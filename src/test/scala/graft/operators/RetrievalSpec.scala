@@ -274,6 +274,16 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.loadTextIndex(spark, path).nDocs === 6L)
   }
 
+  test("a bad saveTextIndex call must not destroy the existing committed index") {
+    val path = tempDir().resolve("textindex_guard").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Retrieval.saveTextIndex(corpus, "doc_idd_typo", "text", path, nBuckets = 8)
+    }
+    // the analysis error fired BEFORE the path was cleared
+    assert(Retrieval.loadTextIndex(spark, path).nDocs === 4L)
+  }
+
   test("appendToTextIndex contracts: missing index, overlapping ids are loud") {
     val path = tempDir().resolve("textindex_bad").toString
     intercept[IllegalArgumentException] {

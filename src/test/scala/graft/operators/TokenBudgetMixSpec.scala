@@ -59,14 +59,22 @@ class TokenBudgetMixSpec extends SparkSpec {
       Sampling.tokenBudgetMix(docs, "dom", "tok", "id", Map("a" -> -1L)))
   }
 
-  test("a negative token count fails loudly instead of breaking the greedy prefix") {
-    val bad = Seq((1L, "a", 10L), (2L, "a", -5L), (3L, "a", 10L))
+  test("negative or NULL token counts fail loudly instead of breaking the greedy prefix") {
+    def firstMsg(e: Throwable): String =
+      (Option(e.getMessage).toSeq ++ Option(e.getCause).map(_.getMessage)).mkString(" | ")
+    val neg = Seq((1L, "a", 10L), (2L, "a", -5L), (3L, "a", 10L))
       .toDF("id", "dom", "tok")
-    val e = intercept[Exception] {
-      Sampling.tokenBudgetMix(bad, "dom", "tok", "id", Map("a" -> 100L)).collect()
+    val e1 = intercept[Exception] {
+      Sampling.tokenBudgetMix(neg, "dom", "tok", "id", Map("a" -> 100L)).collect()
     }
-    assert(e.getMessage.contains("negative tok") ||
-      Option(e.getCause).exists(_.getMessage.contains("negative tok")),
-      s"unexpected error: $e")
+    assert(firstMsg(e1).contains("negative or null tok"), s"unexpected: $e1")
+    // a NULL count would vanish from the sums but still emit its row —
+    // equally loud, and the message survives even here
+    val nul = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "a", Some(10L)))
+      .toDF("id", "dom", "tok")
+    val e2 = intercept[Exception] {
+      Sampling.tokenBudgetMix(nul, "dom", "tok", "id", Map("a" -> 100L)).collect()
+    }
+    assert(firstMsg(e2).contains("negative or null tok"), s"unexpected: $e2")
   }
 }

@@ -556,4 +556,40 @@ class StreamingSpec extends SparkSpec {
         s"index dup 102 and same-window copy 107 must drop, got $got")
     } finally q.stop()
   }
+
+  test("streaming audio ingest at maxHamming=0: full-width band keys keep distinct clips apart") {
+    // exact-dup mode has ONE band of all 64 bits: a zero segMask (the
+    // 1L << 64 JVM wrap) would collapse every clip into one bucket and drop
+    // all but the min id — two DIFFERENT clips in one window must both survive
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    val cataloged = Array.tabulate(2048)(t => (((t * 37 + 11) % 1000) + 100).toShort)
+    val freshA = Array.tabulate(2048)(t => (((t * t * 91 + 13 * t + 5) % 2000) - 1000).toShort)
+    val freshB = Array.tabulate(2048)(t => (((t * 131 + 7) % 4000) - 2000).toShort)
+    val idxPath = tempDir().resolve("stream_audioidx_h0").toString
+    mm.saveAudioIndex(mm.asMediaFrame(
+        Seq((1L, mm.encodeWav(cataloged, 8000))).toDF("media_id", "payload"),
+        "media_id", "payload", "audio"), idxPath)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = EventPipeline.streamingAudioIngestDedup(
+        input.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+        watermark = "30 minutes", windowLen = "10 minutes", maxHamming = 0)
+      .writeStream.format("memory").queryName("aid0").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (102L, mm.encodeWav(cataloged, 8000), ts(0)), // exact re-encode → index drop
+        (106L, mm.encodeWav(freshA, 8000), ts(1)),
+        (108L, mm.encodeWav(freshB, 8000), ts(2)))
+      q.processAllAvailable()
+      // the driver must SURVIVE the index check to advance the watermark —
+      // a fresh signal, not a variant of the cataloged clip (a uniform
+      // shift keeps the threshold bitmap identical and drops at the index)
+      val driver = Array.tabulate(2048)(t => (((t * 997 + 3) % 3000) - 1500).toShort)
+      input.addData((999L, mm.encodeWav(driver, 8000), ts(120)))
+      q.processAllAvailable()
+      val got = spark.table("aid0").collect().map(_.getLong(1)).toSet
+      assert(got === Set(106L, 108L),
+        s"both distinct fresh clips must survive exact-dup mode, got $got")
+    } finally q.stop()
+  }
 }
