@@ -42,6 +42,80 @@ private[operators] object GenCommit {
     1 + (committed ++ listGens(spark, s"$path/$dataDir", "gen=", requireSuccess = false)
       ++ listGens(spark, path, "meta_g", requireSuccess = false)).max
 
+  // ── writer lease ────────────────────────────────────────────────────────
+  //
+  // An in-flight append's generation is indistinguishable from a crashed
+  // append's orphan until its meta commits — a vacuum racing an append
+  // would reclaim the live generation and let the append commit a meta
+  // whose data is gone. The lease turns that scaladoc contract into a
+  // mechanism: appenders hold `_lease` (an atomic filesystem create) for
+  // the duration of the write, vacuum REFUSES while a fresh lease exists,
+  // and a second appender fails loudly instead of interleaving. A lease
+  // older than `ttlMs` is STALE (its writer's JVM died mid-append — the
+  // crash the generation protocol already tolerates) and is taken over, so
+  // a crash never wedges the index. Pick `ttlMs` above the longest append
+  // the deployment runs; the default is generous for batch ingest.
+
+  val DefaultLeaseTtlMs: Long = 30L * 60L * 1000L
+
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_lease")
+
+  /** The millis timestamp inside a lease file, None if absent/unreadable
+    * (an unreadable lease counts as absent: its create never finished). */
+  private def leaseTs(f: org.apache.hadoop.fs.FileSystem,
+                      lp: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!f.exists(lp)) None
+    else scala.util.Try {
+      val in = f.open(lp)
+      try {
+        val buf = new Array[Byte](32) // an epoch-millis decimal string
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+    }.toOption
+
+  /** Acquire the writer lease at `path` (atomic create — two concurrent
+    * acquirers cannot both win). A fresh lease held by someone else is a
+    * loud IllegalStateException; a stale one (older than `ttlMs`) is taken
+    * over. */
+  def acquireLease(spark: SparkSession, path: String,
+                   ttlMs: Long = DefaultLeaseTtlMs): Unit = {
+    val f = fs(spark, path)
+    val lp = leasePath(path)
+    val now = System.currentTimeMillis()
+    leaseTs(f, lp).foreach { ts =>
+      if (now - ts < ttlMs) throw new IllegalStateException(
+        s"writer lease at $path is held (age ${now - ts} ms < ttl $ttlMs ms) — " +
+          "another append is in flight; retry after it commits, or " +
+          "GenCommit.breakLease if its writer is known dead")
+      f.delete(lp, false) // stale: the writer's JVM died mid-append
+    }
+    val out = try f.create(lp, false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"writer lease at $path was acquired concurrently", e)
+    }
+    try out.write(now.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Release a lease this writer holds (append epilogue). */
+  def releaseLease(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(leasePath(path), false)
+
+  /** Operator intervention: drop a lease whose writer is known dead without
+    * waiting out the TTL. */
+  def breakLease(spark: SparkSession, path: String): Unit =
+    releaseLease(spark, path)
+
+  /** Run `body` holding the writer lease; always released on exit (an
+    * in-JVM failure releases immediately — only a JVM death leaves the
+    * stale file the TTL reclaims). */
+  def withLease[T](spark: SparkSession, path: String,
+                   ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    acquireLease(spark, path, ttlMs)
+    try body finally releaseLease(spark, path)
+  }
+
   /** Reclaim dead bytes: delete `gen=N` data partitions whose N is not in
     * the committed `gens` list (orphans of crashed appends) and superseded
     * derived/meta directories (`<prefix>N` with N ≠ the current `metaGen` —
@@ -49,16 +123,24 @@ private[operators] object GenCommit {
     * tables). Every deletion is safe against READERS and against a crash
     * mid-vacuum (nothing reachable from the current committed meta is
     * touched — a partial vacuum is a smaller but equally consistent index).
-    * NOT safe against a CONCURRENT APPEND: an in-flight generation's data
-    * looks like an orphan until its meta commits, and vacuuming it away
-    * would let the append commit a meta whose data is gone — run vacuum
-    * only from the single writer, between appends (the same single-writer
-    * assumption the append protocol itself makes). Returns the number of
-    * directories removed. */
+    * A CONCURRENT APPEND is fenced by the writer lease: appenders hold
+    * `_lease` while their generation is in flight, and vacuum throws
+    * rather than reclaim what might be a live generation (a stale lease —
+    * writer died — ages out after `ttlMs` and no longer blocks). Returns
+    * the number of directories removed. */
   def vacuum(spark: SparkSession, path: String, dataDirs: Seq[String],
              gens: Seq[Int], metaGen: Int,
-             derivedPrefixes: Seq[String]): Int = {
+             derivedPrefixes: Seq[String],
+             ttlMs: Long = DefaultLeaseTtlMs): Int = {
     val f = fs(spark, path)
+    leaseTs(f, leasePath(path)).foreach { ts =>
+      val age = System.currentTimeMillis() - ts
+      if (age < ttlMs) throw new IllegalStateException(
+        s"vacuum at $path refused: writer lease held (age $age ms < ttl $ttlMs ms) — " +
+          "an in-flight append's generation would look like an orphan; " +
+          "retry after the append commits, or GenCommit.breakLease if its " +
+          "writer is known dead")
+    }
     val committed = gens.toSet
     var removed = 0
     def drop(p: String): Unit =

@@ -50,8 +50,10 @@ object MediaIndex {
       "MediaIndex.save: hashes must carry a media_id column")
     val spark = hashes.sparkSession
     import spark.implicits._
-    GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    // materialize BEFORE deleting the old index: a decode failure in the new
+    // batch must leave any previously committed index at `path` intact
     val staged = hashes.localCheckpoint()
+    GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     staged.withColumn("gen", lit(0))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/fingerprints")
     val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
@@ -86,19 +88,27 @@ object MediaIndex {
       .limit(5).as[Long].collect()
     require(clashes.isEmpty,
       s"MediaIndex.append: media ids already indexed at $path: ${clashes.mkString(", ")}")
-    val newGen = GenCommit.nextGen(spark, path, "fingerprints", gens)
-    staged.withColumn("gen", lit(newGen))
-      .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
-    val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
-    // the commit: meta_gN landing (with _SUCCESS) makes the generation visible
-    Seq((kind, nItems + n, gens :+ newGen)).toDF("kind", "n_items", "gens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
+    // writer lease: held while the generation is in flight, so a racing
+    // vacuum cannot reclaim it as an orphan and a second appender fails
+    // loudly instead of interleaving generation numbers
+    GenCommit.withLease(spark, path) {
+      val newGen = GenCommit.nextGen(spark, path, "fingerprints", gens)
+      staged.withColumn("gen", lit(newGen))
+        .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
+      val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
+      // the commit: meta_gN landing (with _SUCCESS) makes the generation visible
+      Seq((kind, nItems + n, gens :+ newGen)).toDF("kind", "n_items", "gens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
+    }
   }
 
   /** Reclaim dead bytes left by crashed appends ([[GenCommit.vacuum]]):
     * orphaned fingerprint `gen=N` partitions and superseded `meta_gN` dirs.
-    * Safe at any point; probe results identical before/after (spec-pinned).
-    * Returns the number of directories removed. */
+    * Probe results identical before/after (spec-pinned). Refuses (throws)
+    * while an append's writer lease is fresh — an in-flight generation
+    * looks like an orphan until its meta commits; a stale lease (dead
+    * writer) ages out after the TTL. Returns the number of directories
+    * removed. */
   def vacuum(spark: SparkSession, path: String): Int = {
     val (metaGen, _, _, gens) = committedMeta(spark, path)
       .getOrElse(throw new IllegalArgumentException(

@@ -418,7 +418,9 @@ object Multimodal {
       val next = off.toLong + 8L + sz.toLong + (sz & 1)
       off = if (next > bytes.length) bytes.length else next.toInt
     }
-    require(fmtOk && dataOff >= 0 && dataOff + dataLen <= bytes.length,
+    // long arithmetic here too: a declared data size near Int.MaxValue wraps
+    // the int sum negative and the bound would pass vacuously
+    require(fmtOk && dataOff >= 0 && dataOff.toLong + dataLen <= bytes.length,
       s"media_id=$id: missing or truncated fmt/data chunk")
     val n = dataLen / 2
     require(n >= frames, s"media_id=$id: $n samples < $frames frames")

@@ -231,13 +231,22 @@ object Retrieval {
     val (metaGen, nDocs, sumDl, nBuckets, gens) = committedMeta(spark, path)
       .getOrElse(throw new IllegalArgumentException(
         s"appendToTextIndex: no committed index meta at $path — saveTextIndex first"))
+    // writer lease: held while the generation is in flight, so a racing
+    // vacuum cannot reclaim it as an orphan and a second appender fails
+    // loudly instead of interleaving generation numbers
+    GenCommit.withLease(spark, path) {
     // next generation: strictly above everything on disk — committed gens AND
     // orphans from crashed attempts (doclens partition dirs + meta dirs are
     // both pure filesystem listings)
     val newGen = GenCommit.nextGen(spark, path, "doclens", gens)
+    // one evaluation for the whole generation: the clash check, doclens,
+    // postings, terms merge, and meta stats below each re-run this plan —
+    // a non-deterministic newDocs (sample, order-dependent dedup) would
+    // otherwise commit mutually inconsistent shards as a "valid" generation
     val staged = newDocs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+      .localCheckpoint()
     val clashes = staged.select(col("doc_id"))
       .join(spark.read.parquet(s"$path/doclens")
           .filter(col("gen").isin(gens: _*)).select(col("doc_id")),
@@ -274,14 +283,18 @@ object Retrieval {
     Seq((nDocs + newN, sumDl + newSdl, nBuckets, gens :+ newGen))
       .toDF("n_docs", "sum_dl", "n_buckets", "gens")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
+    }
   }
 
   /** Reclaim the dead bytes crashed appends leave behind ([[GenCommit
     * .vacuum]]): orphaned postings/doclens `gen=N` partitions never listed
     * by any committed meta, plus superseded `terms_gN`/`meta_gN` dirs below
-    * the current generation. Safe at any point — nothing reachable from the
-    * committed meta is touched; scores are bit-identical before and after
-    * (spec-pinned). Returns the number of directories removed. */
+    * the current generation. Nothing reachable from the committed meta is
+    * touched; scores are bit-identical before and after (spec-pinned).
+    * Refuses (throws) while an append's writer lease is fresh — an
+    * in-flight generation looks like an orphan until its meta commits; a
+    * stale lease (dead writer) ages out after the TTL. Returns the number
+    * of directories removed. */
   def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Int = {
     val (metaGen, _, _, _, gens) = committedMeta(spark, path)

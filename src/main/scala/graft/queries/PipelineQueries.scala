@@ -1928,23 +1928,22 @@ object PipelineQueries {
     // class, active weights per class. The oracle unrolls all four training
     // chains over the same pt/px CTEs.
     "q160_perceptron_multiclass" -> ((s, dir) => {
-      val lt = graft.operators.LinearTrainer
-      val m = pmod(col("doc_id"), lit(4))
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(m === 1, repeat(lit(langSuffix("de")), 4))
-            .when(m === 2, repeat(lit(langSuffix("fr")), 4))
-            .when(m === 3, repeat(lit(langSuffix("es")), 4))
-            .otherwise(lit(""))).as("text"),
-        when(m === 0, lit("en")).when(m === 1, lit("de"))
-          .when(m === 2, lit("fr")).otherwise(lit("es")).as("cls"))
-      val staged = aug
-        .withColumn("_t", TextFunctions.tokens(col("text")))
-        .withColumn("_sb", lt.sortedTokenBuckets(col("_t"), MulticlassDims))
-        .select(col("doc_id"),
-          lt.sparseCountsFromSorted(col("_sb")).as("sfeat"), col("cls"))
-      val models = lt.perceptronTrainOneVsAll(staged, "sfeat", "cls",
-        MulticlassDims, MulticlassIters)
+      val models = graft.operators.LinearTrainer.perceptronTrainOneVsAll(
+        multiclassStaged(s, dir), "sfeat", "cls", MulticlassDims, MulticlassIters)
+      import s.implicits._
+      models.flatMap { case (c, w) => w.zipWithIndex.collect {
+        case (wv, p) if wv != 0L => (c, p.toLong, wv) } }
+        .toDF("cls", "pos", "weight").orderBy("cls", "pos")
+    }),
+
+    // q167: the AVERAGED one-vs-all variant — per class the summed
+    // per-iteration weight vectors (q159's Freund & Schapire average, exact
+    // integers) over the SAME four training chains as q160; the oracle
+    // unrolls every chain and sums its per-iteration weight tables.
+    "q167_perceptron_multiclass_avg" -> ((s, dir) => {
+      val models = graft.operators.LinearTrainer.perceptronTrainOneVsAll(
+        multiclassStaged(s, dir), "sfeat", "cls", MulticlassDims, MulticlassIters,
+        averaged = true)
       import s.implicits._
       models.flatMap { case (c, w) => w.zipWithIndex.collect {
         case (wv, p) if wv != 0L => (c, p.toLong, wv) } }
@@ -2517,10 +2516,30 @@ object PipelineQueries {
   private val MulticlassIters = 2
   private val MulticlassLangs = Seq("en", "de", "fr", "es")
 
+  /** The q160/q167 shared corpus: the q88 language-suffix augmentation with
+    * a per-doc class label, bucketed to the multiclass hash space. */
+  private def multiclassStaged(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val lt = graft.operators.LinearTrainer
+    val m = pmod(col("doc_id"), lit(4))
+    t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(m === 1, repeat(lit(langSuffix("de")), 4))
+            .when(m === 2, repeat(lit(langSuffix("fr")), 4))
+            .when(m === 3, repeat(lit(langSuffix("es")), 4))
+            .otherwise(lit(""))).as("text"),
+        when(m === 0, lit("en")).when(m === 1, lit("de"))
+          .when(m === 2, lit("fr")).otherwise(lit("es")).as("cls"))
+      .withColumn("_t", TextFunctions.tokens(col("text")))
+      .withColumn("_sb", lt.sortedTokenBuckets(col("_t"), MulticlassDims))
+      .select(col("doc_id"),
+        lt.sparseCountsFromSorted(col("_sb")).as("sfeat"), col("cls"))
+  }
+
   /** q160: one-vs-all multi-class re-training on the q88 language-suffix
     * corpus — one unrolled chain per class over the SHARED pt/px, labels
     * +1 for the class and −1 otherwise, active weights per class. */
-  private def multiclassPerceptronOracleSql(dims: Int, iters: Int): String = {
+  private def multiclassOracleWithPrefix(dims: Int, iters: Int): String = {
     val clsSql = MulticlassLangs.zipWithIndex
       .map { case (l, i) => s"WHEN doc_id % 4 = $i THEN '$l'" }
       .mkString("CASE ", " ", " END")
@@ -2534,12 +2553,30 @@ object PipelineQueries {
     val chains = MulticlassLangs.map(l =>
       perceptronChainCtes(s"_$l", iters, s"CASE WHEN cls = '$l' THEN 1 ELSE -1 END"))
       .mkString(",\n")
+    s"""WITH $aug,
+       |${perceptronBaseCtes(dims, "src", extraCols = ", cls")},
+       |$chains""".stripMargin
+  }
+
+  private def multiclassPerceptronOracleSql(dims: Int, iters: Int): String = {
     val finals = MulticlassLangs.map(l =>
       s"SELECT '$l' AS cls, CAST(pos AS BIGINT) AS pos, CAST(w AS BIGINT) AS weight " +
         s"FROM w$iters" + s"_$l WHERE w <> 0").mkString(" UNION ALL ")
-    s"""WITH $aug,
-       |${perceptronBaseCtes(dims, "src", extraCols = ", cls")},
-       |$chains
+    s"""${multiclassOracleWithPrefix(dims, iters)}
+       |SELECT * FROM ($finals) z ORDER BY cls, pos""".stripMargin
+  }
+
+  /** q167: per class, Σ of the weight vector after each iteration over the
+    * same four unrolled chains (q159's wavg applied per class). */
+  private def multiclassAveragedOracleSql(dims: Int, iters: Int): String = {
+    val finals = MulticlassLangs.map { l =>
+      val unionAll = (1 to iters)
+        .map(i => s"SELECT pos, w FROM w$i" + s"_$l").mkString(" UNION ALL ")
+      s"SELECT '$l' AS cls, CAST(pos AS BIGINT) AS pos, " +
+        s"CAST(sum(w) AS BIGINT) AS weight FROM ($unionAll) u$l " +
+        s"GROUP BY pos HAVING sum(w) <> 0"
+    }.mkString(" UNION ALL ")
+    s"""${multiclassOracleWithPrefix(dims, iters)}
        |SELECT * FROM ($finals) z ORDER BY cls, pos""".stripMargin
   }
 
@@ -3445,6 +3482,8 @@ object PipelineQueries {
       averagedPerceptronOracleSql(PerceptronDims, PerceptronIters),
     "q160_perceptron_multiclass" ->
       multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
+    "q167_perceptron_multiclass_avg" ->
+      multiclassAveragedOracleSql(MulticlassDims, MulticlassIters),
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,

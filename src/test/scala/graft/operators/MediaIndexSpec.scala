@@ -86,6 +86,70 @@ class MediaIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet === before)
   }
 
+  test("vacuum racing an in-flight append refuses; the committed-next generation survives") {
+    val path = tempDir().resolve("audioidx_lease").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    // simulate an append in flight: its writer lease is held and its gen=1
+    // data landed, but meta_g1 has not committed yet — exactly the state a
+    // racing vacuum would otherwise misread as a reclaimable orphan
+    GenCommit.acquireLease(spark, path)
+    Seq((77L, 0L, Array.fill(64)(1L), 1))
+      .toDF("media_id", "fp", "energies", "gen")
+      .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
+    val refused = intercept[IllegalStateException](MediaIndex.vacuum(spark, path))
+    assert(refused.getMessage.contains("lease"))
+    val fs = GenCommit.fs(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/fingerprints/gen=1")),
+      "a refused vacuum must not have touched the in-flight generation")
+    // a second appender is fenced by the same lease
+    val second = intercept[IllegalStateException](
+      Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path))
+    assert(second.getMessage.contains("lease"))
+    GenCommit.releaseLease(spark, path)
+    // writer released without committing (crash-equivalent): the gen=1 data
+    // is now a true orphan and vacuum reclaims it
+    assert(MediaIndex.vacuum(spark, path) >= 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/fingerprints/gen=1")))
+    Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path)
+    assert(MediaIndex.load(spark, path).nItems === 2L)
+  }
+
+  test("a stale lease (dead writer) ages out: append takes over, vacuum proceeds") {
+    val path = tempDir().resolve("audioidx_stale").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    def plantStaleLease(): Unit = {
+      val out = GenCommit.fs(spark, path)
+        .create(new org.apache.hadoop.fs.Path(path, "_lease"), false)
+      try out.write((System.currentTimeMillis() - 3600L * 1000L)
+        .toString.getBytes("UTF-8")) finally out.close()
+    }
+    plantStaleLease()
+    // older than the TTL: the next appender takes the lease over (and
+    // releases its own on exit), so a crashed writer never wedges the index
+    Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path)
+    assert(MediaIndex.load(spark, path).nItems === 2L)
+    assert(!GenCommit.fs(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(path, "_lease")))
+    plantStaleLease()
+    MediaIndex.vacuum(spark, path) // must not throw on a stale lease
+    GenCommit.breakLease(spark, path)
+  }
+
+  test("a failing save leaves the previously committed index intact") {
+    val path = tempDir().resolve("audioidx_resave").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    // re-save with a corrupt payload: the decode must fail BEFORE the old
+    // index is deleted — one bad clip in a rebuild batch must not destroy
+    // the committed catalog
+    val corrupt = Multimodal.asMediaFrame(
+      Seq((2L, Array.fill[Byte](16)(0x5a))).toDF("media_id", "payload"),
+      "media_id", "payload", "audio")
+    intercept[Exception](Multimodal.saveAudioIndex(corrupt, path))
+    val idx = MediaIndex.load(spark, path)
+    assert(idx.nItems === 1L, "failed save must leave the old index committed")
+    assert(idx.fingerprints.select("media_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("contracts are loud: missing index, kind mismatch, id clash, schema drift") {
     val path = tempDir().resolve("audioidx_bad").toString
     intercept[IllegalArgumentException](

@@ -828,6 +828,30 @@ class PipelineOpsSpec extends SparkSpec {
       Multimodal.asMediaFrame(Seq((8L, riff(0x7FFFFFF0L))).toDF("media_id", "payload"),
         "media_id", "payload", "audio")).collect())
     assert(msgs(big).exists(m => m.contains("media_id=8")), s"untagged: ${msgs(big)}")
+    // a DATA chunk (after a valid fmt) declaring a near-Int.MaxValue size:
+    // the post-walk bound `dataOff + dataLen <= bytes.length` must use long
+    // arithmetic — an int sum wraps negative, passes vacuously, and the
+    // sample loop then dies on a bare (negative-index) array access
+    def riffBigData(): Array[Byte] = {
+      val b = new Array[Byte](100)
+      def put(o: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, o)
+      def putU32(o: Int, v: Long): Unit =
+        (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def putU16(o: Int, v: Int): Unit = {
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      put(0, "RIFF"); putU32(4, 92); put(8, "WAVE")
+      put(12, "fmt "); putU32(16, 16)
+      putU16(20, 1); putU16(22, 1) // PCM, mono
+      putU32(24, 8000); putU32(28, 16000); putU16(32, 2); putU16(34, 16)
+      put(36, "data"); putU32(40, 0x7FFFFFF0L)
+      b
+    }
+    val bigData = intercept[Exception](Multimodal.audioEnergyHashes(
+      Multimodal.asMediaFrame(Seq((9L, riffBigData())).toDF("media_id", "payload"),
+        "media_id", "payload", "audio")).collect())
+    assert(msgs(bigData).exists(m => m.contains("media_id=9")
+      && m.contains("missing or truncated")), s"untagged: ${msgs(bigData)}")
   }
 
   test("audioEnergyHashes contracts are loud: too few samples, bad frame count") {

@@ -208,6 +208,36 @@ class RetrievalSpec extends SparkSpec {
     assert(df("spark") === 3L && df("novel") === 1L)
   }
 
+  test("appendToTextIndex: a non-deterministic batch commits ONE consistent evaluation") {
+    import org.apache.spark.sql.functions._
+    val path = tempDir().resolve("textindex_nondet").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    // rand() is UNSEEDED on purpose: every re-evaluation of this plan picks
+    // a different subset, so doclens/postings/terms/meta written from
+    // separate evaluations would be mutually inconsistent — the staged
+    // localCheckpoint must pin one evaluation for the whole generation
+    val extra = spark.range(100, 160).toDF("doc_id")
+      .filter(rand() < 0.5)
+      .withColumn("text", concat(lit("tok"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(" shared words")))
+    Retrieval.appendToTextIndex(extra, "doc_id", "text", path)
+    val idx = Retrieval.loadTextIndex(spark, path)
+    val nNew = idx.doclens.count() - 4
+    assert(idx.nDocs === 4 + nNew, "meta n_docs must match the committed doclens")
+    val sdl = idx.doclens.agg(sum(col("dl"))).as[Long].collect().head
+    assert(idx.sumDl === sdl, "meta sum_dl must match the committed doclens")
+    // postings agree with doclens doc-for-doc (Σtf per doc == dl)
+    val mismatch = idx.postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("ptf"))
+      .join(idx.doclens, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("ptf"), lit(-1L)) =!= coalesce(col("dl"), lit(-2L)))
+      .count()
+    assert(mismatch === 0L, "postings and doclens must come from one evaluation")
+    // every appended doc contains "shared": its df must equal the doc count
+    val df = idx.terms.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("shared") === nNew, "terms df must match the committed postings")
+  }
+
   test("torn append is invisible: readers see the old index; a retry commits cleanly") {
     import org.apache.spark.sql.functions.lit
     val path = tempDir().resolve("textindex_torn").toString
@@ -282,6 +312,22 @@ class RetrievalSpec extends SparkSpec {
     }
     // the analysis error fired BEFORE the path was cleared
     assert(Retrieval.loadTextIndex(spark, path).nDocs === 4L)
+  }
+
+  test("text-index vacuum and a second appender refuse while the writer lease is held") {
+    val path = tempDir().resolve("textindex_lease").toString
+    Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
+    GenCommit.acquireLease(spark, path)
+    val extra = Seq((7L, "late arriving words")).toDF("doc_id", "text")
+    assert(intercept[IllegalStateException](
+      Retrieval.vacuumTextIndex(spark, path)).getMessage.contains("lease"))
+    assert(intercept[IllegalStateException](
+      Retrieval.appendToTextIndex(extra, "doc_id", "text", path))
+      .getMessage.contains("lease"))
+    GenCommit.releaseLease(spark, path)
+    Retrieval.appendToTextIndex(extra, "doc_id", "text", path)
+    assert(Retrieval.loadTextIndex(spark, path).nDocs === 5L)
+    Retrieval.vacuumTextIndex(spark, path)
   }
 
   test("appendToTextIndex contracts: missing index, overlapping ids are loud") {
