@@ -367,6 +367,36 @@ object SqlFunctions {
           tbl(strLit(f, "probes", exprs(0))),
           strLit(f, "indexPath", exprs(1)),
           maxHamming = intLit(f, "maxHamming", exprs(2)))) }),
+      // graft_image_neardup_index('probes', 'indexPath', maxHamming): image
+      // near-dup of a (media_id, payload) probe view AGAINST a persisted
+      // MediaIndex — the hash family (ahash/dhash) comes from the index
+      // meta; probes hash in-scan, the catalog side reads parquet
+      // fingerprints; (id_a=probe, id_b=indexed, hamming, l1) rows, exactly
+      // q164's chain.
+      ("graft_image_neardup_index", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_image_neardup_index", 3, exprs)
+        val f = "graft_image_neardup_index"
+        plan(graft.operators.Multimodal.imageNearDupAgainstIndex(
+          tbl(strLit(f, "probes", exprs(0))),
+          strLit(f, "indexPath", exprs(1)),
+          maxHamming = intLit(f, "maxHamming", exprs(2)))) }),
+      // graft_video_neardup_index('probes', 'indexPath', every, maxHamming,
+      // minOverlap): video near-dup of a (media_id, payload) GIF-clip probe
+      // view AGAINST a persisted frame-hash MediaIndex — probes demux
+      // in-scan, frame-level banding across probe/index, directional
+      // containment verify; (id_a=probe, id_b=indexed, m_a, n_a, m_b, n_b,
+      // overlap) rows, exactly q163's chain.
+      ("graft_video_neardup_index", graft.operators.Multimodal.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_video_neardup_index", 5, exprs)
+        val f = "graft_video_neardup_index"
+        plan(graft.operators.Multimodal.videoNearDupAgainstIndex(
+          tbl(strLit(f, "probes", exprs(0))),
+          strLit(f, "indexPath", exprs(1)),
+          every = intLit(f, "every", exprs(2)),
+          maxHamming = intLit(f, "maxHamming", exprs(3)),
+          minOverlap = doubleLit(f, "minOverlap", exprs(4)))) }),
       // graft_video_neardup('table', every, maxHamming, minOverlap): video
       // near-dup over a (media_id, payload) GIF-clip view — per-frame aHash
       // in the demux scan, frame-level Hamming banding, exact directional-

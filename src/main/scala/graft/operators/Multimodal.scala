@@ -251,11 +251,27 @@ object Multimodal {
       }
   }
 
-  /** dHash (difference hash): 9×8 grayscale thumbnail, bit (row-major over
-    * the 8×8 grid, MSB-first) set iff gray(x,y) > gray(x+1,y) — a horizontal
-    * gradient sign map. Like aHash it ignores global brightness; unlike
-    * aHash it also ignores global contrast scaling (gradients scale with it).
-    * The carried `gray` is the 72-int 9×8 thumbnail. */
+  /** dHash bits of a 9×8 grayscale thumbnail: bit (row-major over the 8×8
+    * grid, MSB-first) set iff gray(x,y) > gray(x+1,y) — a horizontal
+    * gradient sign map. */
+  private def dHashBits(gray: Array[Int]): Long = {
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y * 9 + x) > gray(y * 9 + x + 1)) fp |= (1L << (63 - (y * 8 + x)))
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** dHash (difference hash): 9×8 grayscale thumbnail through [[dHashBits]].
+    * Like aHash it ignores global brightness; unlike aHash it also ignores
+    * global contrast scaling (gradients scale with it). The carried `gray`
+    * is the 72-int 9×8 thumbnail. */
   def imageDHashes(media: DataFrame): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
@@ -265,19 +281,25 @@ object Multimodal {
           val img = ImageIO.read(new ByteArrayInputStream(payload))
           require(img != null, s"media_id=$id: payload is not a decodable image")
           val gray = grayThumb(img, 9, 8)
-          var fp = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (gray(y * 9 + x) > gray(y * 9 + x + 1)) fp |= (1L << (63 - (y * 8 + x)))
-              x += 1
-            }
-            y += 1
-          }
-          ImageHash(id, fp, gray)
+          ImageHash(id, dHashBits(gray), gray)
         }
       }
+  }
+
+  /** One image's 64-bit perceptual fingerprint straight from its payload
+    * bytes — the per-row core of [[imageAHashes]]/[[imageDHashes]], public
+    * so a STREAMING ingest can hash in-scan while carrying its own extra
+    * columns (event time). */
+  def imageFingerprintOf(id: Long, payload: Array[Byte],
+                         hashKind: String = "ahash"): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"media_id=$id: payload is not a decodable image")
+    hashKind match {
+      case "ahash" => aHashBits(grayThumb(img, 8, 8))
+      case "dhash" => dHashBits(grayThumb(img, 9, 8))
+      case other => throw new IllegalArgumentException(
+        s"hashKind must be ahash|dhash, got '$other'")
+    }
   }
 
   /** Image near-duplicate pairs WITHOUT an external embedding model:
@@ -690,6 +712,25 @@ object Multimodal {
           } finally { reader.dispose(); iis.close() }
         }
       }
+  }
+
+  /** One clip's DISTINCT sampled-frame aHashes straight from its payload
+    * bytes, ascending — the per-row core of [[gifFrameAHashes]] + distinct,
+    * public so a STREAMING ingest can demux in-scan while carrying its own
+    * extra columns (event time). The sorted order makes the array a
+    * deterministic per-clip signature: two clips have equal arrays iff
+    * their distinct frame-hash SETS are equal. */
+  def videoFrameFingerprintsOf(id: Long, payload: Array[Byte],
+                               every: Int = 1): Array[Long] = {
+    require(every > 0, "every must be positive")
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by every).map(f => aHashBits(grayThumb(reader.read(f), 8, 8)))
+        .distinct.sorted.toArray
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** VIDEO near-duplicate pairs — re-encoded, trimmed, and partially-edited

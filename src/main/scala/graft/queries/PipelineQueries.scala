@@ -2080,6 +2080,43 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q168: image near-dup against the persisted index from PURE SQL — the
+    // graft_image_neardup_index TABLE function over the q164 construction
+    // (index built the same way; probes registered as a view); shares
+    // q164's oracle verbatim — the SQL surface must be invisible.
+    "q168_sql_image_neardup_index" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      val mm = graft.operators.Multimodal
+      val media = imageFixture(t(s, dir, "documents"))
+      val catalog = media.filter(pmod(col("media_id"), lit(5)).isin(0, 3, 4))
+      val idxPath = "/tmp/graft_fixtures/q168_imageindex"
+      mm.saveImageIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToImageIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      media.filter(pmod(col("media_id"), lit(5)).isin(1, 2))
+        .createOrReplaceTempView("graft_image_probes")
+      s.sql(s"""SELECT id_a, id_b, hamming, l1
+          FROM graft_image_neardup_index('graft_image_probes', '$idxPath', 3)
+          ORDER BY id_a, id_b""")
+    }),
+
+    // q169: video near-dup against the persisted frame-hash index from PURE
+    // SQL — the graft_video_neardup_index TABLE function over the q163
+    // construction; shares q163's oracle verbatim.
+    "q169_sql_video_neardup_index" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      val mm = graft.operators.Multimodal
+      val media = videoFixture(t(s, dir, "documents"))
+      val catalog = media.filter(!pmod(col("media_id"), lit(7)).isin(1, 2, 3))
+      val idxPath = "/tmp/graft_fixtures/q169_videoindex"
+      mm.saveVideoIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 0), idxPath)
+      mm.appendToVideoIndex(catalog.filter(pmod(col("media_id"), lit(2)) === 1), idxPath)
+      media.filter(pmod(col("media_id"), lit(7)).isin(1, 2, 3))
+        .createOrReplaceTempView("graft_video_probes")
+      s.sql(s"""SELECT id_a, id_b, m_a, n_a, m_b, n_b, overlap
+          FROM graft_video_neardup_index('graft_video_probes', '$idxPath', 1, 3, 0.5)
+          ORDER BY id_a, id_b""")
+    }),
+
     // q156: repetition signals from pure SQL — the graft_repetition TABLE
     // function over the q151/q152 fixture registered as a view, with the
     // six-threshold keep flag computed in the caller's SQL; shares q152's
@@ -3488,6 +3525,8 @@ object PipelineQueries {
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,
     "q165_sql_audio_neardup_index" -> q161OracleSql,
+    "q168_sql_image_neardup_index" -> q164OracleSql,
+    "q169_sql_video_neardup_index" -> q163OracleSql,
     "q166_sql_bm25_index" -> q94OracleSql,
     // q162: the q149-family recursive chain with the repetition thresholds
     // (q152's signal construction over the quality-filtered corpus — `tr` is

@@ -346,6 +346,60 @@ object EventPipeline {
     val idx = MediaIndex.load(spark, indexPath)
     require(idx.kind == "audio_energy_64",
       s"streamingAudioIngestDedup: index at $indexPath holds '${idx.kind}'")
+    val hashed = media.select(col("media_id"), col(tsCol).as("_ts"), col("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.map { case (id, ts, payload) =>
+        (id, ts, Multimodal.audioFingerprintOf(id, payload))
+      }).toDF("media_id", "_ts", "fp")
+    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming)
+  }
+
+  /** Streaming IMAGE ingest dedup — [[streamingAudioIngestDedup]]'s shape
+    * for an arriving image stream: each image decodes ONCE in-scan to its
+    * 64-bit perceptual hash (the hash FAMILY — ahash or dhash — comes from
+    * the index meta, so probes always hash the way the catalog was built),
+    * drops statelessly if any band bucket of the persisted [[graft.operators
+    * .MediaIndex]] holds a fingerprint within `maxHamming` (q164's
+    * near-dup criterion; the exact-L1 report stays a batch concern), then
+    * runs the watermark-bounded in-window band election for same-window
+    * duplicates. Output: (window_start, media_id) of surviving images. */
+  def streamingImageIngestDedup(media: DataFrame, indexPath: String,
+                                tsCol: String, watermark: String = "1 hour",
+                                windowLen: String = "10 minutes",
+                                maxHamming: Int = 3): DataFrame = {
+    import graft.operators.{MediaIndex, Multimodal}
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idx = MediaIndex.load(spark, indexPath)
+    val hashKind = idx.kind match {
+      case "image_ahash_64" => "ahash"
+      case "image_dhash_64" => "dhash"
+      case other => throw new IllegalArgumentException(
+        s"streamingImageIngestDedup: index at $indexPath holds '$other', not an image kind")
+    }
+    val hashed = media.select(col("media_id"), col(tsCol).as("_ts"), col("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
+        it.map { case (id, ts, payload) =>
+          (id, ts, Multimodal.imageFingerprintOf(id, payload, hashKind))
+        }
+      }.toDF("media_id", "_ts", "fp")
+    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming)
+  }
+
+  /** The shared scalar-fingerprint ingest-dedup chain behind the audio and
+    * image streaming twins: a stateless per-band stream-static lookup
+    * against the persisted index (drop iff any bucket holds a catalog
+    * fingerprint within `maxHamming`), then the [[streamingNearDupDedup]]
+    * two-stage min-id election for same-window duplicates.
+    *
+    * Recall contract: in-window banding only pairs items within one
+    * `windowLen` of each other; the index catches everything CATALOGED
+    * regardless of arrival time. State: one id per live band bucket. */
+  private def scalarFpIngestDedup(hashed: DataFrame, idxFps: DataFrame,
+                                  watermark: String, windowLen: String,
+                                  maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
     val seg = 64 / bands
@@ -356,16 +410,11 @@ object EventPipeline {
       shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
     // static per-band bucket table, one row per (band, key) with its indexed
     // fingerprints — materialized once, not re-derived per micro-batch
-    val idxBands = idx.fingerprints
+    val idxBands = idxFps
       .select(col("fp"), posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*)))
       .groupBy(col("pos").as("_bidx"), col("col").as("_bkey"))
       .agg(collect_list(col("fp")).as("_fps"))
       .localCheckpoint()
-    val hashed = media.select(col("media_id"), col(tsCol).as("_ts"), col("payload"))
-      .as[(Long, Timestamp, Array[Byte])]
-      .mapPartitions(_.map { case (id, ts, payload) =>
-        (id, ts, Multimodal.audioFingerprintOf(id, payload))
-      }).toDF("media_id", "_ts", "fp")
     // one stateless stream-static lookup per band; a probe drops iff ANY of
     // its buckets holds an indexed fingerprint within maxHamming
     val joined = (0 until bands).foldLeft(hashed) { (acc, b) =>
@@ -390,6 +439,115 @@ object EventPipeline {
       .groupBy(col("window"), col("winner"))
       .agg(count(lit(1)).as("n_won"))
       .filter(col("n_won") === bands)
+      .select(col("window.start").as("window_start"), col("winner").as("media_id"))
+  }
+
+  /** Streaming VIDEO ingest dedup — the modality-completing twin: each
+    * arriving clip demuxes ONCE in-scan to its sorted DISTINCT frame-aHash
+    * array ([[graft.operators.Multimodal.videoFrameFingerprintsOf]] —
+    * payload bytes never survive the projection), then:
+    *
+    *   1. index check, STATELESS and pinned to q163's batch arithmetic
+    *      ([[graft.operators.Multimodal.videoNearDupAgainstIndex]]): frame-
+    *      level band lookups against the persisted frame-hash index find
+    *      every candidate catalog clip with a frame within `maxHamming`
+    *      (pigeonhole — no recall loss), and the per-(probe, candidate)
+    *      directional containment verify runs per ROW over the two frame
+    *      arrays (the probe carries its own; the candidate's rides a
+    *      stream-static join) — a clip drops iff any catalog pair reaches
+    *      `minOverlap` on max(m_a/n_a, m_b/n_b), the exact batch criterion;
+    *   2. in-window election: surviving clips group by (window, frame-SET
+    *      signature) and collapse to the min id — same-window exact copies
+    *      and lossless re-encodes (identical distinct-frame-hash sets)
+    *      dedup; same-window NEAR-dups are out of contract (catalog each
+    *      accepted batch via appendToVideoIndex and the index catches them
+    *      next window).
+    *
+    * Zero-frame payloads drop (nothing to fingerprint or verify). Output:
+    * (window_start, media_id) of surviving clips. */
+  def streamingVideoIngestDedup(media: DataFrame, indexPath: String,
+                                tsCol: String, watermark: String = "1 hour",
+                                windowLen: String = "10 minutes",
+                                every: Int = 1, maxHamming: Int = 3,
+                                minOverlap: Double = 0.5): DataFrame = {
+    import graft.operators.{MediaIndex, Multimodal}
+    require(minOverlap > 0.0 && minOverlap <= 1.0, s"bad minOverlap=$minOverlap")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idx = MediaIndex.load(spark, indexPath)
+    require(idx.kind == "video_frame_ahash_64",
+      s"streamingVideoIngestDedup: index at $indexPath holds '${idx.kind}'")
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"64 bits not divisible by $bands bands")
+    val seg = 64 / bands
+    val segMask = if (seg == 64) -1L else (1L << seg) - 1
+    def segOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
+    // static side 1: per-band FRAME buckets carrying (id_b, fp) — the
+    // candidate generator (materialized once, not re-derived per batch)
+    val idxBands = idx.fingerprints
+      .select(col("media_id").as("id_b"), col("fp"),
+        posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*)))
+      .groupBy(col("pos").as("_bidx"), col("col").as("_bkey"))
+      .agg(collect_list(struct(col("id_b"), col("fp"))).as("_cands"))
+      .localCheckpoint()
+    // static side 2: per-clip distinct frame arrays — the verify side
+    val idxClips = idx.fingerprints
+      .groupBy(col("media_id").as("id_b"))
+      .agg(collect_list(col("fp")).as("_fps_b"))
+      .localCheckpoint()
+    val hashed = media.select(col("media_id"), col(tsCol).as("_ts"), col("payload"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
+        it.map { case (id, ts, payload) =>
+          (id, ts, Multimodal.videoFrameFingerprintsOf(id, payload, every))
+        }
+      }.toDF("media_id", "_ts", "fps")
+    // frame-level band probes; every frame row keeps the clip's full array
+    // so the verify below is a per-row HOF, not another aggregation
+    val frames = hashed.select(col("media_id"), col("_ts"), col("fps"),
+      explode(col("fps")).as("fp"))
+    val withCands = (0 until bands).foldLeft(frames) { (acc, b) =>
+      acc.join(idxBands.filter(col("_bidx") === b)
+        .select(col("_bkey").as(s"_k$b"), col("_cands").as(s"_c$b")),
+        segOf(col("fp"), b) === col(s"_k$b"), "left_outer")
+    }
+    // candidate catalog clips for THIS frame: ids whose bucketed frame is
+    // within maxHamming (null band joins drop out of the flatten)
+    val perBand = (0 until bands).map(b =>
+      transform(filter(col(s"_c$b"), s =>
+        bit_count(s.getField("fp").bitwiseXOR(col("fp"))) <= maxHamming),
+        s => s.getField("id_b")))
+    val candIds = array_distinct(flatten(
+      filter(array(perBand: _*), a => a.isNotNull)))
+    // per-(probe, candidate) containment verify, q163's exact arithmetic:
+    // m/n per side over the two distinct frame-hash arrays, IEEE divisions,
+    // greatest — all per-row (explode_outer keeps candidate-less frames so
+    // fresh clips survive with overlap 0)
+    val pairs = withCands
+      .select(col("media_id"), col("_ts"), col("fps"),
+        explode_outer(candIds).as("id_b"))
+      .join(idxClips, Seq("id_b"), "left_outer")
+    val mA = size(filter(col("fps"), fa =>
+      exists(col("_fps_b"), fb => bit_count(fa.bitwiseXOR(fb)) <= maxHamming)))
+    val mB = size(filter(col("_fps_b"), fb =>
+      exists(col("fps"), fa => bit_count(fa.bitwiseXOR(fb)) <= maxHamming)))
+    val overlap = when(col("id_b").isNull, lit(0.0)).otherwise(
+      greatest(mA.cast("double") / size(col("fps")).cast("double"),
+        mB.cast("double") / size(col("_fps_b")).cast("double")))
+    // survivors: no catalog pair reached minOverlap; then the in-window
+    // frame-SET election (sorted distinct array ⇒ hash equality iff set
+    // equality). Two chained stateful aggs, the audio shape.
+    pairs
+      .select(col("media_id"), col("_ts"), col("fps"), overlap.as("_ov"))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), col("media_id"),
+        xxhash64(col("fps")).as("_sig"))
+      .agg(max(col("_ov")).as("_mx"))
+      .filter(col("_mx") < minOverlap)
+      .groupBy(col("window"), col("_sig"))
+      .agg(min(col("media_id")).as("winner"))
       .select(col("window.start").as("window_start"), col("winner").as("media_id"))
   }
 

@@ -557,6 +557,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image ingest: cataloged re-encodes drop via the index, same-window copies via banding") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    // pairwise aHash distances far above maxHamming=3: half-split vs
+    // alternating columns vs alternating rows vs first-column-only
+    val cataloged = Array.tabulate(64)(p => if (p < 32) 10 else 200)
+    val freshA = Array.tabulate(64)(p => if (p % 2 == 0) 200 else 10)
+    val freshB = Array.tabulate(64)(p => if ((p / 8) % 2 == 0) 200 else 10)
+    val driver = Array.tabulate(64)(p => if (p % 8 == 0) 200 else 10)
+    def png(g: Array[Int]) = mm.encodePngGray(8, 8, g)
+    val idxPath = tempDir().resolve("stream_imgidx").toString
+    mm.saveImageIndex(mm.asMediaFrame(
+        Seq((1L, png(cataloged))).toDF("media_id", "payload"),
+        "media_id", "payload", "image"), idxPath)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = EventPipeline.streamingImageIngestDedup(
+        input.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+        watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("iid").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a re-encode of the CATALOGED image (drop via index) + fresh A
+      input.addData((102L, png(cataloged), ts(0)), (106L, png(freshA), ts(1)))
+      q.processAllAvailable()
+      // batch 2, same window: a copy of fresh A (in-window banding, min-id
+      // winner) + fresh B
+      input.addData((107L, png(freshA), ts(2)), (108L, png(freshB), ts(3)))
+      q.processAllAvailable()
+      input.addData((999L, png(driver), ts(120))) // closes window 0
+      q.processAllAvailable()
+      val got = spark.table("iid").collect().map(_.getLong(1)).toSet
+      assert(got === Set(106L, 108L),
+        s"index dup 102 and same-window copy 107 must drop, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming video ingest: cataloged re-encodes and trims drop via the index, same-window copies via the frame-set election") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    def frames(ids: Range, seed: Int): Seq[Array[Int]] =
+      ids.map(f => Array.tabulate(64)(p => (37 + 91 * p + p * p + 17 * f + seed) % 256))
+    def gif(ids: Range, seed: Int) = mm.encodeGifGray(frames(ids, seed), 8, 8)
+    val idxPath = tempDir().resolve("stream_vididx").toString
+    mm.saveVideoIndex(mm.asMediaFrame(
+        Seq((1L, gif(0 until 6, 0))).toDF("media_id", "payload"),
+        "media_id", "payload", "video"), idxPath)
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = EventPipeline.streamingVideoIngestDedup(
+        input.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+        watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("vid").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a re-encode of the CATALOGED clip and a TRIM of it (both
+      // drop via the index containment verify, q163's criterion) + fresh A
+      input.addData(
+        (102L, gif(0 until 6, 0), ts(0)),
+        (60L, gif(1 to 4, 0), ts(1)),
+        (106L, gif(0 until 6, 131), ts(2)))
+      q.processAllAvailable()
+      // batch 2, same window: a lossless re-encode of fresh A (identical
+      // distinct-frame-hash set → the election collapses to min id) + fresh B
+      input.addData(
+        (107L, gif(0 until 6, 131), ts(3)),
+        (108L, gif(0 until 6, 67), ts(4)))
+      q.processAllAvailable()
+      input.addData((999L, gif(0 until 6, 211), ts(120))) // closes window 0
+      q.processAllAvailable()
+      val got = spark.table("vid").collect().map(_.getLong(1)).toSet
+      assert(got === Set(106L, 108L),
+        s"index dups 102/60 and same-window copy 107 must drop, got $got")
+      // streaming verdicts pin to the batch operator: the same probes against
+      // the same index, batch-side
+      val batchDropped = mm.videoNearDupAgainstIndex(mm.asMediaFrame(
+          Seq((102L, gif(0 until 6, 0)), (60L, gif(1 to 4, 0)),
+            (106L, gif(0 until 6, 131)), (108L, gif(0 until 6, 67)))
+            .toDF("media_id", "payload"),
+          "media_id", "payload", "video"), idxPath)
+        .select("id_a").collect().map(_.getLong(0)).toSet
+      assert(batchDropped === Set(102L, 60L),
+        "batch twin must drop exactly the clips the stream dropped via the index")
+    } finally q.stop()
+  }
+
   test("streaming audio ingest at maxHamming=0: full-width band keys keep distinct clips apart") {
     // exact-dup mode has ONE band of all 64 bits: a zero segMask (the
     // 1L << 64 JVM wrap) would collapse every clip into one bucket and drop
