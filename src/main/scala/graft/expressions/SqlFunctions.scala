@@ -67,6 +67,14 @@ object SqlFunctions {
     ("bloom_might_contain", classOf[BloomMightContain], { exprs: Seq[Expression] =>
       arity("bloom_might_contain", 2, exprs)
       BloomMightContain(exprs(0), exprs(1)) }),
+    // graft_repetition_signals(text, topN, dupN): the six Gopher repetition
+    // signals as ONE fused native pass returning a 6-double struct — the
+    // scalar core behind the graft_repetition TVF.
+    ("graft_repetition_signals", classOf[RepetitionSignals], { exprs: Seq[Expression] =>
+      arity("graft_repetition_signals", 3, exprs)
+      RepetitionSignals(exprs(0),
+        intLit("graft_repetition_signals", "topN", exprs(1)),
+        intLit("graft_repetition_signals", "dupN", exprs(2))) }),
     // ── sketch aggregates (buffer shape from literal params) ─────────────────
     ("misra_gries", classOf[MisraGries], { exprs: Seq[Expression] =>
       arity("misra_gries", 2, exprs)

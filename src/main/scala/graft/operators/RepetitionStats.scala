@@ -157,13 +157,38 @@ object RepetitionStats {
     * on \n\n, tokens via [[TextFunctions.tokens]]. `topN`/`dupN` pick the
     * gram sizes for the top-gram and duplicated-gram character signals
     * (Gopher runs n=2..4 / n=5..10; the defaults are the strictest of each
-    * family). Entirely scan-side — no shuffle. See [[dupStartFlags]] for the
-    * lambda-body discipline every stage here follows: the top-gram flags put
-    * the argmax value in argument position via `array_repeat`, and the
-    * coverage expressions reference each flag column 2+ times so
-    * CollapseProject keeps them staged per row. */
+    * family). Entirely scan-side — no shuffle.
+    *
+    * Since round 15 the signals come from ONE fused native pass
+    * ([[graft.expressions.RepetitionSignals]] — the ~40-expression HOF chain
+    * re-walked the token array once per signal and was the suite's biggest
+    * per-row constant); [[withRepetitionSignalsHof]] keeps the HOF
+    * formulation as the spec-pinned reference the fused pass must match
+    * bit-for-bit. The struct column is referenced SIX times by the
+    * consuming projection, so CollapseProject keeps it staged — one
+    * evaluation per row. */
   def withRepetitionSignals(docs: DataFrame, textCol: String = "text",
                             topN: Int = 2, dupN: Int = 5): DataFrame = {
+    val sig = graft.expressions.RepetitionSignals.signals(col(textCol), topN, dupN)
+    docs.withColumn("_rs_sig", sig)
+      .withColumn("dup_line_frac", col("_rs_sig").getField("dup_line_frac"))
+      .withColumn("dup_line_char_frac", col("_rs_sig").getField("dup_line_char_frac"))
+      .withColumn("dup_para_frac", col("_rs_sig").getField("dup_para_frac"))
+      .withColumn("dup_para_char_frac", col("_rs_sig").getField("dup_para_char_frac"))
+      .withColumn("top_gram_char_frac", col("_rs_sig").getField("top_gram_char_frac"))
+      .withColumn("dup_gram_char_frac", col("_rs_sig").getField("dup_gram_char_frac"))
+      .drop("_rs_sig")
+  }
+
+  /** The pre-fusion higher-order-function formulation of
+    * [[withRepetitionSignals]] — kept as the independently-derived REFERENCE
+    * implementation the fused native pass is spec-pinned against (every
+    * stage follows the lambda-body discipline [[dupStartFlags]] documents:
+    * the argmax value rides argument position via `array_repeat`, flag
+    * columns are referenced 2+ times so CollapseProject keeps them
+    * staged). */
+  private[graft] def withRepetitionSignalsHof(docs: DataFrame, textCol: String = "text",
+                                              topN: Int = 2, dupN: Int = 5): DataFrame = {
     val staged = docs
       .withColumn("_rs_lines", split(col(textCol), "\n"))
       .withColumn("_rs_paras", split(col(textCol), "\n\n"))

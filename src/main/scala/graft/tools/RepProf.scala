@@ -61,7 +61,9 @@ object RepProf {
       RepetitionStats.coveredCharFraction(col("_toks"), col("_topflags"), 2)))
     time("dup coverage")(withFlags.select(
       RepetitionStats.coveredCharFraction(col("_toks"), col("_dupflags"), 5)))
-    time("full signals")(RepetitionStats.withRepetitionSignals(docs)
+    time("full signals (HOF)")(RepetitionStats.withRepetitionSignalsHof(docs)
+      .select(col("dup_gram_char_frac")))
+    time("full signals (fused)")(RepetitionStats.withRepetitionSignals(docs)
       .select(col("dup_gram_char_frac")))
     spark.stop()
   }

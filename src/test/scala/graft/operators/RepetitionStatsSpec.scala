@@ -56,6 +56,33 @@ class RepetitionStatsSpec extends SparkSpec {
       assert(m(id).getAs[Double](c) === 0.0, s"doc $id column $c")
   }
 
+  test("fused native signals ≡ the HOF reference chain, bit for bit") {
+    val docs = Seq(
+      (1L, "aa bb\naa bb\n\ncc dd e\nf"),
+      (2L, "a a a a a"),
+      (3L, "v w x y z m1 m2 m3 m4 v w x y z"),
+      (4L, ""), (5L, "word"),
+      (6L, "  leading  spaces\tand\ttabs\nmixed  trailing  "),
+      (7L, "Ünïcode Ünïcode grüße GRÜSSE\nÜnïcode Ünïcode"),
+      (8L, "x y x y x y x y\n\nx y x y\n\nx y"),
+      (9L, "b c a b b c a b"), // top-gram tie → lexicographically smallest
+      (10L, null.asInstanceOf[String]),
+      (11L, "one two three four five six seven one two three four five six"),
+      (12L, "\n\n\n"), (13L, "a\n\na\n\na"),
+      (14L, (1 to 30).map(i => s"line ${i % 3}").mkString("\n")))
+      .toDF("doc_id", "text")
+    val cols = Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_gram_char_frac", "dup_gram_char_frac")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id") +: cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(RepetitionStats.withRepetitionSignals(docs))
+      === rows(RepetitionStats.withRepetitionSignalsHof(docs)))
+    // non-default gram sizes exercise the coverage window arithmetic
+    assert(rows(RepetitionStats.withRepetitionSignals(docs, "text", topN = 3, dupN = 4))
+      === rows(RepetitionStats.withRepetitionSignalsHof(docs, "text", topN = 3, dupN = 4)))
+  }
+
   test("repetitionFilter keeps clean docs, drops spam, preserves schema") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
