@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer training (Kudo 2018, the SentencePiece
+  * regime) — the second tokenizer family a training-data pipeline wants
+  * beside BPE: instead of greedily merging pairs, fix a candidate piece
+  * vocabulary and fit piece probabilities so each word segments into its
+  * maximum-likelihood piece sequence.
+  *
+  * This is the HARD-EM (Viterbi-EM) variant, chosen deliberately so the
+  * whole loop is oracle-replayable:
+  *   - E-step: Viterbi-segment every distinct pre-token under the current
+  *     piece probabilities (ties broken to the LONGER piece — deterministic);
+  *   - M-step: piece count = Σ word-freq over its occurrences in the chosen
+  *     segmentations (exact integers); probabilities re-derive as
+  *     `cnt / total` (one IEEE division per piece).
+  * Soft-EM's forward-backward posteriors would accumulate doubles in
+  * engine-dependent order; hard-EM's only float arithmetic is the Viterbi
+  * value `α(i) · p(piece)` — a product chain in word order, bit-identical
+  * in any IEEE engine — and float COMPARISONS are exact, so the chosen
+  * segmentations (and therefore the trained integer counts) replay exactly
+  * in DuckDB's recursive-CTE DP.
+  *
+  * Scale shape (the [[BpeTrainer]] discipline): the ONE corpus-wide job is
+  * the pre-token frequency aggregation; seeding and every EM iteration run
+  * over the VOCABULARY-sized distinct-word table (Viterbi is a per-word scan
+  * with a broadcast piece map; counts are one map-side-combined sum). The
+  * model — a (piece, cnt) table bounded by `vocabSize` + the corpus
+  * alphabet — collects driver-side like the BPE merge table: it IS the
+  * tokenizer.
+  */
+object UnigramLm {
+
+  /** Candidate piece seeds: every substring (code points) of length ≤
+    * `maxPieceLen` of every distinct pre-token, weighted by word frequency ×
+    * occurrences; the vocabulary keeps the top `vocabSize` multi-character
+    * pieces (cnt desc, piece asc — binary order both engines) plus EVERY
+    * single-character piece (coverage: any word stays segmentable).
+    * Output: (piece, cnt). */
+  def seedVocab(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                vocabSize: Int): DataFrame =
+    seedFromFrequencies(BpeTrainer.preTokenFrequencies(docs, textCol),
+      maxPieceLen, vocabSize)
+
+  private def seedFromFrequencies(freqs: DataFrame, maxPieceLen: Int,
+                                  vocabSize: Int): DataFrame = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val subs = flatten(transform(
+      sequence(lit(1), length(col("pre_token"))),
+      i => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("pre_token")) - i + 1)),
+        l => col("pre_token").substr(i, l))))
+    val s0 = freqs.select(col("freq"), explode(subs).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val multi = s0.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+    multi.unionByName(s0.filter(length(col("piece")) === 1))
+  }
+
+  /** The full hard-EM training loop: seed, then `iters` ×
+    * (Viterbi-segment every distinct word → integer recount over the FIXED
+    * seeded piece set). Pieces the final segmentation never uses drop;
+    * output is the trained model table (piece, cnt), cnt > 0.
+    *
+    * During training a zero-count piece stays a CANDIDATE with probability
+    * 0.0 (the fixed-vocabulary convention): every corpus character is a
+    * seeded single-char piece, so each word always has a positive-probability
+    * path — its own previous segmentation — and Viterbi never strands. */
+  def trainUnigram(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   vocabSize: Int = 200, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-wide pass; everything after is vocabulary-sized
+    val freqs = BpeTrainer.preTokenFrequencies(docs, textCol).localCheckpoint()
+    // fixed piece set + running counts, model-sized by construction
+    var counts: Array[(String, Long)] =
+      seedFromFrequencies(freqs, maxPieceLen, vocabSize)
+        .as[(String, Long)].collect()
+    val pieceSet = counts.map(_._1)
+    for (_ <- 1 to iters) {
+      val segmented = segmentWords(freqs, counts, maxPieceLen)
+      val segCnt = segmented
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      counts = pieceSet.map(p => (p, segCnt.getOrElse(p, 0L)))
+    }
+    counts.filter(_._2 > 0L).toSeq.toDF("piece", "cnt")
+  }
+
+  /** Viterbi-segment each distinct word of `freqs` under `counts` —
+    * (word, freq, pieces). The piece map broadcasts with PRE-DIVIDED
+    * probabilities (`cnt / total`, one IEEE division per piece — the
+    * oracle's `pr` CTE), so the DP multiplies exactly like the replay. */
+  private def segmentWords(freqs: DataFrame, counts: Array[(String, Long)],
+                           maxPieceLen: Int): DataFrame = {
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    val total = counts.map(_._2).sum
+    val probs = new java.util.HashMap[String, java.lang.Double](counts.length * 2)
+    counts.foreach { case (p, c) =>
+      probs.put(p, c.toDouble / total.toDouble)
+    }
+    val bc = spark.sparkContext.broadcast(probs)
+    freqs.as[(String, Long)].mapPartitions { it =>
+      val m = bc.value
+      it.map { case (word, freq) => (word, freq, viterbi(word, m, maxPieceLen)) }
+    }.toDF("word", "freq", "pieces")
+  }
+
+  /** Maximum-likelihood segmentation of one word over the piece→probability
+    * map: α(0)=1, α(j) = max over piece lengths ℓ of α(j−ℓ)·p(piece), ties
+    * to the larger ℓ. Positions with no in-map piece ending there are
+    * unreachable (α = −1); a word whose END is unreachable returns EMPTY —
+    * only possible when the map lacks one of its single characters (never
+    * for the training corpus against its own model; an encode caller feeding
+    * alien text sees the word dropped, documented in [[encodeUnigram]]).
+    * Code-point indexing throughout (both engines' `substr`/`length`
+    * convention). */
+  private[operators] def viterbi(word: String,
+                                 probs: java.util.HashMap[String, java.lang.Double],
+                                 maxPieceLen: Int): Seq[String] = {
+    val cps = word.codePoints.toArray
+    val n = cps.length
+    val alpha = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var bestV = -1.0
+      var bestL = 0
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        if (alpha(j - l) >= 0.0) {
+          val p = probs.get(new String(cps, j - l, l))
+          if (p != null) {
+            val v = alpha(j - l) * p.doubleValue()
+            // >= : the later (longer) candidate wins exact ties — the
+            // replay's ORDER BY val DESC, len DESC
+            if (v >= bestV) { bestV = v; bestL = l }
+          }
+        }
+        l += 1
+      }
+      alpha(j) = if (bestL == 0) -1.0 else bestV
+      back(j) = bestL
+      j += 1
+    }
+    if (alpha(n) < 0.0) return Seq.empty
+    var pos = n
+    var acc = List.empty[String]
+    while (pos > 0) {
+      val l = back(pos)
+      acc = new String(cps, pos - l, l) :: acc
+      pos -= l
+    }
+    acc
+  }
+
+  /** Encode documents with a trained model table (piece, cnt): pre-tokenize,
+    * Viterbi-segment each pre-token under the model probabilities, emit
+    * (doc_id, pos, token) — pos 1-based across the document in pre-token
+    * order. Scan-shaped: the model broadcasts, one pass over the corpus.
+    * A pre-token containing a character the model cannot reach contributes
+    * no tokens (the training corpus against its own model always reaches —
+    * every piece of the final segmentation has a positive count). */
+  def encodeUnigram(docs: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = model.select(col("piece"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    require(counts.nonEmpty, "encodeUnigram: empty model table")
+    val total = counts.map(_._2).sum
+    val probs = new java.util.HashMap[String, java.lang.Double](counts.length * 2)
+    counts.foreach { case (p, c) => probs.put(p, c.toDouble / total.toDouble) }
+    val bc = spark.sparkContext.broadcast(probs)
+    val pts = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.bpeTokens(col(textCol)).as("_pts"))
+    pts.as[(Long, Seq[String])].mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id, words) =>
+        (id, words.flatMap(w => viterbi(w, m, maxPieceLen)))
+      }
+    }.toDF("doc_id", "_tokens")
+      .select(col("doc_id"), posexplode(col("_tokens")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+  }
+}

@@ -318,6 +318,118 @@ object PipelineQueries {
     roundCtes.mkString(",\n")
   }
 
+  /** q170/q171's geometry (unigram-LM tokenizer training). */
+  private val UnigramMaxPieceLen = 4
+  private val UnigramVocabSize = 60
+  private val UnigramIters = 2
+
+  /** One Viterbi pass as CTEs (no WITH): `pr$tag` piece probabilities (ONE
+    * IEEE division per piece over `vocabCte`'s counts), `dp$tag` the
+    * recursive forward DP over `wordsCte(word, freq)` — α carried as a
+    * 4-slot window, the chosen last-piece length appended per position,
+    * candidates joined against the vocabulary with ties to (val desc, len
+    * desc) — `bt$tag` the backtrace walk, `pieces$tag` the chosen
+    * segmentation pieces with their end positions. The LEFT LATERAL + the
+    * α-reachability guard make unreachable positions carry NULL (the
+    * encode-mode contract; training never hits it — every corpus character
+    * is a seeded single). */
+  private def unigramViterbiCtes(tag: String, vocabCte: String,
+                                 wordsCte: String): String = {
+    val maxLen = UnigramMaxPieceLen
+    val aPrev = "(CASE CAST(g.l AS INT) WHEN 1 THEN d.a0 WHEN 2 THEN d.a1 " +
+      "WHEN 3 THEN d.a2 ELSE d.a3 END)"
+    s"""pr$tag AS (SELECT piece,
+       |    CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM $vocabCte) AS pp
+       |  FROM $vocabCte),
+       |dp$tag AS (
+       |  SELECT word, freq, 0 AS j,
+       |    CAST(1.0 AS DOUBLE) AS a0, CAST(NULL AS DOUBLE) AS a1,
+       |    CAST(NULL AS DOUBLE) AS a2, CAST(NULL AS DOUBLE) AS a3,
+       |    CAST([] AS INT[]) AS bls
+       |  FROM $wordsCte
+       |  UNION ALL
+       |  SELECT d.word, d.freq, d.j + 1, c.val, d.a0, d.a1, d.a2,
+       |    list_append(d.bls, c.lx)
+       |  FROM dp$tag d LEFT JOIN LATERAL (
+       |    SELECT $aPrev * v.pp AS val, CAST(g.l AS INT) AS lx
+       |    FROM unnest(generate_series(1, least($maxLen, CAST(d.j AS BIGINT) + 1))) AS g(l)
+       |    JOIN pr$tag v
+       |      ON v.piece = substr(d.word, d.j + 2 - CAST(g.l AS INT), CAST(g.l AS INT))
+       |    WHERE $aPrev IS NOT NULL
+       |    ORDER BY val DESC, lx DESC LIMIT 1
+       |  ) c ON true
+       |  WHERE d.j < length(d.word)
+       |),
+       |bt$tag AS (
+       |  SELECT word, freq, CAST(length(word) AS INT) AS pos, bls
+       |  FROM dp$tag WHERE j = length(word)
+       |  UNION ALL
+       |  SELECT word, freq, pos - bls[pos], bls FROM bt$tag WHERE pos > 0
+       |),
+       |pieces$tag AS (SELECT word, freq, pos,
+       |    substr(word, pos - bls[pos] + 1, bls[pos]) AS piece
+       |  FROM bt$tag WHERE pos > 0)""".stripMargin
+  }
+
+  /** The unrolled hard-EM unigram-LM training replay (no WITH; callers say
+    * WITH RECURSIVE): pt/f pre-token frequencies, s0 substring seeds, c0 the
+    * FIXED vocabulary (top-V multi-char by (cnt desc, piece asc) + every
+    * single), then per iteration r the Viterbi pass over c{r−1}'s counts and
+    * the integer recount c$r over the fixed set (zeros kept — a zero-count
+    * piece stays a probability-0 candidate, the trainer's convention). */
+  private def unigramTrainCtes(iters: Int): String = {
+    val pre =
+      s"""pt AS (SELECT unnest(regexp_extract_all(text,
+         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
+         | FROM documents),
+         |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1),
+         |w AS (SELECT p AS word, freq FROM f),
+         |s0 AS (SELECT substr(p, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM f,
+         |    LATERAL unnest(generate_series(1, length(p))) AS gi(i),
+         |    LATERAL unnest(generate_series(1,
+         |      least($UnigramMaxPieceLen, length(p) - i + 1))) AS gl(l)
+         |  GROUP BY 1),
+         |c0 AS (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM s0 WHERE length(piece) >= 2) z WHERE rn <= $UnigramVocabSize
+         |  UNION ALL SELECT piece, cnt FROM s0 WHERE length(piece) = 1)""".stripMargin
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(unigramViterbiCtes(r.toString, s"c${r - 1}", "w"),
+        s"""c$r AS (SELECT v.piece,
+           |    CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
+           |  FROM c0 v LEFT JOIN (SELECT piece, sum(freq) AS cnt
+           |      FROM pieces$r GROUP BY 1) s
+           |    ON v.piece = s.piece)""".stripMargin)
+    }
+    (pre +: rounds).mkString(",\n")
+  }
+
+  private def unigramTrainOracleSql: String =
+    s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters)}
+       |SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0 ORDER BY piece""".stripMargin
+
+  /** q171: the encode replay — the training CTEs feed a final-model Viterbi
+    * pass (positive pieces only) over the %25 sample's distinct pre-tokens,
+    * joined back to per-document pre-token sequences in order. */
+  private def unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters)},
+       |vf AS (SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0),
+       |dtl AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |dpt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
+       |    tl[CAST(pi AS INT)] AS word
+       |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+       |we AS (SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM dpt),
+       |${unigramViterbiCtes("e", "vf", "we")},
+       |sq AS (SELECT d.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY d.pti, pe.pos) AS BIGINT) AS pos, pe.piece AS token
+       |  FROM dpt d JOIN piecese pe ON d.word = pe.word)
+       |SELECT doc_id, pos, token FROM sq ORDER BY doc_id, pos""".stripMargin
+
   /** The 256-row GPT-2 byte-to-symbol map as SQL VALUES `('HX', ch)` —
     * generated from [[graft.expressions.ByteRemap.byteToChar]], the exact
     * table the Scala expression walks (hex pairs uppercase, matching
@@ -1950,6 +2062,33 @@ object PipelineQueries {
         .toDF("cls", "pos", "weight").orderBy("cls", "pos")
     }),
 
+    // q170: UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, the SentencePiece
+    // regime) — the hard-EM variant: substring seeds over the pre-token
+    // frequency table, then per iteration a Viterbi segmentation of every
+    // distinct word (float work limited to the α·p product chain —
+    // bit-identical in any IEEE engine; ties to the longer piece) and an
+    // exact integer recount. The oracle replays seeding, both unrolled EM
+    // iterations (recursive-CTE forward DP + backtrace walk), and the
+    // final positive-count filter.
+    "q170_unigram_train" -> ((s, dir) =>
+      graft.operators.UnigramLm.trainUnigram(t(s, dir, "documents"), "text",
+          UnigramMaxPieceLen, UnigramVocabSize, UnigramIters)
+        .orderBy(col("piece"))),
+
+    // q171: UNIGRAM-LM ENCODE — Viterbi-encode the %25 document sample with
+    // the model q170 trains (train on the FULL corpus, the q136 discipline):
+    // per document, pre-tokens in order, each segmented under the final
+    // piece probabilities; (doc_id, pos, token), pos 1-based across the doc.
+    "q171_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.trainUnigram(docs, "text",
+        UnigramMaxPieceLen, UnigramVocabSize, UnigramIters)
+      graft.operators.UnigramLm.encodeUnigram(
+          docs.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+          model, UnigramMaxPieceLen)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // q162: THE FULL MODERN CURATION CHAIN, oracle-gated end to end —
     // curateForTraining with BOTH optional stages engaged: the Gopher
     // repetition gate (maxTopGramCharFrac tightened to 0.10, which drops
@@ -3521,6 +3660,8 @@ object PipelineQueries {
       multiclassPerceptronOracleSql(MulticlassDims, MulticlassIters),
     "q167_perceptron_multiclass_avg" ->
       multiclassAveragedOracleSql(MulticlassDims, MulticlassIters),
+    "q170_unigram_train" -> unigramTrainOracleSql,
+    "q171_unigram_encode" -> unigramEncodeOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def probsOf(pairs: (String, Double)*) = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    pairs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  test("viterbi picks the maximum-likelihood segmentation") {
+    val m = probsOf("ab" -> 0.4, "a" -> 0.2, "b" -> 0.2, "c" -> 0.2)
+    assert(UnigramLm.viterbi("abc", m, 4) === Seq("ab", "c"))
+    assert(UnigramLm.viterbi("abab", m, 4) === Seq("ab", "ab"))
+    // single path
+    assert(UnigramLm.viterbi("cc", m, 4) === Seq("c", "c"))
+  }
+
+  test("viterbi ties break to the longer piece") {
+    // "ab" direct = 0.25; "a"·"b" = 0.5·0.5 = 0.25 — an EXACT double tie;
+    // the longer last piece must win (the replay's ORDER BY val DESC, l DESC)
+    val m = probsOf("ab" -> 0.25, "a" -> 0.5, "b" -> 0.5)
+    assert(UnigramLm.viterbi("ab", m, 4) === Seq("ab"))
+  }
+
+  test("viterbi: unreachable interior positions route through longer pieces; unreachable end drops the word") {
+    // no "b" single: position after 'a' unreachable alone, but "bc" spans it
+    val m = probsOf("a" -> 0.4, "bc" -> 0.4, "c" -> 0.2)
+    assert(UnigramLm.viterbi("abc", m, 4) === Seq("a", "bc"))
+    // 'z' nowhere in the map: the whole word is unsegmentable → empty
+    assert(UnigramLm.viterbi("az", m, 4) === Seq.empty)
+  }
+
+  test("seedVocab: substring counts weighted by word frequency; singles always kept") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // pre-tokens: "ab", " ab", " cd" — each freq 1
+    val seeds = UnigramLm.seedVocab(docs, "text", maxPieceLen = 4, vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seeds("ab") === 2L, "substring of both 'ab' and ' ab'")
+    assert(seeds(" ab") === 1L)
+    // singles survive regardless of the multi-char top-k cut
+    for (ch <- Seq("a", "b", "c", "d", " ")) assert(seeds.contains(ch), s"single '$ch'")
+  }
+
+  test("training drives probability mass onto the repeated unit; encode round-trips the text") {
+    val docs = Seq(
+      (1L, "abababab abababab"),
+      (2L, "abababab cd"),
+      (3L, "abababab abababab abababab")).toDF("doc_id", "text")
+    val model = UnigramLm.trainUnigram(docs, "text", maxPieceLen = 4,
+      vocabSize = 20, iters = 2)
+    val counts = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ > 0L), "final model keeps positive counts only")
+    assert(counts.contains("abab"), s"the dominant 4-gram must survive, got $counts")
+    val enc = UnigramLm.encodeUnigram(docs, "doc_id", "text", model, maxPieceLen = 4)
+    // segmentation is LOSSLESS: pre-tokens tile the text, pieces tile each
+    // pre-token, so rejoining the tokens in order reproduces every document
+    val joined = enc.groupBy(col("doc_id"))
+      .agg(concat_ws("", collect_list(col("token"))).as("t"))
+    // collect_list order is the explode order within one partition-local doc
+    val back = enc.orderBy(col("doc_id"), col("pos"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).mkString).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === orig, "token concatenation must reproduce the documents")
+    assert(joined.count() === 3)
+  }
+
+  test("loud contracts: bad geometry and empty model") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      UnigramLm.trainUnigram(docs, "text", maxPieceLen = 1))
+    intercept[IllegalArgumentException](
+      UnigramLm.trainUnigram(docs, "text", iters = 0))
+    intercept[IllegalArgumentException](
+      UnigramLm.encodeUnigram(docs, "doc_id", "text",
+        Seq.empty[(String, Long)].toDF("piece", "cnt")))
+  }
+}
