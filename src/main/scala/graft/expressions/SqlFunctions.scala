@@ -418,6 +418,26 @@ object SqlFunctions {
           every = intLit(f, "every", exprs(1)),
           maxHamming = intLit(f, "maxHamming", exprs(2)),
           minOverlap = doubleLit(f, "minOverlap", exprs(3)))) }),
+      // graft_unigram_encode('trainTbl', 'encodeTbl', 'idCol', 'textCol',
+      // maxPieceLen, vocabSize, iters): the FULL unigram-LM tokenizer chain
+      // from a pure-SQL FROM clause — hard-EM training on trainTbl
+      // (substring seeds + Viterbi-EM, the q170 loop), then Viterbi-encode
+      // encodeTbl with the trained model; (doc_id, pos, token) rows,
+      // exactly q171's chain. Training runs at ANALYSIS time (the
+      // graft_bpe_encode caveat: iters Viterbi jobs).
+      ("graft_unigram_encode", graft.operators.UnigramLm.getClass,
+        { exprs: Seq[Expression] =>
+        arity("graft_unigram_encode", 7, exprs)
+        val f = "graft_unigram_encode"
+        val train = tbl(strLit(f, "trainTbl", exprs(0)))
+        val enc = tbl(strLit(f, "encodeTbl", exprs(1)))
+        val idCol = strLit(f, "idCol", exprs(2))
+        val textCol = strLit(f, "textCol", exprs(3))
+        val maxLen = intLit(f, "maxPieceLen", exprs(4))
+        val ul = graft.operators.UnigramLm
+        val model = ul.trainUnigram(train, textCol, maxLen,
+          intLit(f, "vocabSize", exprs(5)), intLit(f, "iters", exprs(6)))
+        plan(ul.encodeUnigram(enc, idCol, textCol, model, maxLen)) }),
       // graft_bigram_oov('trainTbl', 'scoreTbl', 'idCol', 'textCol',
       // minCount): the bigram-LM OOV novelty filter from a pure-SQL FROM
       // clause — trains the count table on trainTbl, scores scoreTbl

@@ -2089,6 +2089,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q172: unigram-LM encode from PURE SQL — the graft_unigram_encode
+    // TABLE function over the q170/q171 construction (train view = full
+    // corpus, encode view = the %25 sample); shares q171's oracle verbatim.
+    "q172_sql_unigram_encode" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      docs.createOrReplaceTempView("graft_unigram_train")
+      docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .createOrReplaceTempView("graft_unigram_probe")
+      s.sql(s"""SELECT doc_id, pos, token
+          FROM graft_unigram_encode('graft_unigram_train', 'graft_unigram_probe',
+            'doc_id', 'text', $UnigramMaxPieceLen, $UnigramVocabSize, $UnigramIters)
+          ORDER BY doc_id, pos""")
+    }),
+
     // q162: THE FULL MODERN CURATION CHAIN, oracle-gated end to end —
     // curateForTraining with BOTH optional stages engaged: the Gopher
     // repetition gate (maxTopGramCharFrac tightened to 0.10, which drops
@@ -3662,6 +3677,7 @@ object PipelineQueries {
       multiclassAveragedOracleSql(MulticlassDims, MulticlassIters),
     "q170_unigram_train" -> unigramTrainOracleSql,
     "q171_unigram_encode" -> unigramEncodeOracleSql,
+    "q172_sql_unigram_encode" -> unigramEncodeOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,
