@@ -166,12 +166,24 @@ object UnigramLm {
   /** Encode documents with a trained model table (piece, cnt): pre-tokenize,
     * Viterbi-segment each pre-token under the model probabilities, emit
     * (doc_id, pos, token) — pos 1-based across the document in pre-token
-    * order. Scan-shaped: the model broadcasts, one pass over the corpus.
-    * A pre-token containing a character the model cannot reach contributes
-    * no tokens (the training corpus against its own model always reaches —
-    * every piece of the final segmentation has a positive count). */
+    * order. A posexplode view over [[encodeUnigramTokens]]; use the array
+    * form directly when the consumer wants per-document sequences (packing,
+    * counting) — at corpus scale the explode is the expensive half. */
   def encodeUnigram(docs: DataFrame, idCol: String, textCol: String,
-                    model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+                    model: DataFrame, maxPieceLen: Int = 4): DataFrame =
+    encodeUnigramTokens(docs, idCol, textCol, model, maxPieceLen)
+      .select(col("doc_id"), posexplode(col("tokens")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+
+  /** The array form of [[encodeUnigram]]: (doc_id, tokens) — one row per
+    * document, tokens in pre-token order. Scan-shaped: the model broadcasts,
+    * one pass over the corpus. A pre-token containing a character the model
+    * cannot reach contributes no tokens (the training corpus against its
+    * own model always reaches — every piece of the final segmentation has a
+    * positive count). */
+  def encodeUnigramTokens(docs: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = model.select(col("piece"), col("cnt").cast("long"))
@@ -185,12 +197,91 @@ object UnigramLm {
       TextFunctions.bpeTokens(col(textCol)).as("_pts"))
     pts.as[(Long, Seq[String])].mapPartitions { it =>
       val m = bc.value
+      // Zipf memo (the BpeCodec discipline): distinct pre-tokens are tiny
+      // relative to corpus occurrences, so per-partition segmentation is
+      // almost always a cache hit; cleared (not evicted) at a cap a
+      // natural-language vocabulary never reaches
+      val memo = new java.util.HashMap[String, Seq[String]]()
+      val cap = 1 << 20
       it.map { case (id, words) =>
-        (id, words.flatMap(w => viterbi(w, m, maxPieceLen)))
+        (id, words.flatMap { w =>
+          var s = memo.get(w)
+          if (s == null) {
+            s = viterbi(w, m, maxPieceLen)
+            if (memo.size > cap) memo.clear()
+            memo.put(w, s)
+          }
+          s
+        })
       }
-    }.toDF("doc_id", "_tokens")
-      .select(col("doc_id"), posexplode(col("_tokens")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("token"))
+    }.toDF("doc_id", "tokens")
+  }
+
+  /** UTF-8 unsigned byte order — binary string order on both engines. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The model's piece→id table: ids 0..|model|−1 in ascending binary piece
+    * order — the deterministic convention (the oracle replays it with
+    * `row_number() OVER (ORDER BY piece) − 1`). */
+  def vocabIds(model: DataFrame): DataFrame = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    model.select(col("piece")).as[String].collect().sortWith(utf8Less)
+      .zipWithIndex.toSeq.toDF("piece", "id")
+      .select(col("piece"), col("id").cast("int").as("id"))
+  }
+
+  /** The token-ID form of [[encodeUnigramTokens]]: (doc_id, token_ids
+    * array<int>) with ids from [[vocabIds]] — what a training pipeline
+    * actually packs. Same broadcast + per-partition Zipf memo; integer
+    * output keeps the corpus-wide pass cheap (strings are the expensive
+    * half of the string surface at scale). */
+  def encodeUnigramToIds(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = model.select(col("piece"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    require(counts.nonEmpty, "encodeUnigramToIds: empty model table")
+    val total = counts.map(_._2).sum
+    val probs = new java.util.HashMap[String, java.lang.Double](counts.length * 2)
+    counts.foreach { case (p, c) => probs.put(p, c.toDouble / total.toDouble) }
+    val ids = new java.util.HashMap[String, Integer](counts.length * 2)
+    counts.map(_._1).sortWith(utf8Less).zipWithIndex
+      .foreach { case (p, i) => ids.put(p, i) }
+    val bcP = spark.sparkContext.broadcast(probs)
+    val bcI = spark.sparkContext.broadcast(ids)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.bpeTokens(col(textCol)).as("_pts"))
+      .as[(Long, Seq[String])].mapPartitions { it =>
+        val m = bcP.value
+        val idm = bcI.value
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        val cap = 1 << 20
+        it.map { case (id, words) =>
+          val out = Array.newBuilder[Int]
+          words.foreach { w =>
+            var s = memo.get(w)
+            if (s == null) {
+              s = viterbi(w, m, maxPieceLen).map(idm.get(_).intValue()).toArray
+              if (memo.size > cap) memo.clear()
+              memo.put(w, s)
+            }
+            out ++= s
+          }
+          (id, out.result())
+        }
+      }.toDF("doc_id", "token_ids")
   }
 }

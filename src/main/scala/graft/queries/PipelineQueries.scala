@@ -410,11 +410,13 @@ object PipelineQueries {
     s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters)}
        |SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0 ORDER BY piece""".stripMargin
 
-  /** q171: the encode replay — the training CTEs feed a final-model Viterbi
+  /** The encode replay's CTE body (no WITH; ends in `sq(doc_id, pos, token)`
+    * and `vf(piece, cnt)`): the training CTEs feed a final-model Viterbi
     * pass (positive pieces only) over the %25 sample's distinct pre-tokens,
-    * joined back to per-document pre-token sequences in order. */
-  private def unigramEncodeOracleSql: String =
-    s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters)},
+    * joined back to per-document pre-token sequences in order. Shared by
+    * the q171/q172 string surface and the q173 id surface. */
+  private def unigramEncodeCtes: String =
+    s"""${unigramTrainCtes(UnigramIters)},
        |vf AS (SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0),
        |dtl AS (SELECT doc_id, regexp_extract_all(text,
        |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
@@ -427,8 +429,21 @@ object PipelineQueries {
        |sq AS (SELECT d.doc_id,
        |    CAST(row_number() OVER (PARTITION BY d.doc_id
        |      ORDER BY d.pti, pe.pos) AS BIGINT) AS pos, pe.piece AS token
-       |  FROM dpt d JOIN piecese pe ON d.word = pe.word)
+       |  FROM dpt d JOIN piecese pe ON d.word = pe.word)""".stripMargin
+
+  private def unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE $unigramEncodeCtes
        |SELECT doc_id, pos, token FROM sq ORDER BY doc_id, pos""".stripMargin
+
+  /** q173: the id surface — ids 0..|model|−1 in ascending binary piece
+    * order (the [[graft.operators.UnigramLm.vocabIds]] convention). */
+  private def unigramEncodeIdsOracleSql: String =
+    s"""WITH RECURSIVE $unigramEncodeCtes,
+       |vid AS (SELECT piece,
+       |    CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS id FROM vf)
+       |SELECT q.doc_id, q.pos, v.id AS token_id
+       |FROM sq q JOIN vid v ON q.token = v.piece
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** The 256-row GPT-2 byte-to-symbol map as SQL VALUES `('HX', ch)` —
     * generated from [[graft.expressions.ByteRemap.byteToChar]], the exact
@@ -2089,6 +2104,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q173: unigram-LM encode to TOKEN IDS — the q171 segmentation priced
+    // through the vocabIds table (ascending binary piece order, the packing
+    // pipelines' integer surface); per-doc id arrays exploded to
+    // (doc_id, pos, token_id).
+    "q173_unigram_encode_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.trainUnigram(docs, "text",
+        UnigramMaxPieceLen, UnigramVocabSize, UnigramIters)
+      graft.operators.UnigramLm.encodeUnigramToIds(
+          docs.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+          model, UnigramMaxPieceLen)
+        .select(col("doc_id"), posexplode(col("token_ids")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // q172: unigram-LM encode from PURE SQL — the graft_unigram_encode
     // TABLE function over the q170/q171 construction (train view = full
     // corpus, encode view = the %25 sample); shares q171's oracle verbatim.
@@ -3678,6 +3710,7 @@ object PipelineQueries {
     "q170_unigram_train" -> unigramTrainOracleSql,
     "q171_unigram_encode" -> unigramEncodeOracleSql,
     "q172_sql_unigram_encode" -> unigramEncodeOracleSql,
+    "q173_unigram_encode_ids" -> unigramEncodeIdsOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,

@@ -551,6 +551,30 @@ object EventPipeline {
       .select(col("window.start").as("window_start"), col("winner").as("media_id"))
   }
 
+  /** Streaming BPE encode — [[graft.operators.BpeTrainer.encodeToIds]]
+    * applied to an ARRIVING document stream: the trained merges + vocabulary
+    * ride the [[graft.expressions.BpeApply]] codegen reference object, the
+    * encode is a pure scan-side projection (no shuffle, no state, any
+    * output mode), so the identical plan runs on a stream and is
+    * token-identical to the batch encode (spec-pinned across
+    * micro-batches). Train on the accumulated BATCH corpus; encode the
+    * stream. */
+  def streamingBpeEncode(docs: DataFrame, textCol: String,
+                         merges: DataFrame, vocabDf: DataFrame,
+                         byteLevel: Boolean = false): DataFrame =
+    graft.operators.BpeTrainer.encodeToIds(docs, textCol, merges, vocabDf,
+      byteLevel = byteLevel)
+
+  /** Streaming unigram-LM encode — [[graft.operators.UnigramLm
+    * .encodeUnigramToIds]] on an ARRIVING stream: the trained model
+    * broadcasts, the per-partition Viterbi (with its Zipf segmentation
+    * memo) is a stateless mapPartitions — verdict-identical to the batch
+    * encode (spec-pinned across micro-batches). */
+  def streamingUnigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                             model: DataFrame, maxPieceLen: Int = 4): DataFrame =
+    graft.operators.UnigramLm.encodeUnigramToIds(docs, idCol, textCol,
+      model, maxPieceLen)
+
   def streamingNearDupDedup(docs: DataFrame, idCol: String, textCol: String,
                             tsCol: String, watermark: String = "1 hour",
                             windowLen: String = "10 minutes",

@@ -83,6 +83,35 @@ class RepetitionStatsSpec extends SparkSpec {
       === rows(RepetitionStats.withRepetitionSignalsHof(docs, "text", topN = 3, dupN = 4)))
   }
 
+  test("fused ≡ HOF on a seeded random corpus (unicode, whitespace runs, planted repeats)") {
+    val rnd = new scala.util.Random(4215)
+    val words = Seq("alpha", "Beta", "GAMMA", "δéλτα", "ε", "ζη", "θ",
+      "grüße", "Ünïcode", "x1", "22", "a-b", "...", "日本", "'s")
+    val seps = Seq(" ", "  ", "\t", " \t ", "\n", "\n\n", " \n ", " ")
+    def doc(): String = {
+      val sb = new StringBuilder
+      val phrase = (1 to (1 + rnd.nextInt(3)))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (0 until (2 + rnd.nextInt(40))).foreach { _ =>
+        // planted repetition: re-emit the phrase ~1/4 of the time
+        sb.append(if (rnd.nextInt(4) == 0) phrase
+          else words(rnd.nextInt(words.length)))
+        sb.append(seps(rnd.nextInt(seps.length)))
+      }
+      sb.toString
+    }
+    val docs = (1L to 120L).map(i => (i, doc())).toDF("doc_id", "text")
+    val cols = Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_gram_char_frac", "dup_gram_char_frac")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id") +: cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    for ((topN, dupN) <- Seq((2, 5), (3, 4), (1, 2)))
+      assert(rows(RepetitionStats.withRepetitionSignals(docs, "text", topN, dupN))
+        === rows(RepetitionStats.withRepetitionSignalsHof(docs, "text", topN, dupN)),
+        s"fused diverged from the HOF reference at topN=$topN dupN=$dupN")
+  }
+
   test("repetitionFilter keeps clean docs, drops spam, preserves schema") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

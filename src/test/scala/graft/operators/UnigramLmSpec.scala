@@ -70,6 +70,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(joined.count() === 3)
   }
 
+  test("encodeUnigramToIds prices the exact q171 segmentation through vocabIds") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("doc_id", "text")
+    val model = UnigramLm.trainUnigram(docs, "text", maxPieceLen = 4,
+      vocabSize = 10, iters = 2)
+    val ids = UnigramLm.vocabIds(model).collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    assert(ids.keys.toSeq.sorted === (0 until ids.size), "dense 0-based ids")
+    // ids sort ascending by piece in binary order
+    assert(ids.toSeq.sortBy(_._1).map(_._2) === ids.values.toSeq.sorted)
+    val viaIds = UnigramLm.encodeUnigramToIds(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Int](1).map(ids)).toMap
+    val viaStrings = UnigramLm.encodeUnigramTokens(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaIds === viaStrings, "id decode must reproduce the string surface")
+  }
+
   test("loud contracts: bad geometry and empty model") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](

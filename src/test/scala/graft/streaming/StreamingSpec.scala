@@ -557,6 +557,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tokenizer encode (BPE + unigram): token-identical to the batch encode") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "cd abab abab abab"))
+      .toDF("doc_id", "text")
+    val bpe = graft.operators.BpeTrainer
+    val merges = bpe.trainMerges(corpus, "text", rounds = 3)
+    val voc = bpe.vocab(corpus, "text", merges)
+    val uni = graft.operators.UnigramLm
+    val model = uni.trainUnigram(corpus, "text", maxPieceLen = 4,
+      vocabSize = 10, iters = 2)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val qb = EventPipeline.streamingBpeEncode(docs, "text", merges, voc)
+      .select($"doc_id", $"token_ids")
+      .writeStream.format("memory").queryName("senc_b")
+      .outputMode(OutputMode.Append()).start()
+    val qu = EventPipeline.streamingUnigramEncode(docs, "doc_id", "text", model)
+      .writeStream.format("memory").queryName("senc_u")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2): _*)
+      qb.processAllAvailable(); qu.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      qb.processAllAvailable(); qu.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(toMap(spark.table("senc_b"))
+        === toMap(bpe.encodeToIds(corpus, "text", merges, voc)
+          .select($"doc_id", $"token_ids")),
+        "streaming BPE encode must equal the batch encode")
+      assert(toMap(spark.table("senc_u"))
+        === toMap(uni.encodeUnigramToIds(corpus, "doc_id", "text", model)),
+        "streaming unigram encode must equal the batch encode")
+    } finally { qb.stop(); qu.stop() }
+  }
+
   test("streaming image ingest: cataloged re-encodes drop via the index, same-window copies via banding") {
     implicit val sc = spark.sqlContext
     val mm = graft.operators.Multimodal
