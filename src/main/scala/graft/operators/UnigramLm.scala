@@ -62,33 +62,48 @@ object UnigramLm {
   }
 
   /** The full hard-EM training loop: seed, then `iters` ×
-    * (Viterbi-segment every distinct word → integer recount over the FIXED
-    * seeded piece set). Pieces the final segmentation never uses drop;
-    * output is the trained model table (piece, cnt), cnt > 0.
+    * (Viterbi-segment every distinct word → integer recount over the active
+    * piece set). Pieces the final segmentation never uses drop; output is
+    * the trained model table (piece, cnt), cnt > 0.
     *
     * During training a zero-count piece stays a CANDIDATE with probability
     * 0.0 (the fixed-vocabulary convention): every corpus character is a
     * seeded single-char piece, so each word always has a positive-probability
-    * path — its own previous segmentation — and Viterbi never strands. */
+    * path — its own previous segmentation — and Viterbi never strands.
+    *
+    * `pruneTo` engages the SentencePiece shrink loop: BETWEEN consecutive
+    * EM iterations the active set shrinks to every single character plus the
+    * top `pruneTo` multi-character pieces by (cnt desc, piece asc — binary
+    * order both engines), and the next iteration re-fits the survivors.
+    * Without it the seeded set stays fixed (the q170 contract). */
   def trainUnigram(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
-                   vocabSize: Int = 200, iters: Int = 2): DataFrame = {
+                   vocabSize: Int = 200, iters: Int = 2,
+                   pruneTo: Option[Int] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    pruneTo.foreach(k => require(k >= 1, s"pruneTo must be >= 1, got $k"))
     val spark = docs.sparkSession
     import spark.implicits._
     // the one corpus-wide pass; everything after is vocabulary-sized
     val freqs = BpeTrainer.preTokenFrequencies(docs, textCol).localCheckpoint()
-    // fixed piece set + running counts, model-sized by construction
+    // active piece set + running counts, model-sized by construction
     var counts: Array[(String, Long)] =
       seedFromFrequencies(freqs, maxPieceLen, vocabSize)
         .as[(String, Long)].collect()
-    val pieceSet = counts.map(_._1)
-    for (_ <- 1 to iters) {
+    var r = 1
+    while (r <= iters) {
       val segmented = segmentWords(freqs, counts, maxPieceLen)
       val segCnt = segmented
         .select(explode(col("pieces")).as("piece"), col("freq"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
         .as[(String, Long)].collect().toMap
-      counts = pieceSet.map(p => (p, segCnt.getOrElse(p, 0L)))
+      counts = counts.map { case (p, _) => (p, segCnt.getOrElse(p, 0L)) }
+      if (r < iters) pruneTo.foreach { k =>
+        val (singles, multi) = counts.partition(pc =>
+          pc._1.codePointCount(0, pc._1.length) == 1)
+        counts = multi.sortWith((a, b) =>
+          a._2 > b._2 || (a._2 == b._2 && utf8Less(a._1, b._1))).take(k) ++ singles
+      }
+      r += 1
     }
     counts.filter(_._2 > 0L).toSeq.toDF("piece", "cnt")
   }

@@ -322,6 +322,8 @@ object PipelineQueries {
   private val UnigramMaxPieceLen = 4
   private val UnigramVocabSize = 60
   private val UnigramIters = 2
+  /** q174's shrink target (multi-char pieces kept between EM iterations). */
+  private val UnigramPruneTo = 20
 
   /** One Viterbi pass as CTEs (no WITH): `pr$tag` piece probabilities (ONE
     * IEEE division per piece over `vocabCte`'s counts), `dp$tag` the
@@ -377,7 +379,7 @@ object PipelineQueries {
     * single), then per iteration r the Viterbi pass over c{r−1}'s counts and
     * the integer recount c$r over the fixed set (zeros kept — a zero-count
     * piece stays a probability-0 candidate, the trainer's convention). */
-  private def unigramTrainCtes(iters: Int): String = {
+  private def unigramTrainCtes(iters: Int, pruneTo: Option[Int] = None): String = {
     val pre =
       s"""pt AS (SELECT unnest(regexp_extract_all(text,
          |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
@@ -395,19 +397,38 @@ object PipelineQueries {
          |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
          |    FROM s0 WHERE length(piece) >= 2) z WHERE rn <= $UnigramVocabSize
          |  UNION ALL SELECT piece, cnt FROM s0 WHERE length(piece) = 1)""".stripMargin
+    // the ACTIVE candidate set feeding iteration r+1: the recount itself
+    // when unpruned (same pieces as c0 — only the counts move), the shrunk
+    // a$r when the SentencePiece prune loop is engaged between iterations
+    def active(r: Int): String =
+      if (r == 0) "c0"
+      else if (pruneTo.isDefined && r < iters) s"a$r" else s"c$r"
     val rounds = (1 to iters).flatMap { r =>
-      Seq(unigramViterbiCtes(r.toString, s"c${r - 1}", "w"),
+      val recount =
         s"""c$r AS (SELECT v.piece,
            |    CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
-           |  FROM c0 v LEFT JOIN (SELECT piece, sum(freq) AS cnt
+           |  FROM ${active(r - 1)} v LEFT JOIN (SELECT piece, sum(freq) AS cnt
            |      FROM pieces$r GROUP BY 1) s
-           |    ON v.piece = s.piece)""".stripMargin)
+           |    ON v.piece = s.piece)""".stripMargin
+      val prune = if (pruneTo.isDefined && r < iters) Seq(
+        s"""a$r AS (SELECT piece, cnt FROM (
+           |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+           |    FROM c$r WHERE length(piece) >= 2) z WHERE rn <= ${pruneTo.get}
+           |  UNION ALL SELECT piece, cnt FROM c$r WHERE length(piece) = 1)""".stripMargin)
+        else Nil
+      Seq(unigramViterbiCtes(r.toString, active(r - 1), "w"), recount) ++ prune
     }
     (pre +: rounds).mkString(",\n")
   }
 
   private def unigramTrainOracleSql: String =
     s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters)}
+       |SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0 ORDER BY piece""".stripMargin
+
+  /** q174: the pruned-training replay — the q170 chain with the shrink CTE
+    * between iterations (singles + top-`UnigramPruneTo` multi-char). */
+  private def unigramPrunedTrainOracleSql: String =
+    s"""WITH RECURSIVE ${unigramTrainCtes(UnigramIters, Some(UnigramPruneTo))}
        |SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0 ORDER BY piece""".stripMargin
 
   /** The encode replay's CTE body (no WITH; ends in `sq(doc_id, pos, token)`
@@ -2104,6 +2125,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q174: unigram-LM training with the SENTENCEPIECE SHRINK LOOP — seed
+    // wide (the q170 geometry), then between the two EM iterations prune
+    // the active set to every single character plus the top-20 multi-char
+    // pieces by count; the second iteration re-fits the survivors. The
+    // oracle replays both unrolled iterations with the prune CTE between.
+    "q174_unigram_train_pruned" -> ((s, dir) =>
+      graft.operators.UnigramLm.trainUnigram(t(s, dir, "documents"), "text",
+          UnigramMaxPieceLen, UnigramVocabSize, UnigramIters,
+          pruneTo = Some(UnigramPruneTo))
+        .orderBy(col("piece"))),
+
     // q173: unigram-LM encode to TOKEN IDS — the q171 segmentation priced
     // through the vocabIds table (ascending binary piece order, the packing
     // pipelines' integer surface); per-doc id arrays exploded to
@@ -3711,6 +3743,7 @@ object PipelineQueries {
     "q171_unigram_encode" -> unigramEncodeOracleSql,
     "q172_sql_unigram_encode" -> unigramEncodeOracleSql,
     "q173_unigram_encode_ids" -> unigramEncodeIdsOracleSql,
+    "q174_unigram_train_pruned" -> unigramPrunedTrainOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,

@@ -87,6 +87,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(viaIds === viaStrings, "id decode must reproduce the string surface")
   }
 
+  test("pruneTo shrinks the active set between iterations; singles always survive") {
+    val docs = Seq(
+      (1L, "abababab abababab"), (2L, "abababab cd cd"),
+      (3L, "efef efef gh"), (4L, "abababab efef")).toDF("doc_id", "text")
+    val pruned = UnigramLm.trainUnigram(docs, "text", maxPieceLen = 4,
+      vocabSize = 30, iters = 2, pruneTo = Some(2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multi = pruned.keys.filter(p => p.codePointCount(0, p.length) > 1)
+    assert(multi.size <= 2, s"at most pruneTo multi-char pieces survive, got $multi")
+    assert(pruned.contains("abab"), s"the dominant unit must survive the prune: $pruned")
+    // prune=None stays the fixed-set q170 contract: more multi pieces live
+    val full = UnigramLm.trainUnigram(docs, "text", maxPieceLen = 4,
+      vocabSize = 30, iters = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(multi.toSet.subsetOf(full), "pruned survivors come from the seeded set")
+  }
+
   test("loud contracts: bad geometry and empty model") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
