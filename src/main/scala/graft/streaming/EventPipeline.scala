@@ -335,7 +335,13 @@ object EventPipeline {
     * Recall contract (inherited): in-window banding only pairs clips within
     * one `windowLen` of each other; the index catches everything CATALOGED
     * regardless of arrival time. State: one id per live band bucket.
-    * Output: (window_start, media_id) of surviving clips. */
+    * Output: (window_start, media_id) of surviving clips.
+    *
+    * Crawl catalog loop: the committed index is SNAPSHOTTED at query start
+    * (the band bucket table materializes once, not per micro-batch) —
+    * appending accepted survivors (`appendToAudioIndex`, under the writer
+    * lease) becomes visible at the next query (re)start, the normal crawl
+    * cadence; spec-pinned. */
   def streamingAudioIngestDedup(media: DataFrame, indexPath: String,
                                 tsCol: String, watermark: String = "1 hour",
                                 windowLen: String = "10 minutes",

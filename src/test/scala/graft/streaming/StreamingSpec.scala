@@ -677,6 +677,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawl catalog loop: appended survivors drop their re-encodes after query restart") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    val cataloged = Array.tabulate(2048)(t => (((t * 37 + 11) % 1000) + 100).toShort)
+    val freshA = Array.tabulate(2048)(t => (((t * t * 91 + 13 * t + 5) % 2000) - 1000).toShort)
+    val freshB = Array.tabulate(2048)(t => (((t * 131 + 7) % 4000) - 2000).toShort)
+    val driver = Array.tabulate(2048)(t => (((t * 997 + 3) % 3000) - 1500).toShort)
+    def wav(s: Array[Short]) = mm.encodeWav(s, 8000)
+    def media(rows: (Long, Array[Byte])*) = mm.asMediaFrame(
+      rows.toSeq.toDF("media_id", "payload"), "media_id", "payload", "audio")
+    val idxPath = tempDir().resolve("crawl_loop_idx").toString
+    mm.saveAudioIndex(media(1L -> wav(cataloged)), idxPath)
+    // crawl round 1: fresh clip A survives the ingest
+    val in1 = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q1 = EventPipeline.streamingAudioIngestDedup(
+        in1.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+        watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("crawl1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in1.addData((106L, wav(freshA), ts(0)))
+      q1.processAllAvailable()
+      in1.addData((999L, wav(driver), ts(120)))
+      q1.processAllAvailable()
+      assert(spark.table("crawl1").collect().map(_.getLong(1)).toSet === Set(106L))
+    } finally q1.stop()
+    // the accept step: catalog round 1's survivor (writer-lease append)
+    mm.appendToAudioIndex(media(106L -> wav(freshA)), idxPath)
+    // crawl round 2: the RESTARTED query snapshots the grown index — a
+    // re-encode of round 1's survivor now drops via the index; fresh B lives
+    val in2 = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q2 = EventPipeline.streamingAudioIngestDedup(
+        in2.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+        watermark = "30 minutes", windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("crawl2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData((206L, wav(freshA), ts(200)), (208L, wav(freshB), ts(201)))
+      q2.processAllAvailable()
+      in2.addData((998L, wav(driver), ts(400)))
+      q2.processAllAvailable()
+      val got = spark.table("crawl2").collect().map(_.getLong(1)).toSet
+      assert(got === Set(208L),
+        s"cataloged survivor's re-encode must drop after restart, got $got")
+    } finally q2.stop()
+  }
+
   test("streaming audio ingest at maxHamming=0: full-width band keys keep distinct clips apart") {
     // exact-dup mode has ONE band of all 64 bits: a zero segMask (the
     // 1L << 64 JVM wrap) would collapse every clip into one bucket and drop
