@@ -93,18 +93,8 @@ object RepetitionSignals {
 
   /** UTF-8 unsigned byte order — `array_sort`'s string order. Called on
     * top-gram ties only. */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private def utf8Less(a: String, b: String): Boolean =
+    graft.functions.TextFunctions.utf8Less(a, b)
 
   /** (duplicate fraction, duplicate CHARACTER fraction) of a segment family:
     * `(n − distinct) / n` and `Σ (count−1)·len / Σ len`, zero denominators

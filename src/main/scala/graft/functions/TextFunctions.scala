@@ -15,6 +15,23 @@ object TextFunctions {
   /** Whitespace tokens of the lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** UTF-8 unsigned byte order — the engines' binary string order
+    * (UTF8String.compareTo / DuckDB's default collation). The one shared
+    * comparator behind every driver-side tie-break that must match an
+    * `array_sort` / `ORDER BY` replay. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Token count (long). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

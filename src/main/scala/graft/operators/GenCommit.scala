@@ -61,8 +61,11 @@ private[operators] object GenCommit {
   private def leasePath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_lease")
 
-  /** The millis timestamp inside a lease file, None if absent/unreadable
-    * (an unreadable lease counts as absent: its create never finished). */
+  /** The millis timestamp of a lease file, None if absent. An existing but
+    * empty/corrupt lease (its writer died between create and write) falls
+    * back to the FILE's modification time, so it ages out by TTL exactly
+    * like a written lease instead of wedging acquirers forever while
+    * counting as absent to vacuum — both readers see the same age. */
   private def leaseTs(f: org.apache.hadoop.fs.FileSystem,
                       lp: org.apache.hadoop.fs.Path): Option[Long] =
     if (!f.exists(lp)) None
@@ -74,11 +77,14 @@ private[operators] object GenCommit {
         new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
       } finally in.close()
     }.toOption
+      .orElse(scala.util.Try(f.getFileStatus(lp).getModificationTime).toOption)
 
   /** Acquire the writer lease at `path` (atomic create — two concurrent
     * acquirers cannot both win). A fresh lease held by someone else is a
     * loud IllegalStateException; a stale one (older than `ttlMs`) is taken
-    * over. */
+    * over via an atomic RENAME to a tombstone, so two racing takers cannot
+    * both claim it (the loser's rename finds no source and fails loud) and
+    * a taker can never delete another taker's freshly written lease. */
   def acquireLease(spark: SparkSession, path: String,
                    ttlMs: Long = DefaultLeaseTtlMs): Unit = {
     val f = fs(spark, path)
@@ -89,7 +95,14 @@ private[operators] object GenCommit {
         s"writer lease at $path is held (age ${now - ts} ms < ttl $ttlMs ms) — " +
           "another append is in flight; retry after it commits, or " +
           "GenCommit.breakLease if its writer is known dead")
-      f.delete(lp, false) // stale: the writer's JVM died mid-append
+      // stale: the writer's JVM died mid-append. Rename is the atomic fence:
+      // exactly one taker moves the stale file aside; a concurrent taker's
+      // rename finds no source and loses loudly below.
+      val tomb = new org.apache.hadoop.fs.Path(path,
+        s"_lease_tomb_${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(lp, tomb)) throw new IllegalStateException(
+        s"writer lease at $path was taken over concurrently")
+      f.delete(tomb, false)
     }
     val out = try f.create(lp, false) catch {
       case e: java.io.IOException => throw new IllegalStateException(
@@ -131,28 +144,26 @@ private[operators] object GenCommit {
   def vacuum(spark: SparkSession, path: String, dataDirs: Seq[String],
              gens: Seq[Int], metaGen: Int,
              derivedPrefixes: Seq[String],
-             ttlMs: Long = DefaultLeaseTtlMs): Int = {
-    val f = fs(spark, path)
-    leaseTs(f, leasePath(path)).foreach { ts =>
-      val age = System.currentTimeMillis() - ts
-      if (age < ttlMs) throw new IllegalStateException(
-        s"vacuum at $path refused: writer lease held (age $age ms < ttl $ttlMs ms) — " +
-          "an in-flight append's generation would look like an orphan; " +
-          "retry after the append commits, or GenCommit.breakLease if its " +
-          "writer is known dead")
+             ttlMs: Long = DefaultLeaseTtlMs): Int =
+    // HOLD the lease for the whole list-and-delete pass, not merely observe
+    // it: a check-then-act vacuum would race an appender acquiring between
+    // the check and the deletes and reclaim its live generation. A fresh
+    // lease refuses loudly (acquireLease's message); a stale one is taken
+    // over — a dead writer's orphans are exactly what vacuum reclaims.
+    withLease(spark, path, ttlMs) {
+      val f = fs(spark, path)
+      val committed = gens.toSet
+      var removed = 0
+      def drop(p: String): Unit =
+        if (f.delete(new org.apache.hadoop.fs.Path(p), true)) removed += 1
+      for (d <- dataDirs;
+           g <- listGens(spark, s"$path/$d", "gen=", requireSuccess = false)
+           if !committed(g))
+        drop(s"$path/$d/gen=$g")
+      for (p <- derivedPrefixes :+ "meta_g";
+           g <- listGens(spark, path, p, requireSuccess = false)
+           if g != metaGen)
+        drop(s"$path/$p$g")
+      removed
     }
-    val committed = gens.toSet
-    var removed = 0
-    def drop(p: String): Unit =
-      if (f.delete(new org.apache.hadoop.fs.Path(p), true)) removed += 1
-    for (d <- dataDirs;
-         g <- listGens(spark, s"$path/$d", "gen=", requireSuccess = false)
-         if !committed(g))
-      drop(s"$path/$d/gen=$g")
-    for (p <- derivedPrefixes :+ "meta_g";
-         g <- listGens(spark, path, p, requireSuccess = false)
-         if g != metaGen)
-      drop(s"$path/$p$g")
-    removed
-  }
 }

@@ -53,6 +53,11 @@ object MediaIndex {
     // materialize BEFORE deleting the old index: a decode failure in the new
     // batch must leave any previously committed index at `path` intact
     val staged = hashes.localCheckpoint()
+    // fence out in-flight appenders before destroying the path: a held
+    // lease refuses loudly; the recursive delete then removes the (now
+    // ours) lease with the rest, and an appender racing in after it fails
+    // on the missing committed meta
+    GenCommit.acquireLease(spark, path)
     GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     staged.withColumn("gen", lit(0))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/fingerprints")

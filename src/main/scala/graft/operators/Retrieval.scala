@@ -176,7 +176,11 @@ object Retrieval {
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     // a fresh save owns the path: clear stale generations from any previous
-    // index here, or their higher-numbered metas would shadow this one
+    // index here, or their higher-numbered metas would shadow this one —
+    // but fence out in-flight appenders first (a held lease refuses loudly;
+    // the recursive delete removes the now-ours lease with the rest, and an
+    // appender racing in after it fails on the missing committed meta)
+    GenCommit.acquireLease(spark, path)
     GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
     staged.select(col("doc_id"), col("dl"), lit(0).as("gen"))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/doclens")

@@ -233,18 +233,8 @@ object UnigramLm {
   }
 
   /** UTF-8 unsigned byte order — binary string order on both engines. */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private def utf8Less(a: String, b: String): Boolean =
+    TextFunctions.utf8Less(a, b)
 
   /** The model's piece→id table: ids 0..|model|−1 in ascending binary piece
     * order — the deterministic convention (the oracle replays it with

@@ -337,20 +337,26 @@ object PipelineQueries {
     * is a seeded single). */
   private def unigramViterbiCtes(tag: String, vocabCte: String,
                                  wordsCte: String): String = {
+    // the α window carries exactly maxLen slots — the CASE arms, the base
+    // NULL columns, and the recursive shift all derive from the SAME
+    // constant, so a geometry bump cannot silently mis-index the DP
     val maxLen = UnigramMaxPieceLen
-    val aPrev = "(CASE CAST(g.l AS INT) WHEN 1 THEN d.a0 WHEN 2 THEN d.a1 " +
-      "WHEN 3 THEN d.a2 ELSE d.a3 END)"
+    val aPrev = "(CASE CAST(g.l AS INT) " +
+      (1 until maxLen).map(i => s"WHEN $i THEN d.a${i - 1}").mkString(" ") +
+      s" ELSE d.a${maxLen - 1} END)"
+    val aBase = (s"CAST(1.0 AS DOUBLE) AS a0" +:
+      (1 until maxLen).map(i => s"CAST(NULL AS DOUBLE) AS a$i")).mkString(", ")
+    val aShift = (0 until maxLen - 1).map(i => s"d.a$i").mkString(", ")
     s"""pr$tag AS (SELECT piece,
        |    CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM $vocabCte) AS pp
        |  FROM $vocabCte),
        |dp$tag AS (
        |  SELECT word, freq, 0 AS j,
-       |    CAST(1.0 AS DOUBLE) AS a0, CAST(NULL AS DOUBLE) AS a1,
-       |    CAST(NULL AS DOUBLE) AS a2, CAST(NULL AS DOUBLE) AS a3,
+       |    $aBase,
        |    CAST([] AS INT[]) AS bls
        |  FROM $wordsCte
        |  UNION ALL
-       |  SELECT d.word, d.freq, d.j + 1, c.val, d.a0, d.a1, d.a2,
+       |  SELECT d.word, d.freq, d.j + 1, c.val, $aShift,
        |    list_append(d.bls, c.lx)
        |  FROM dp$tag d LEFT JOIN LATERAL (
        |    SELECT $aPrev * v.pp AS val, CAST(g.l AS INT) AS lx
@@ -370,7 +376,7 @@ object PipelineQueries {
        |),
        |pieces$tag AS (SELECT word, freq, pos,
        |    substr(word, pos - bls[pos] + 1, bls[pos]) AS piece
-       |  FROM bt$tag WHERE pos > 0)""".stripMargin
+       |  FROM bt$tag WHERE pos > 0 AND bls[pos] IS NOT NULL)""".stripMargin
   }
 
   /** The unrolled hard-EM unigram-LM training replay (no WITH; callers say

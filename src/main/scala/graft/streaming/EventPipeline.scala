@@ -527,14 +527,22 @@ object EventPipeline {
         s => s.getField("id_b")))
     val candIds = array_distinct(flatten(
       filter(array(perBand: _*), a => a.isNotNull)))
-    // per-(probe, candidate) containment verify, q163's exact arithmetic:
-    // m/n per side over the two distinct frame-hash arrays, IEEE divisions,
-    // greatest — all per-row (explode_outer keeps candidate-less frames so
-    // fresh clips survive with overlap 0)
+    // pair-level dedup FIRST (the batch twin's cand.distinct() discipline):
+    // a re-encode band-matches its catalog clip on EVERY frame, so verifying
+    // per (frame, candidate) row would run the O(|fps_a|·|fps_b|) containment
+    // |fps_a| redundant times — aggregate to one row per (window, clip,
+    // candidate) before the verify joins the catalog arrays in
     val pairs = withCands
       .select(col("media_id"), col("_ts"), col("fps"),
-        explode_outer(candIds).as("id_b"))
+        xxhash64(col("fps")).as("_sig"), explode_outer(candIds).as("id_b"))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowLen), col("media_id"), col("_sig"),
+        col("id_b"))
+      .agg(first(col("fps")).as("fps"))
       .join(idxClips, Seq("id_b"), "left_outer")
+    // per-pair containment verify, q163's exact arithmetic: m/n per side
+    // over the two distinct frame-hash arrays, IEEE divisions, greatest
+    // (candidate-less clips ride the null-id_b row with overlap 0)
     val mA = size(filter(col("fps"), fa =>
       exists(col("_fps_b"), fb => bit_count(fa.bitwiseXOR(fb)) <= maxHamming)))
     val mB = size(filter(col("_fps_b"), fb =>
@@ -544,12 +552,10 @@ object EventPipeline {
         mB.cast("double") / size(col("_fps_b")).cast("double")))
     // survivors: no catalog pair reached minOverlap; then the in-window
     // frame-SET election (sorted distinct array ⇒ hash equality iff set
-    // equality). Two chained stateful aggs, the audio shape.
+    // equality). Three chained stateful aggs over one event-time window.
     pairs
-      .select(col("media_id"), col("_ts"), col("fps"), overlap.as("_ov"))
-      .withWatermark("_ts", watermark)
-      .groupBy(window(col("_ts"), windowLen), col("media_id"),
-        xxhash64(col("fps")).as("_sig"))
+      .select(col("window"), col("media_id"), col("_sig"), overlap.as("_ov"))
+      .groupBy(col("window"), col("media_id"), col("_sig"))
       .agg(max(col("_ov")).as("_mx"))
       .filter(col("_mx") < minOverlap)
       .groupBy(col("window"), col("_sig"))

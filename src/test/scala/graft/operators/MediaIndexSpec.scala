@@ -135,6 +135,33 @@ class MediaIndexSpec extends SparkSpec {
     GenCommit.breakLease(spark, path)
   }
 
+  test("lease hardening: an empty lease ages by mtime; save refuses while a lease is held") {
+    val path = tempDir().resolve("audioidx_hardlease").toString
+    Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
+    val fs = GenCommit.fs(spark, path)
+    val lp = new org.apache.hadoop.fs.Path(path, "_lease")
+    // a writer died between create and write: the empty file must behave
+    // like a fresh lease (refuse) rather than wedge or count as absent
+    fs.create(lp, false).close()
+    assert(intercept[IllegalStateException](
+      Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path))
+      .getMessage.contains("lease"))
+    // ...and age out by its modification time like a written lease
+    fs.setTimes(lp, System.currentTimeMillis() - 3600L * 1000L, -1)
+    Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path)
+    assert(MediaIndex.load(spark, path).nItems === 2L)
+    // a fresh save must not destroy an in-flight appender's lease and data
+    GenCommit.acquireLease(spark, path)
+    assert(intercept[IllegalStateException](
+      Multimodal.saveAudioIndex(wavMedia(9L -> thirdClip), path))
+      .getMessage.contains("lease"))
+    assert(MediaIndex.load(spark, path).nItems === 2L,
+      "a refused save must leave the committed index untouched")
+    GenCommit.releaseLease(spark, path)
+    Multimodal.saveAudioIndex(wavMedia(9L -> thirdClip), path)
+    assert(MediaIndex.load(spark, path).nItems === 1L)
+  }
+
   test("a failing save leaves the previously committed index intact") {
     val path = tempDir().resolve("audioidx_resave").toString
     Multimodal.saveAudioIndex(wavMedia(1L -> baseClip), path)
