@@ -29,6 +29,17 @@ object CurationPipeline {
   final case class LmFilter(bigrams: DataFrame, minCount: Long = 1L,
                             maxOovRate: Double = 0.5)
 
+  /** Unigram-LM perplexity gate config ([[UnigramLm.bitSurprisal]]): keep
+    * documents whose average per-token INTEGER BIT-SURPRISAL under the
+    * trained `model` (a (piece, cnt) frame, [[UnigramLm.trainUnigram]] over
+    * trusted text) is at most `maxAvgBits` — the oracle-exact stand-in for
+    * the CCNet per-token NLL gate (base-2 floor quantization instead of
+    * libm `ln`; see bitSurprisal's scaladoc). Documents with no tokens
+    * score 0 and pass — the length gates own degenerate docs. */
+  final case class UnigramNllFilter(model: DataFrame, maxPieceLen: Int = 4,
+                                    maxAvgBits: Double = 8.0,
+                                    byteLevel: Boolean = false)
+
   /** Diversity-stage config ([[Sampling.diversitySample]]): `embeddings`
     * carries ONE row per document keyed by the SAME id column the pipeline
     * uses, with the vector in `vecCol`; each Voronoi cell of `centroids`
@@ -49,16 +60,28 @@ object CurationPipeline {
              minQuality: Double = 0.5,
              shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
              lmFilter: Option[LmFilter] = None,
+             unigramFilter: Option[UnigramNllFilter] = None,
              repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
     val gated0 = docs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langIdEn(col(textCol)) === "en")
     val gated = repetitionGate.fold(gated0)(th =>
       RepetitionStats.repetitionFilter(gated0, textCol, th))
-    val filtered = lmFilter.fold(gated) { lf =>
+    val filtered0 = lmFilter.fold(gated) { lf =>
       gated.join(
         NgramLm.oovBigramRate(gated, idCol, textCol, lf.bigrams, lf.minCount)
           .filter(col("oov_rate") <= lf.maxOovRate)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+    // unigram-NLL gate: one broadcast-model scan over the survivors (the
+    // bitSurprisal frame is per-doc-sized, so the semi-join stays cheap) —
+    // like the bigram gate, it shrinks the corpus BEFORE the LSH shuffles
+    val filtered = unigramFilter.fold(filtered0) { uf =>
+      filtered0.join(
+        UnigramLm.bitSurprisal(filtered0, idCol, textCol, uf.model,
+            uf.maxPieceLen, uf.byteLevel)
+          .filter(col("avg_bits") <= uf.maxAvgBits)
           .select(col(idCol)),
         Seq(idCol), "left_semi")
     }
@@ -121,6 +144,7 @@ object CurationPipeline {
                         maxRecordsPerFile: Long = 5000000L,
                         htmlInput: Boolean = false,
                         lmFilter: Option[LmFilter] = None,
+                        unigramFilter: Option[UnigramNllFilter] = None,
                         diversity: Option[DiversitySpec] = None,
                         repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
     val passthrough = (zorderBy ++ passthroughCols).distinct
@@ -142,7 +166,8 @@ object CurationPipeline {
     }
     val kept = Decontamination.decontaminate(
       curate(cleaned, idCol, textCol, minQuality = minQuality,
-        lmFilter = lmFilter, repetitionGate = repetitionGate),
+        lmFilter = lmFilter, unigramFilter = unigramFilter,
+        repetitionGate = repetitionGate),
       evalDocs, idCol, textCol, decontaminationGrams)
     // optional diversity stage (SemDeDup's density-flattening complement):
     // scope the embedding frame to the survivors FIRST (semi-join — vectors

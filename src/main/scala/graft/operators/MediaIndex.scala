@@ -53,17 +53,19 @@ object MediaIndex {
     // materialize BEFORE deleting the old index: a decode failure in the new
     // batch must leave any previously committed index at `path` intact
     val staged = hashes.localCheckpoint()
-    // fence out in-flight appenders before destroying the path: a held
-    // lease refuses loudly; the recursive delete then removes the (now
-    // ours) lease with the rest, and an appender racing in after it fails
-    // on the missing committed meta
-    GenCommit.acquireLease(spark, path)
-    GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
-    staged.withColumn("gen", lit(0))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$path/fingerprints")
-    val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
-    Seq((kind, n, Seq(0))).toDF("kind", "n_items", "gens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g0")
+    // fence out in-flight appenders before destroying the path (a held lease
+    // refuses loudly), then keep the WHOLE rebuild fenced: withSaveFence
+    // re-creates the lease right after the recursive delete, so a second
+    // concurrent save fails on the acquire instead of interleaving its
+    // overwrite writes with ours
+    GenCommit.withSaveFence(spark, path) { tok =>
+      staged.withColumn("gen", lit(0))
+        .write.mode("overwrite").partitionBy("gen").parquet(s"$path/fingerprints")
+      val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
+      GenCommit.assertHeld(spark, path, tok) // commit fence
+      Seq((kind, n, Seq(0))).toDF("kind", "n_items", "gens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g0")
+    }
   }
 
   /** Append `newHashes` as a new generation. Loud contracts: the index must
@@ -73,34 +75,41 @@ object MediaIndex {
   def append(newHashes: DataFrame, kind: String, path: String): Unit = {
     val spark = newHashes.sparkSession
     import spark.implicits._
-    val (_, idxKind, nItems, gens) = committedMeta(spark, path)
-      .getOrElse(throw new IllegalArgumentException(
-        s"MediaIndex.append: no committed index meta at $path — save first"))
-    require(idxKind == kind,
-      s"MediaIndex.append: index at $path holds '$idxKind' fingerprints, not '$kind'")
-    val committed = spark.read.parquet(s"$path/fingerprints")
-      .filter(col("gen").isin(gens: _*))
-    // names AND types: a same-named generation with drifted types (int vs
-    // long ids, array<int> energies) would commit fine and poison every
-    // cross-generation read later
-    def shape(df: DataFrame) = df.schema.fields.filterNot(_.name == "gen")
-      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1).toSeq
-    require(shape(newHashes) == shape(committed),
-      s"MediaIndex.append: columns ${shape(newHashes)} != indexed ${shape(committed)}")
+    // the expensive leg (decode + fingerprint) materializes BEFORE the lease
+    // is taken, so the hold window is the metadata checks and writes only
     val staged = newHashes.localCheckpoint()
-    val clashes = staged.select(col("media_id")).distinct()
-      .join(committed.select(col("media_id")), Seq("media_id"), "left_semi")
-      .limit(5).as[Long].collect()
-    require(clashes.isEmpty,
-      s"MediaIndex.append: media ids already indexed at $path: ${clashes.mkString(", ")}")
     // writer lease: held while the generation is in flight, so a racing
     // vacuum cannot reclaim it as an orphan and a second appender fails
-    // loudly instead of interleaving generation numbers
-    GenCommit.withLease(spark, path) {
+    // loudly instead of interleaving generation numbers. The committed meta
+    // is read INSIDE the lease: read before it, a concurrent append could
+    // commit between the read and our acquire and our meta — carrying the
+    // stale gens list — would hide its committed generation (and hand it to
+    // the next vacuum as an "orphan").
+    GenCommit.withLease(spark, path) { tok =>
+      val (_, idxKind, nItems, gens) = committedMeta(spark, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"MediaIndex.append: no committed index meta at $path — save first"))
+      require(idxKind == kind,
+        s"MediaIndex.append: index at $path holds '$idxKind' fingerprints, not '$kind'")
+      val committed = spark.read.parquet(s"$path/fingerprints")
+        .filter(col("gen").isin(gens: _*))
+      // names AND types: a same-named generation with drifted types (int vs
+      // long ids, array<int> energies) would commit fine and poison every
+      // cross-generation read later
+      def shape(df: DataFrame) = df.schema.fields.filterNot(_.name == "gen")
+        .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1).toSeq
+      require(shape(staged) == shape(committed),
+        s"MediaIndex.append: columns ${shape(staged)} != indexed ${shape(committed)}")
+      val clashes = staged.select(col("media_id")).distinct()
+        .join(committed.select(col("media_id")), Seq("media_id"), "left_semi")
+        .limit(5).as[Long].collect()
+      require(clashes.isEmpty,
+        s"MediaIndex.append: media ids already indexed at $path: ${clashes.mkString(", ")}")
       val newGen = GenCommit.nextGen(spark, path, "fingerprints", gens)
       staged.withColumn("gen", lit(newGen))
         .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
       val n = staged.select(countDistinct(col("media_id"))).as[Long].collect().head
+      GenCommit.assertHeld(spark, path, tok) // commit fence (TTL takeover aborts here)
       // the commit: meta_gN landing (with _SUCCESS) makes the generation visible
       Seq((kind, nItems + n, gens :+ newGen)).toDF("kind", "n_items", "gens")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
@@ -114,12 +123,16 @@ object MediaIndex {
     * looks like an orphan until its meta commits; a stale lease (dead
     * writer) ages out after the TTL. Returns the number of directories
     * removed. */
-  def vacuum(spark: SparkSession, path: String): Int = {
-    val (metaGen, _, _, gens) = committedMeta(spark, path)
-      .getOrElse(throw new IllegalArgumentException(
-        s"MediaIndex.vacuum: no committed index meta at $path — save first"))
-    GenCommit.vacuum(spark, path, Seq("fingerprints"), gens, metaGen, Nil)
-  }
+  def vacuum(spark: SparkSession, path: String): Int =
+    // the meta read happens INSIDE the held lease (the vacuum thunk): read
+    // before acquisition, an append committing in between would get its
+    // fresh generation — absent from the stale gens list — reclaimed
+    GenCommit.vacuum(spark, path, Seq("fingerprints"), Nil) {
+      val (metaGen, _, _, gens) = committedMeta(spark, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"MediaIndex.vacuum: no committed index meta at $path — save first"))
+      (gens, metaGen)
+    }
 
   /** Load the committed index at `path` (uncommitted generations from a
     * crashed append are invisible — file-level `gen` partition pruning). */

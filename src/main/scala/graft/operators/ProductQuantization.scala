@@ -701,14 +701,21 @@ object ProductQuantization {
       rotation.orElse(rotationSeed.map(Rotation.rotationMatrix(dims, _)))
   }
 
-  /** Persist a quantized index: codes written `partitionBy(cell)` — the
-    * layout every probe `isin` here prunes at FILE level — plus the coarse
-    * matrix, codebooks, and a one-row meta (geometry + encoding mode) as
-    * small parquet tables. Doubles round-trip parquet bit-exactly, so a
-    * reloaded index searches identically (spec-pinned): build once at
-    * corpus-ingest time, search from any later session — the index is a
-    * dataset, not a driver object. Column names are normalized to
-    * (vec_id, packed, cell) on disk. */
+  /** Persist a quantized index: codes written `partitionBy(gen, cell)` — the
+    * cell layout every probe `isin` here prunes at FILE level — plus the
+    * coarse matrix, codebooks, and a one-row generational meta (geometry +
+    * encoding mode + committed gens) as small parquet tables. Doubles
+    * round-trip parquet bit-exactly, so a reloaded index searches identically
+    * (spec-pinned): build once at corpus-ingest time, search from any later
+    * session — the index is a dataset, not a driver object. Column names are
+    * normalized to (vec_id, packed, cell) on disk.
+    *
+    * Commit protocol ([[GenCommit]], shared with the text/media indexes):
+    * codes land under `gen=N` partitions and the single COMMIT point is the
+    * `meta_gN` write — a crash mid-[[appendToPqIndex]] leaves the previous
+    * index readable and its orphaned files invisible; [[vacuumPqIndex]]
+    * reclaims them. The geometry tables (coarse/codebooks/rotation) are
+    * save-time-static — appends never touch them. */
   def savePqIndex(codes: DataFrame, idCol: String, packedCol: String,
                   cellCol: String, coarse: Seq[Seq[Double]],
                   codebooks: Codebooks, residual: Boolean,
@@ -720,30 +727,58 @@ object ProductQuantization {
     val spark = codes.sparkSession
     import spark.implicits._
     require(coarse.nonEmpty && codebooks.nonEmpty, "empty index geometry")
-    codes.select(col(idCol).as("vec_id"), col(packedCol).as("packed"),
-        col(cellCol).cast("int").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    codebooks.zipWithIndex.flatMap { case (cents, s) =>
-      cents.zipWithIndex.map { case (cent, c) => (s, c, cent) } }
-      .toDF("sub", "cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // rotation_seed: an index built in ROTATED space ([[Rotation.rotate]])
-    // is only searchable when queries rotate the same way — the seed fully
-    // determines the deterministic matrix, so persisting it keeps the index
-    // self-describing (null = no pre-transform)
-    // a LEARNED rotation ([[Rotation.learnedRotation]]) has no generating
-    // seed — persist the matrix itself (dims rows, tiny) so the index stays
-    // self-describing in that case too
-    rotation.foreach { rot =>
-      rot.zipWithIndex.map { case (row, i) => (i, row) }.toDF("row_idx", "row")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    // resolve the projection FIRST (select analyzes eagerly — a typo'd
+    // column throws here, before any committed index at `path` is cleared)
+    val staged = codes.select(col(idCol).as("vec_id"), col(packedCol).as("packed"),
+      col(cellCol).cast("int").as("cell"))
+    // a fresh save owns the path (stale higher-numbered metas of a previous
+    // index would shadow meta_g0); the rebuild stays lease-fenced throughout
+    GenCommit.withSaveFence(spark, path) { tok =>
+      staged.withColumn("gen", lit(0))
+        .write.mode("overwrite").partitionBy("gen", "cell").parquet(s"$path/codes")
+      coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      codebooks.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (cent, c) => (s, c, cent) } }
+        .toDF("sub", "cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      // rotation_seed: an index built in ROTATED space ([[Rotation.rotate]])
+      // is only searchable when queries rotate the same way — the seed fully
+      // determines the deterministic matrix, so persisting it keeps the index
+      // self-describing (null = no pre-transform)
+      // a LEARNED rotation ([[Rotation.learnedRotation]]) has no generating
+      // seed — persist the matrix itself (dims rows, tiny) so the index stays
+      // self-describing in that case too
+      rotation.foreach { rot =>
+        rot.zipWithIndex.map { case (row, i) => (i, row) }.toDF("row_idx", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+      }
+      GenCommit.assertHeld(spark, path, tok) // commit fence
+      Seq((codebooks.length, codebooks.head.length, residual, rotationSeed,
+          rotation.isDefined, Seq(0)))
+        .toDF("m", "ksub", "residual", "rotation_seed", "has_rotation_matrix",
+          "gens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g0")
     }
-    Seq((codebooks.length, codebooks.head.length, residual, rotationSeed,
-        rotation.isDefined))
-      .toDF("m", "ksub", "residual", "rotation_seed", "has_rotation_matrix")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The committed meta row at `path`: the highest `meta_gN` whose
+    * `_SUCCESS` landed — (gen, m, ksub, residual, rotation_seed,
+    * has_rotation_matrix, gens). None when no generational meta exists (a
+    * pre-generational index holds a plain `meta` dir instead — see
+    * [[loadPqIndex]]'s legacy fallback). */
+  private def committedPqMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String)
+      : Option[(Int, Int, Int, Boolean, Option[Long], Boolean, Seq[Int])] = {
+    import spark.implicits._
+    GenCommit.listGens(spark, path, "meta_g", requireSuccess = true)
+      .sorted.lastOption.map { g =>
+        val m = spark.read.parquet(s"$path/meta_g$g")
+          .select(col("m").cast("int"), col("ksub").cast("int"), col("residual"),
+            col("rotation_seed"), col("has_rotation_matrix"), col("gens"))
+          .as[(Int, Int, Boolean, Option[Long], Boolean, Seq[Int])].collect().head
+        (g, m._1, m._2, m._3, m._4, m._5, m._6)
+      }
   }
 
   /** Append freshly-encoded rows to a persisted index's code frame — the
@@ -764,52 +799,99 @@ object ProductQuantization {
                       cellCol: String, path: String,
                       m: Option[Int] = None, ksub: Option[Int] = None): Unit = {
     val spark = codes.sparkSession
-    val meta = scala.util.Try(spark.read.parquet(s"$path/meta")
-        .select(col("m").cast("int"), col("ksub").cast("int")).collect().head)
-      .getOrElse(throw new IllegalArgumentException(
-        s"appendToPqIndex: no index meta at $path — savePqIndex first"))
-    val (metaM, metaKsub) = (meta.getInt(0), meta.getInt(1))
-    m.foreach(v => require(v == metaM,
-      s"appendToPqIndex: caller m=$v but index at $path has m=$metaM"))
-    ksub.foreach(v => require(v == metaKsub,
-      s"appendToPqIndex: caller ksub=$v but index at $path has ksub=$metaKsub"))
-    val width = codeWidth(metaKsub)
+    import spark.implicits._
     val proj = codes.select(col(idCol).as("vec_id"),
       col(packedCol).cast("long").as("packed"), col(cellCol).cast("int").as("cell"))
-    // structural batch check: bits above the m·width window mean the codes
-    // were packed under a WIDER geometry (arithmetic shiftright also flags a
-    // stray sign bit); a field ≥ ksub means a taller codebook. Power-of-two
-    // ksub makes the field check vacuous by masking — the window check is
-    // the load-bearing one there.
-    val fieldBad = (0 until metaM)
-      .map(s => unpackCode(col("packed"), s, metaKsub) >= metaKsub)
-      .reduce(_ || _)
-    val windowBad =
-      if (metaM * width < 64) shiftright(col("packed"), metaM * width) =!= 0L
-      else lit(false)
-    val nBad = proj
-      .where(col("packed").isNotNull && (fieldBad || windowBad)).count()
-    require(nBad == 0L,
-      s"appendToPqIndex: $nBad packed code(s) violate index geometry " +
-        s"m=$metaM ksub=$metaKsub at $path — refusing to corrupt the index")
-    proj.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // writer lease ([[GenCommit]]): held while the generation is in flight —
+    // a racing vacuum cannot reclaim it as an orphan, a second appender
+    // fails loudly instead of interleaving, and a JVM crash mid-append
+    // leaves the committed index untouched (the torn gen=N files are
+    // invisible to readers and vacuum-reclaimable). The committed meta is
+    // read INSIDE the lease so a concurrent append's fresh generation can
+    // never be dropped from the gens list we commit.
+    GenCommit.withLease(spark, path) { tok =>
+      val (_, metaM, metaKsub, residual, rotSeed, hasRot, gens) =
+        committedPqMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+          s"appendToPqIndex: no committed index meta at $path — savePqIndex first"))
+      m.foreach(v => require(v == metaM,
+        s"appendToPqIndex: caller m=$v but index at $path has m=$metaM"))
+      ksub.foreach(v => require(v == metaKsub,
+        s"appendToPqIndex: caller ksub=$v but index at $path has ksub=$metaKsub"))
+      val width = codeWidth(metaKsub)
+      // structural batch check: bits above the m·width window mean the codes
+      // were packed under a WIDER geometry (arithmetic shiftright also flags a
+      // stray sign bit); a field ≥ ksub means a taller codebook. Power-of-two
+      // ksub makes the field check vacuous by masking — the window check is
+      // the load-bearing one there. One pass over the APPENDED batch only —
+      // incremental-sized, never corpus-sized.
+      val fieldBad = (0 until metaM)
+        .map(s => unpackCode(col("packed"), s, metaKsub) >= metaKsub)
+        .reduce(_ || _)
+      val windowBad =
+        if (metaM * width < 64) shiftright(col("packed"), metaM * width) =!= 0L
+        else lit(false)
+      val nBad = proj
+        .where(col("packed").isNotNull && (fieldBad || windowBad)).count()
+      require(nBad == 0L,
+        s"appendToPqIndex: $nBad packed code(s) violate index geometry " +
+          s"m=$metaM ksub=$metaKsub at $path — refusing to corrupt the index")
+      val newGen = GenCommit.nextGen(spark, path, "codes", gens)
+      proj.withColumn("gen", lit(newGen))
+        .write.mode("append").partitionBy("gen", "cell").parquet(s"$path/codes")
+      GenCommit.assertHeld(spark, path, tok) // commit fence (TTL takeover aborts here)
+      // the commit: meta_gN landing (with _SUCCESS) makes the generation
+      // visible atomically; geometry columns carry over unchanged
+      Seq((metaM, metaKsub, residual, rotSeed, hasRot, gens :+ newGen))
+        .toDF("m", "ksub", "residual", "rotation_seed", "has_rotation_matrix",
+          "gens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g$newGen")
+    }
   }
+
+  /** Reclaim dead bytes left by crashed appends ([[GenCommit.vacuum]]):
+    * orphaned code `gen=N` partitions and superseded `meta_gN` dirs.
+    * Search results identical before/after (spec-pinned). Refuses (throws)
+    * while an append's writer lease is fresh; a stale lease (dead writer)
+    * ages out after the TTL. The geometry tables are never touched. Returns
+    * the number of directories removed. */
+  def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Int =
+    GenCommit.vacuum(spark, path, Seq("codes"), Nil) {
+      val (metaGen, _, _, _, _, _, gens) = committedPqMeta(spark, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"vacuumPqIndex: no committed index meta at $path — savePqIndex first"))
+      (gens, metaGen)
+    }
 
   /** Load a [[savePqIndex]] index. The geometry tables collect driver-side
     * (they are the same small reference objects every search builds); the
     * code frame stays lazy and cell-partitioned. */
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     import spark.implicits._
-    // has_rotation_matrix is absent from pre-round-12 indexes — read the
-    // resolved schema, not an assumption about it (the events-table lesson)
-    val metaDf = spark.read.parquet(s"$path/meta")
-    val hasRotCol = metaDf.columns.contains("has_rotation_matrix")
-    val meta = metaDf
-      .select(col("m"), col("ksub"), col("residual"), col("rotation_seed"),
-        (if (hasRotCol) col("has_rotation_matrix") else lit(false)).as("hr"))
-      .as[(Int, Int, Boolean, Option[Long], Boolean)].collect().head
+    // committed generational meta first; a PRE-GENERATIONAL index (plain
+    // `meta` dir, codes partitioned by cell only) loads via the legacy
+    // branch — read the resolved layout, not an assumption about it (the
+    // events-table lesson, same as the has_rotation_matrix probe below)
+    val (m, ksub, residual, rotSeed, hasRot, codesDf) =
+      committedPqMeta(spark, path) match {
+        case Some((_, mm, kk, res, rs, hr, gens)) =>
+          // uncommitted generations from a crashed append are invisible —
+          // `gen` is a partition column, so the filter prunes at FILE level
+          // (and composes with every probe's `cell` isin pruning)
+          (mm, kk, res, rs, hr, spark.read.parquet(s"$path/codes")
+            .filter(col("gen").isin(gens: _*)).drop("gen"))
+        case None =>
+          val metaDf = spark.read.parquet(s"$path/meta")
+          val hasRotCol = metaDf.columns.contains("has_rotation_matrix")
+          val meta = metaDf
+            .select(col("m"), col("ksub"), col("residual"), col("rotation_seed"),
+              (if (hasRotCol) col("has_rotation_matrix") else lit(false)).as("hr"))
+            .as[(Int, Int, Boolean, Option[Long], Boolean)].collect().head
+          (meta._1, meta._2, meta._3, meta._4, meta._5,
+            spark.read.parquet(s"$path/codes"))
+      }
     val rotation =
-      if (!meta._5) None
+      if (!hasRot) None
       else Some(spark.read.parquet(s"$path/rotation")
         .select(col("row_idx"), col("row")).orderBy(col("row_idx"))
         .as[(Int, Seq[Double])].collect().map(_._2.toSeq).toSeq)
@@ -821,11 +903,9 @@ object ProductQuantization {
       .as[(Int, Int, Seq[Double])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toSeq).toSeq }
-    require(codebooks.length == meta._1 &&
-        codebooks.forall(_.length == meta._2),
-      s"codebook table disagrees with meta geometry m=${meta._1} ksub=${meta._2}")
-    PqIndex(coarse, codebooks, meta._3, meta._1, meta._2,
-      spark.read.parquet(s"$path/codes"), meta._4, rotation)
+    require(codebooks.length == m && codebooks.forall(_.length == ksub),
+      s"codebook table disagrees with meta geometry m=$m ksub=$ksub")
+    PqIndex(coarse, codebooks, residual, m, ksub, codesDf, rotSeed, rotation)
   }
 
   /** Mean squared quantization error of a RESIDUAL codebook (residual twin

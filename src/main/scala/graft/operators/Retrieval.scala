@@ -177,11 +177,11 @@ object Retrieval {
       .select(col("doc_id"), col("_toks"), size(col("_toks")).cast("long").as("dl"))
     // a fresh save owns the path: clear stale generations from any previous
     // index here, or their higher-numbered metas would shadow this one —
-    // but fence out in-flight appenders first (a held lease refuses loudly;
-    // the recursive delete removes the now-ours lease with the rest, and an
-    // appender racing in after it fails on the missing committed meta)
-    GenCommit.acquireLease(spark, path)
-    GenCommit.fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    // fencing out in-flight appenders first (a held lease refuses loudly)
+    // and keeping the WHOLE rebuild fenced (withSaveFence re-creates the
+    // lease right after the recursive delete, so a second concurrent save
+    // fails on the acquire instead of interleaving overwrite writes)
+    GenCommit.withSaveFence(spark, path) { tok =>
     staged.select(col("doc_id"), col("dl"), lit(0).as("gen"))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$path/doclens")
     val postings = staged
@@ -199,10 +199,12 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/terms_g0")
     val stats = staged.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
       .as[(Long, Long)].collect().head
+    GenCommit.assertHeld(spark, path, tok) // commit fence
     // the commit: meta_g0 landing (with _SUCCESS) makes generation 0 visible
     Seq((stats._1, stats._2, nBuckets, Seq(0)))
       .toDF("n_docs", "sum_dl", "n_buckets", "gens")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_g0")
+    }
   }
 
   /** Append `newDocs` to a PERSISTED [[saveTextIndex]] index WITHOUT
@@ -232,13 +234,16 @@ object Retrieval {
                         path: String): Unit = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // writer lease: held while the generation is in flight, so a racing
+    // vacuum cannot reclaim it as an orphan and a second appender fails
+    // loudly instead of interleaving generation numbers. The committed meta
+    // is read INSIDE the lease: read before it, a concurrent append could
+    // commit between the read and our acquire and our meta — carrying the
+    // stale gens list — would hide its committed generation.
+    GenCommit.withLease(spark, path) { tok =>
     val (metaGen, nDocs, sumDl, nBuckets, gens) = committedMeta(spark, path)
       .getOrElse(throw new IllegalArgumentException(
         s"appendToTextIndex: no committed index meta at $path — saveTextIndex first"))
-    // writer lease: held while the generation is in flight, so a racing
-    // vacuum cannot reclaim it as an orphan and a second appender fails
-    // loudly instead of interleaving generation numbers
-    GenCommit.withLease(spark, path) {
     // next generation: strictly above everything on disk — committed gens AND
     // orphans from crashed attempts (doclens partition dirs + meta dirs are
     // both pure filesystem listings)
@@ -282,6 +287,7 @@ object Retrieval {
     val (newN, newSdl) = staged
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .as[(Long, Long)].collect().head
+    GenCommit.assertHeld(spark, path, tok) // commit fence (TTL takeover aborts here)
     // the commit: once meta_gN lands with _SUCCESS the new generation is
     // visible atomically (readers pick the highest committed meta)
     Seq((nDocs + newN, sumDl + newSdl, nBuckets, gens :+ newGen))
@@ -300,13 +306,16 @@ object Retrieval {
     * stale lease (dead writer) ages out after the TTL. Returns the number
     * of directories removed. */
   def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Int = {
-    val (metaGen, _, _, _, gens) = committedMeta(spark, path)
-      .getOrElse(throw new IllegalArgumentException(
-        s"vacuumTextIndex: no committed index meta at $path — saveTextIndex first"))
-    GenCommit.vacuum(spark, path, Seq("doclens", "postings"), gens, metaGen,
-      Seq("terms_g"))
-  }
+                      path: String): Int =
+    // the meta read happens INSIDE the held lease (the vacuum thunk): read
+    // before acquisition, an append committing in between would get its
+    // fresh generation — absent from the stale gens list — reclaimed
+    GenCommit.vacuum(spark, path, Seq("doclens", "postings"), Seq("terms_g")) {
+      val (metaGen, _, _, _, gens) = committedMeta(spark, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"vacuumTextIndex: no committed index meta at $path — saveTextIndex first"))
+      (gens, metaGen)
+    }
 
   /** Load a [[saveTextIndex]] index: the highest COMMITTED meta collects
     * driver-side; terms, postings and doclens stay lazy, filtered to the

@@ -34,21 +34,35 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
+  /** The fixed byte-level base alphabet ([[graft.expressions.ByteRemap]]'s
+    * 256 symbol chars) — the byte-fallback vocabulary floor: seeded (and
+    * RETAINED in the trained model, count 0 allowed) in `byteLevel` mode, so
+    * encode can always degrade an alien pre-token to byte pieces instead of
+    * dropping it. */
+  private def byteAlphabet: Seq[String] =
+    graft.expressions.ByteRemap.byteToChar.map(_.toString).toSeq
+
   /** Candidate piece seeds: every substring (code points) of length ≤
     * `maxPieceLen` of every distinct pre-token, weighted by word frequency ×
     * occurrences; the vocabulary keeps the top `vocabSize` multi-character
     * pieces (cnt desc, piece asc — binary order both engines) plus EVERY
-    * single-character piece (coverage: any word stays segmentable).
-    * Output: (piece, cnt). */
+    * single-character piece (coverage: any word stays segmentable). In
+    * `byteLevel` mode the single-character floor is the FIXED 256-symbol
+    * byte alphabet (corpus counts where seen, 0 otherwise) — OOV impossible
+    * by construction for any later encode input. Output: (piece, cnt). */
   def seedVocab(docs: DataFrame, textCol: String, maxPieceLen: Int,
-                vocabSize: Int): DataFrame =
-    seedFromFrequencies(BpeTrainer.preTokenFrequencies(docs, textCol),
-      maxPieceLen, vocabSize)
+                vocabSize: Int, byteLevel: Boolean = false): DataFrame =
+    seedFromFrequencies(
+      BpeTrainer.preTokenFrequencies(docs, textCol, byteLevel),
+      maxPieceLen, vocabSize, byteLevel)
 
   private def seedFromFrequencies(freqs: DataFrame, maxPieceLen: Int,
-                                  vocabSize: Int): DataFrame = {
+                                  vocabSize: Int,
+                                  byteLevel: Boolean = false): DataFrame = {
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val spark = freqs.sparkSession
+    import spark.implicits._
     val subs = flatten(transform(
       sequence(lit(1), length(col("pre_token"))),
       i => transform(
@@ -58,7 +72,12 @@ object UnigramLm {
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     val multi = s0.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
-    multi.unionByName(s0.filter(length(col("piece")) === 1))
+    val singles =
+      if (!byteLevel) s0.filter(length(col("piece")) === 1)
+      else byteAlphabet.toDF("piece")
+        .join(s0.filter(length(col("piece")) === 1), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    multi.unionByName(singles)
   }
 
   /** The full hard-EM training loop: seed, then `iters` ×
@@ -75,19 +94,29 @@ object UnigramLm {
     * EM iterations the active set shrinks to every single character plus the
     * top `pruneTo` multi-character pieces by (cnt desc, piece asc — binary
     * order both engines), and the next iteration re-fits the survivors.
-    * Without it the seeded set stays fixed (the q170 contract). */
+    * Without it the seeded set stays fixed (the q170 contract).
+    *
+    * `byteLevel` trains over byte-level symbol strings (one code point per
+    * UTF-8 byte, [[graft.expressions.ByteRemap]] — the BPE `byteLevel`
+    * regime) and the trained model RETAINS every one of the 256 byte-symbol
+    * singles even at count 0 (SentencePiece's `--byte_fallback`): an encode
+    * caller feeding pre-tokens from scripts the training corpus never saw
+    * degrades them to byte pieces (probability-0 Viterbi paths, ties to the
+    * longer piece — deterministic) instead of silently dropping text. */
   def trainUnigram(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                    vocabSize: Int = 200, iters: Int = 2,
-                   pruneTo: Option[Int] = None): DataFrame = {
+                   pruneTo: Option[Int] = None,
+                   byteLevel: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     pruneTo.foreach(k => require(k >= 1, s"pruneTo must be >= 1, got $k"))
     val spark = docs.sparkSession
     import spark.implicits._
     // the one corpus-wide pass; everything after is vocabulary-sized
-    val freqs = BpeTrainer.preTokenFrequencies(docs, textCol).localCheckpoint()
+    val freqs = BpeTrainer.preTokenFrequencies(docs, textCol, byteLevel)
+      .localCheckpoint()
     // active piece set + running counts, model-sized by construction
     var counts: Array[(String, Long)] =
-      seedFromFrequencies(freqs, maxPieceLen, vocabSize)
+      seedFromFrequencies(freqs, maxPieceLen, vocabSize, byteLevel)
         .as[(String, Long)].collect()
     var r = 1
     while (r <= iters) {
@@ -105,7 +134,11 @@ object UnigramLm {
       }
       r += 1
     }
-    counts.filter(_._2 > 0L).toSeq.toDF("piece", "cnt")
+    // byte-fallback retention: singles survive at count 0 — they ARE the
+    // fallback vocabulary (probability 0, reachable, never dropped)
+    counts.filter(pc => pc._2 > 0L ||
+        (byteLevel && pc._1.codePointCount(0, pc._1.length) == 1))
+      .toSeq.toDF("piece", "cnt")
   }
 
   /** Viterbi-segment each distinct word of `freqs` under `counts` —
@@ -185,20 +218,35 @@ object UnigramLm {
     * form directly when the consumer wants per-document sequences (packing,
     * counting) — at corpus scale the explode is the expensive half. */
   def encodeUnigram(docs: DataFrame, idCol: String, textCol: String,
-                    model: DataFrame, maxPieceLen: Int = 4): DataFrame =
-    encodeUnigramTokens(docs, idCol, textCol, model, maxPieceLen)
+                    model: DataFrame, maxPieceLen: Int = 4,
+                    byteLevel: Boolean = false): DataFrame =
+    encodeUnigramTokens(docs, idCol, textCol, model, maxPieceLen, byteLevel)
       .select(col("doc_id"), posexplode(col("tokens")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("token"))
+
+  /** Pre-token column: `byteLevel` remaps each pre-token to its byte-level
+    * symbol string ([[graft.expressions.ByteRemap]]) — the [[BpeTrainer]]
+    * convention, so a byteLevel model prices exactly what it trained on. */
+  private def preTokensOf(textCol: String, byteLevel: Boolean) = {
+    val pts = TextFunctions.bpeTokens(col(textCol))
+    if (byteLevel) transform(pts, t => graft.expressions.ByteRemap.remap(t))
+    else pts
+  }
 
   /** The array form of [[encodeUnigram]]: (doc_id, tokens) — one row per
     * document, tokens in pre-token order. Scan-shaped: the model broadcasts,
     * one pass over the corpus. A pre-token containing a character the model
     * cannot reach contributes no tokens (the training corpus against its
     * own model always reaches — every piece of the final segmentation has a
-    * positive count). */
+    * positive count); with a `byteLevel` model this cannot happen at all —
+    * the retained byte alphabet makes every position reachable, so alien
+    * pre-tokens degrade to byte pieces and nothing is dropped
+    * (spec-pinned: lossless [[graft.expressions.ByteRemap.unremapString]]
+    * decode). */
   def encodeUnigramTokens(docs: DataFrame, idCol: String, textCol: String,
-                          model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+                          model: DataFrame, maxPieceLen: Int = 4,
+                          byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = model.select(col("piece"), col("cnt").cast("long"))
@@ -209,7 +257,7 @@ object UnigramLm {
     counts.foreach { case (p, c) => probs.put(p, c.toDouble / total.toDouble) }
     val bc = spark.sparkContext.broadcast(probs)
     val pts = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.bpeTokens(col(textCol)).as("_pts"))
+      preTokensOf(textCol, byteLevel).as("_pts"))
     pts.as[(Long, Seq[String])].mapPartitions { it =>
       val m = bc.value
       // Zipf memo (the BpeCodec discipline): distinct pre-tokens are tiny
@@ -230,6 +278,74 @@ object UnigramLm {
         })
       }
     }.toDF("doc_id", "tokens")
+  }
+
+  /** Per-document INTEGER BIT-SURPRISAL under a trained model — the
+    * oracle-exact stand-in for the per-token NLL perplexity gate (CCNet's
+    * LM filter in the unigram regime): each Viterbi piece scores
+    * `floor(log2(total/cnt))` bits — the bit length of the integer quotient
+    * minus one (`floor(log2(total/cnt)) = floor(log2(total div cnt))`, an
+    * identity for integers: no power of two lies strictly inside
+    * `[q, q+1)`) — and a count-0 fallback piece (byteLevel models) scores
+    * `bitlen(total)`, one more than the rarest positive piece can. The only
+    * float arithmetic is ONE exactly-rounded IEEE division per document
+    * (`sum_bits / n_tokens`), so the scores hash-replay cell-for-cell in
+    * DuckDB (`length(bin(total // cnt)) - 1`) — unlike `ln`-based NLL,
+    * which is libm-dependent cross-engine ([[NgramLm.avgNegLogProb]]'s
+    * documented limitation, solved here by base-2 floor quantization).
+    *
+    * Output: (idCol, n_tokens, sum_bits, avg_bits) — one row per input
+    * document; 0-token docs score avg 0.0 (no evidence — the length gates
+    * own degenerate docs, the [[NgramLm.oovBigramRate]] convention). Scale
+    * shape: the same single scan as [[encodeUnigramTokens]] (broadcast
+    * model + per-partition Zipf memo), summing in-scan — the token explode
+    * never materializes. Lower = more in-domain. */
+  def bitSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, maxPieceLen: Int = 4,
+                   byteLevel: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = model.select(col("piece"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    require(counts.nonEmpty, "bitSurprisal: empty model table")
+    val total = counts.map(_._2).sum
+    require(total > 0L, "bitSurprisal: model has no probability mass")
+    def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val probs = new java.util.HashMap[String, java.lang.Double](counts.length * 2)
+    val bits = new java.util.HashMap[String, Integer](counts.length * 2)
+    counts.foreach { case (p, c) =>
+      probs.put(p, c.toDouble / total.toDouble)
+      bits.put(p, if (c == 0L) bitLen(total) else bitLen(total / c) - 1)
+    }
+    val bcP = spark.sparkContext.broadcast(probs)
+    val bcB = spark.sparkContext.broadcast(bits)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        preTokensOf(textCol, byteLevel).as("_pts"))
+      .as[(Long, Seq[String])].mapPartitions { it =>
+        val m = bcP.value
+        val bm = bcB.value
+        val memo = new java.util.HashMap[String, (Int, Long)]()
+        val cap = 1 << 20
+        it.map { case (id, words) =>
+          var n = 0L
+          var sb = 0L
+          words.foreach { w =>
+            var s = memo.get(w)
+            if (s == null) {
+              val pieces = viterbi(w, m, maxPieceLen)
+              var b = 0L
+              pieces.foreach(p => b += bm.get(p).intValue())
+              s = (pieces.length, b)
+              if (memo.size > cap) memo.clear()
+              memo.put(w, s)
+            }
+            n += s._1
+            sb += s._2
+          }
+          (id, n, sb, if (n == 0L) 0.0 else sb.toDouble / n.toDouble)
+        }
+      }.toDF("doc_id", "n_tokens", "sum_bits", "avg_bits")
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** UTF-8 unsigned byte order — binary string order on both engines. */
@@ -253,7 +369,8 @@ object UnigramLm {
     * output keeps the corpus-wide pass cheap (strings are the expensive
     * half of the string surface at scale). */
   def encodeUnigramToIds(docs: DataFrame, idCol: String, textCol: String,
-                         model: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+                         model: DataFrame, maxPieceLen: Int = 4,
+                         byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val counts = model.select(col("piece"), col("cnt").cast("long"))
@@ -268,7 +385,7 @@ object UnigramLm {
     val bcP = spark.sparkContext.broadcast(probs)
     val bcI = spark.sparkContext.broadcast(ids)
     docs.select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.bpeTokens(col(textCol)).as("_pts"))
+        preTokensOf(textCol, byteLevel).as("_pts"))
       .as[(Long, Seq[String])].mapPartitions { it =>
         val m = bcP.value
         val idm = bcI.value

@@ -385,12 +385,40 @@ object PipelineQueries {
     * single), then per iteration r the Viterbi pass over c{r−1}'s counts and
     * the integer recount c$r over the fixed set (zeros kept — a zero-count
     * piece stays a probability-0 candidate, the trainer's convention). */
-  private def unigramTrainCtes(iters: Int, pruneTo: Option[Int] = None): String = {
+  private def unigramTrainCtes(iters: Int, pruneTo: Option[Int] = None,
+                               byteLevel: Boolean = false): String = {
+    // code-point regime: pre-token frequencies f(p, freq) directly off the
+    // text; singles floor = the corpus alphabet. Byte-level regime: the same
+    // chain over REMAPPED words (hex(encode(w)) split into byte pairs
+    // against the 256-row map — the q146 construction), with the singles
+    // floor being the FIXED byte alphabet at coalesce(corpus cnt, 0) — the
+    // byte-fallback vocabulary, retained at count 0.
+    val freqCtes =
+      if (!byteLevel)
+        s"""pt AS (SELECT unnest(regexp_extract_all(text,
+           |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
+           | FROM documents),
+           |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1)""".stripMargin
+      else
+        s"""rm(hx, ch) AS (SELECT * FROM (VALUES $byteRemapValuesSql)),
+           |pt AS (SELECT unnest(regexp_extract_all(text,
+           |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS orig
+           | FROM documents),
+           |fw AS (SELECT orig, count(*) AS freq FROM pt GROUP BY 1),
+           |fh AS (SELECT orig, freq, hex(encode(orig)) AS hx FROM fw),
+           |fr AS MATERIALIZED (SELECT fh.orig, fh.freq,
+           |    string_agg(r.ch, '' ORDER BY g.i) AS p
+           |  FROM fh, LATERAL unnest(generate_series(1, length(fh.hx) // 2)) AS g(i)
+           |  JOIN rm r ON r.hx = substr(fh.hx, CAST(2 * g.i - 1 AS INT), 2)
+           |  GROUP BY fh.orig, fh.freq),
+           |f AS (SELECT p, freq FROM fr)""".stripMargin
+    val singlesCte =
+      if (!byteLevel) "SELECT piece, cnt FROM s0 WHERE length(piece) = 1"
+      else """SELECT r.ch AS piece, CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
+             |  FROM rm r LEFT JOIN (SELECT piece, cnt FROM s0
+             |    WHERE length(piece) = 1) s ON s.piece = r.ch""".stripMargin
     val pre =
-      s"""pt AS (SELECT unnest(regexp_extract_all(text,
-         |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS p
-         | FROM documents),
-         |f AS (SELECT p, count(*) AS freq FROM pt GROUP BY 1),
+      s"""$freqCtes,
          |w AS (SELECT p AS word, freq FROM f),
          |s0 AS (SELECT substr(p, CAST(i AS INT), CAST(l AS INT)) AS piece,
          |    CAST(sum(freq) AS BIGINT) AS cnt
@@ -402,7 +430,7 @@ object PipelineQueries {
          |c0 AS (SELECT piece, cnt FROM (
          |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
          |    FROM s0 WHERE length(piece) >= 2) z WHERE rn <= $UnigramVocabSize
-         |  UNION ALL SELECT piece, cnt FROM s0 WHERE length(piece) = 1)""".stripMargin
+         |  UNION ALL $singlesCte)""".stripMargin
     // the ACTIVE candidate set feeding iteration r+1: the recount itself
     // when unpruned (same pieces as c0 — only the counts move), the shrunk
     // a$r when the SentencePiece prune loop is engaged between iterations
@@ -457,6 +485,50 @@ object PipelineQueries {
        |    CAST(row_number() OVER (PARTITION BY d.doc_id
        |      ORDER BY d.pti, pe.pos) AS BIGINT) AS pos, pe.piece AS token
        |  FROM dpt d JOIN piecese pe ON d.word = pe.word)""".stripMargin
+
+  /** Byte-fallback twin of [[unigramEncodeCtes]] over encode source
+    * `encSrc(doc_id, text)`: the byteLevel training chain (fixed-alphabet
+    * singles floor), the final model KEEPING count-0 singles (`vf` — the
+    * byte-fallback vocabulary), and the %25 sample's pre-tokens REMAPPED
+    * through the byte table before the Viterbi pass — so a pre-token from a
+    * script the training corpus never saw reaches the DP as in-alphabet
+    * byte symbols (probability-0 path, ties to the longer piece) instead of
+    * stranding. Ends in `sq(doc_id, pos, token)`. */
+  private def unigramEncodeCtesByteLevel(encSrc: String): String =
+    s"""${unigramTrainCtes(UnigramIters, byteLevel = true)},
+       |vf AS (SELECT piece, cnt FROM c$UnigramIters
+       |  WHERE cnt > 0 OR length(piece) = 1),
+       |dtl AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+       |  FROM $encSrc WHERE doc_id % 25 = 0),
+       |dpt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
+       |    tl[CAST(pi AS INT)] AS orig
+       |  FROM dtl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+       |dwh AS (SELECT DISTINCT orig, hex(encode(orig)) AS hx FROM dpt),
+       |dwr AS MATERIALIZED (SELECT orig,
+       |    string_agg(r.ch, '' ORDER BY g.i) AS word
+       |  FROM dwh, LATERAL unnest(generate_series(1, length(hx) // 2)) AS g(i)
+       |  JOIN rm r ON r.hx = substr(dwh.hx, CAST(2 * g.i - 1 AS INT), 2)
+       |  GROUP BY orig),
+       |we AS (SELECT DISTINCT word, CAST(1 AS BIGINT) AS freq FROM dwr),
+       |${unigramViterbiCtes("e", "vf", "we")},
+       |sq AS (SELECT d.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY d.pti, pe.pos) AS BIGINT) AS pos, pe.piece AS token
+       |  FROM dpt d JOIN dwr rw ON rw.orig = d.orig
+       |  JOIN piecese pe ON rw.word = pe.word)""".stripMargin
+
+  /** q176: the byte-fallback encode oracle — byteLevel training on the
+    * PLAIN corpus, encode of the %25 sample with real multi-byte UTF-8
+    * appended (accents, CJK, an astral emoji — bytes the training corpus
+    * never saw; they price through the count-0 byte singles and nothing
+    * drops). */
+  private def unigramByteEncodeOracleSql: String =
+    s"""WITH RECURSIVE uq AS (SELECT doc_id,
+       |    substr(text, 1, 60) || ' café 日本 Straße 🙂!' AS text
+       |  FROM documents),
+       |${unigramEncodeCtesByteLevel("uq")}
+       |SELECT doc_id, pos, token FROM sq ORDER BY doc_id, pos""".stripMargin
 
   private def unigramEncodeOracleSql: String =
     s"""WITH RECURSIVE $unigramEncodeCtes
@@ -1780,6 +1852,46 @@ object PipelineQueries {
           ORDER BY query_id, adc_dist, vec_id""")
     }),
 
+    // q175: the PQ index COMMIT PROTOCOL, oracle-gated end to end — q126's
+    // construction split across the full [[GenCommit]] lifecycle: save the
+    // vec_id%3!=0 slice (gen 0), APPEND the %3==0 slice (gen 1, under the
+    // writer lease), plant a TORN generation (a gen=2 code file whose meta
+    // never committed — the crash artifact), vacuum it away, and search the
+    // reloaded index with the identical ivfPqTopKJoin plan. Shares q126's
+    // oracle VERBATIM: the generation round-trip, the orphan, and the vacuum
+    // must all be invisible in the result, or the hash breaks.
+    "q175_pq_append_vacuum" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val coarse: Seq[Seq[Double]] = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy(col("vec_id")).limit(PqCoarseK)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
+      val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
+        coarse, m = PqM, ksub = PqKsub)
+      val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
+        .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
+          col("cell"))
+      val idxPath = "/tmp/graft_fixtures/q175_index"
+      pq.savePqIndex(encoded.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "vec_id", "packed", "cell", coarse, cb, residual = true, idxPath)
+      pq.appendToPqIndex(encoded.filter(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "packed", "cell", idxPath)
+      // the crash artifact: a gen=2 code file landed, meta_g2 never did —
+      // invisible to readers, reclaimed by the vacuum
+      Seq((-1L, 0L, 0, 2)).toDF("vec_id", "packed", "cell", "gen")
+        .write.mode("append").partitionBy("gen", "cell").parquet(s"$idxPath/codes")
+      pq.vacuumPqIndex(s, idxPath)
+      val idx = pq.loadPqIndex(s, idxPath)
+      val queries = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      pq.ivfPqTopKJoin(queries, "qid", "embedding", idx.codes, "packed", "vec_id",
+          "cell", idx.coarse, idx.codebooks, nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("adc_dist"), col("vec_id"))
+    }),
+
     // q140: the FULL tokenizer chain (train → vocab → encode → price) from a
     // pure-SQL FROM clause via the graft_bpe_encode TABLE function — trains
     // on the whole corpus, encodes the %5 sample, exactly q136's chain, so
@@ -2172,6 +2284,27 @@ object PipelineQueries {
           FROM graft_unigram_encode('graft_unigram_train', 'graft_unigram_probe',
             'doc_id', 'text', $UnigramMaxPieceLen, $UnigramVocabSize, $UnigramIters)
           ORDER BY doc_id, pos""")
+    }),
+
+    // q176: unigram-LM encode with BYTE FALLBACK (SentencePiece's
+    // --byte_fallback for the hard-EM regime) — train byteLevel on the
+    // PLAIN corpus (fixed 256-symbol alphabet floor, count-0 singles
+    // RETAINED in the model), then encode the %25 sample with the q146
+    // adversarial multi-byte UTF-8 appended: accents, CJK and an astral
+    // emoji whose bytes the training corpus never saw degrade to
+    // probability-0 byte pieces (ties to the longer piece — deterministic)
+    // instead of vanishing. The oracle replays the byte remap, the
+    // byteLevel EM, the count-0-singles model, and the fallback Viterbi.
+    "q176_unigram_byte_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.trainUnigram(docs, "text",
+        UnigramMaxPieceLen, UnigramVocabSize, UnigramIters, byteLevel = true)
+      val fixture = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 60), lit(" café 日本 Straße 🙂!")).as("text"))
+      graft.operators.UnigramLm.encodeUnigram(
+          fixture.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+          model, UnigramMaxPieceLen, byteLevel = true)
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     // q162: THE FULL MODERN CURATION CHAIN, oracle-gated end to end —
@@ -3750,6 +3883,7 @@ object PipelineQueries {
     "q172_sql_unigram_encode" -> unigramEncodeOracleSql,
     "q173_unigram_encode_ids" -> unigramEncodeIdsOracleSql,
     "q174_unigram_train_pruned" -> unigramPrunedTrainOracleSql,
+    "q176_unigram_byte_encode" -> unigramByteEncodeOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,
@@ -4036,6 +4170,9 @@ object PipelineQueries {
     // construction it must reproduce q126's result exactly, so it shares the
     // oracle verbatim.
     "q139_sql_ivfpq_search" -> q126OracleSql,
+    // q175 is the SAME search over the save→append→torn-gen→vacuum lifecycle
+    // — the commit protocol must be invisible, so it shares q126's oracle.
+    "q175_pq_append_vacuum" -> q126OracleSql,
     "q129_knn_graph" -> {
       // q126's chain with nodes-as-queries and EXACT self-exclusion: ranking
       // all non-self candidates equals rank-(k+1)-drop-self-retake-k

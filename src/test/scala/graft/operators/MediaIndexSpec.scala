@@ -92,7 +92,7 @@ class MediaIndexSpec extends SparkSpec {
     // simulate an append in flight: its writer lease is held and its gen=1
     // data landed, but meta_g1 has not committed yet — exactly the state a
     // racing vacuum would otherwise misread as a reclaimable orphan
-    GenCommit.acquireLease(spark, path)
+    val tok = GenCommit.acquireLease(spark, path)
     Seq((77L, 0L, Array.fill(64)(1L), 1))
       .toDF("media_id", "fp", "energies", "gen")
       .write.mode("append").partitionBy("gen").parquet(s"$path/fingerprints")
@@ -105,7 +105,7 @@ class MediaIndexSpec extends SparkSpec {
     val second = intercept[IllegalStateException](
       Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path))
     assert(second.getMessage.contains("lease"))
-    GenCommit.releaseLease(spark, path)
+    GenCommit.releaseLease(spark, path, tok)
     // writer released without committing (crash-equivalent): the gen=1 data
     // is now a true orphan and vacuum reclaims it
     assert(MediaIndex.vacuum(spark, path) >= 1)
@@ -151,15 +151,33 @@ class MediaIndexSpec extends SparkSpec {
     Multimodal.appendToAudioIndex(wavMedia(4L -> otherClip), path)
     assert(MediaIndex.load(spark, path).nItems === 2L)
     // a fresh save must not destroy an in-flight appender's lease and data
-    GenCommit.acquireLease(spark, path)
+    val tok = GenCommit.acquireLease(spark, path)
     assert(intercept[IllegalStateException](
       Multimodal.saveAudioIndex(wavMedia(9L -> thirdClip), path))
       .getMessage.contains("lease"))
     assert(MediaIndex.load(spark, path).nItems === 2L,
       "a refused save must leave the committed index untouched")
-    GenCommit.releaseLease(spark, path)
+    GenCommit.releaseLease(spark, path, tok)
     Multimodal.saveAudioIndex(wavMedia(9L -> thirdClip), path)
     assert(MediaIndex.load(spark, path).nItems === 1L)
+  }
+
+  test("lease ownership: a taken-over writer cannot delete the new holder's lease") {
+    val path = tempDir().resolve("lease_tok").toString
+    // an old writer whose lease aged past the TTL (slow, not dead)
+    val oldTok = GenCommit.acquireLease(spark, path)
+    Thread.sleep(5)
+    // legitimate takeover: the taker's TTL says the 5 ms-old lease is stale
+    val newTok = GenCommit.acquireLease(spark, path, ttlMs = 1L)
+    // the slow old writer: its commit fence and its release both fail loudly
+    // instead of deleting the new holder's lease (which would have let a
+    // third writer interleave)
+    intercept[IllegalStateException](GenCommit.assertHeld(spark, path, oldTok))
+    intercept[IllegalStateException](GenCommit.releaseLease(spark, path, oldTok))
+    assert(GenCommit.fs(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(path, "_lease")),
+      "the new holder's lease must survive the old writer's exit")
+    GenCommit.releaseLease(spark, path, newTok)
   }
 
   test("a failing save leaves the previously committed index intact") {

@@ -519,8 +519,9 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(idx.coarse == coarse, "coarse matrix drifted through parquet")
     assert(idx.codebooks == cb, "codebooks drifted through parquet")
     assert(idx.residual && idx.m == m && idx.ksub == ksub)
-    assert(new java.io.File(s"$path/codes").listFiles()
-      .exists(_.getName.startsWith("cell=")), "codes must be cell-partitioned")
+    assert(new java.io.File(s"$path/codes/gen=0").listFiles()
+      .exists(_.getName.startsWith("cell=")),
+      "codes must be cell-partitioned inside their gen=N commit partition")
     val q = df.filter($"id" === 7L).select($"v").as[Seq[Double]].collect().head
     val before = pq.ivfPqResidualTopK(enc, "packed", "id", "cell", coarse, cb,
         q, nprobe = 2, k = 5).as[(Long, Double)].collect().toSeq
@@ -583,7 +584,7 @@ class ProductQuantizationSpec extends SparkSpec {
       pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell",
         tempDir().resolve("nowhere").toString)
     }
-    assert(err.getMessage.contains("no index meta"))
+    assert(err.getMessage.contains("no committed index meta"))
 
     // geometry validation — silently appending codes packed under a
     // different (m, ksub) would corrupt the index for every later reader:
@@ -616,6 +617,107 @@ class ProductQuantizationSpec extends SparkSpec {
     pq.appendToPqIndex(encOf(batch2), "id", "packed", "cell", path,
       m = Some(m), ksub = Some(ksub))
     assert(pq.loadPqIndex(spark, path).codes.count() === 80L)
+  }
+
+  test("PQ index commit protocol: torn append invisible, vacuum reclaims orphans, search identical") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(60, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    def encOf(d: org.apache.spark.sql.DataFrame) =
+      pq.encodeResidual(SimilaritySearch.assignCells(d, "v", coarse, "cell"),
+          "v", "cell", coarse, cb)
+        .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+    val path = tempDir().resolve("pqtorn").toString
+    pq.savePqIndex(encOf(df.filter($"id" < 40L)), "id", "packed", "cell",
+      coarse, cb, residual = true, path)
+    // simulate a crash: a gen=1 code file landed, meta_g1 never did
+    Seq((999L, 1L, 0, 1)).toDF("vec_id", "packed", "cell", "gen")
+      .write.mode("append").partitionBy("gen", "cell").parquet(s"$path/codes")
+    val torn = pq.loadPqIndex(spark, path)
+    assert(torn.codes.count() === 40L, "uncommitted generation leaked into the read")
+    // retry commits on a fresh generation; the orphan stays invisible
+    pq.appendToPqIndex(encOf(df.filter($"id" >= 40L)), "id", "packed", "cell", path)
+    val idx = pq.loadPqIndex(spark, path)
+    assert(idx.codes.count() === 60L)
+    assert(idx.codes.filter($"vec_id" === 999L).isEmpty,
+      "the torn row must not be readable")
+    val q = df.filter($"id" === 3L).select($"v").as[Seq[Double]].collect().head
+    def search() = pq.ivfPqResidualTopK(pq.loadPqIndex(spark, path).codes,
+        "packed", "vec_id", "cell", coarse, cb, q, nprobe = kCent, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    val before = search()
+    val removed = pq.vacuumPqIndex(spark, path)
+    assert(removed >= 2, s"expected torn gen + superseded metas removed, got $removed")
+    assert(!new java.io.File(s"$path/codes/gen=1").exists(),
+      "vacuum must reclaim the torn generation")
+    assert(search() === before, "vacuum must not change search results")
+    assert(pq.loadPqIndex(spark, path).codes.count() === 60L)
+  }
+
+  test("PQ vacuum/append racing an in-flight append refuse on the writer lease") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(50, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    def encOf(d: org.apache.spark.sql.DataFrame) =
+      pq.encodeResidual(SimilaritySearch.assignCells(d, "v", coarse, "cell"),
+          "v", "cell", coarse, cb)
+        .select($"id", pq.packCodes($"pq_codes", m, ksub).as("packed"), $"cell")
+    val path = tempDir().resolve("pqlease").toString
+    pq.savePqIndex(encOf(df.filter($"id" < 40L)), "id", "packed", "cell",
+      coarse, cb, residual = true, path)
+    // an append in flight: lease held, gen=1 data landed, meta_g1 not yet
+    val tok = GenCommit.acquireLease(spark, path)
+    Seq((999L, 1L, 0, 1)).toDF("vec_id", "packed", "cell", "gen")
+      .write.mode("append").partitionBy("gen", "cell").parquet(s"$path/codes")
+    assert(intercept[IllegalStateException](pq.vacuumPqIndex(spark, path))
+      .getMessage.contains("lease"))
+    assert(new java.io.File(s"$path/codes/gen=1").exists(),
+      "a refused vacuum must not touch the in-flight generation")
+    assert(intercept[IllegalStateException](
+      pq.appendToPqIndex(encOf(df.filter($"id" >= 40L)), "id", "packed", "cell",
+        path)).getMessage.contains("lease"))
+    GenCommit.releaseLease(spark, path, tok)
+    // released without committing (crash-equivalent): now a true orphan
+    assert(pq.vacuumPqIndex(spark, path) >= 1)
+    pq.appendToPqIndex(encOf(df.filter($"id" >= 40L)), "id", "packed", "cell", path)
+    assert(pq.loadPqIndex(spark, path).codes.count() === 50L)
+  }
+
+  test("loadPqIndex legacy fallback: a pre-generational index (plain meta, ungenerated codes) still loads") {
+    val dims = 8; val m = 4; val ksub = 3; val kCent = 3
+    val df = syntheticCorpus(30, dims).cache()
+    val coarse = SimilaritySearch.kmeansCentroids(df, "v", "id", kCent, iters = 2)
+    val assigned = SimilaritySearch.assignCells(df, "v", coarse, "cell")
+    val cb = pq.trainCodebooksResidual(assigned, "v", "id", "cell", coarse, m, ksub, 2)
+    val enc = pq.encodeResidual(assigned, "v", "cell", coarse, cb)
+      .select($"id".as("vec_id"), pq.packCodes($"pq_codes", m, ksub).as("packed"),
+        $"cell")
+    val path = tempDir().resolve("pqlegacy").toString
+    // hand-write the pre-round-16 layout: cell-only codes + a plain `meta`
+    enc.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    coarse.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$path/coarse")
+    cb.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent) } }
+      .toDF("sub", "cid", "centroid").coalesce(1).write.parquet(s"$path/codebooks")
+    Seq((m, ksub, true, Option.empty[Long], false))
+      .toDF("m", "ksub", "residual", "rotation_seed", "has_rotation_matrix")
+      .coalesce(1).write.parquet(s"$path/meta")
+    val idx = pq.loadPqIndex(spark, path)
+    assert(idx.m === m && idx.ksub === ksub && idx.residual)
+    assert(idx.codes.count() === 30L)
+    val q = df.filter($"id" === 3L).select($"v").as[Seq[Double]].collect().head
+    val got = pq.ivfPqResidualTopK(idx.codes, "packed", "vec_id", "cell",
+        idx.coarse, idx.codebooks, q, nprobe = kCent, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val direct = pq.ivfPqResidualTopK(enc, "packed", "vec_id", "cell",
+        coarse, cb, q, nprobe = kCent, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === direct)
   }
 
   test("codeWidth: ceil(log2 ksub) with a floor of one bit") {

@@ -317,14 +317,14 @@ class RetrievalSpec extends SparkSpec {
   test("text-index vacuum and a second appender refuse while the writer lease is held") {
     val path = tempDir().resolve("textindex_lease").toString
     Retrieval.saveTextIndex(corpus, "doc_id", "text", path, nBuckets = 8)
-    GenCommit.acquireLease(spark, path)
+    val tok = GenCommit.acquireLease(spark, path)
     val extra = Seq((7L, "late arriving words")).toDF("doc_id", "text")
     assert(intercept[IllegalStateException](
       Retrieval.vacuumTextIndex(spark, path)).getMessage.contains("lease"))
     assert(intercept[IllegalStateException](
       Retrieval.appendToTextIndex(extra, "doc_id", "text", path))
       .getMessage.contains("lease"))
-    GenCommit.releaseLease(spark, path)
+    GenCommit.releaseLease(spark, path, tok)
     Retrieval.appendToTextIndex(extra, "doc_id", "text", path)
     assert(Retrieval.loadTextIndex(spark, path).nDocs === 5L)
     Retrieval.vacuumTextIndex(spark, path)

@@ -104,6 +104,44 @@ class UnigramLmSpec extends SparkSpec {
     assert(multi.toSet.subsetOf(full), "pruned survivors come from the seeded set")
   }
 
+  test("byte fallback: alien pre-tokens degrade to byte pieces — no dropped pre-tokens, lossless decode") {
+    import graft.expressions.ByteRemap
+    // train on PLAIN ASCII only; encode text with scripts the training
+    // corpus never saw (accents, CJK, an astral emoji)
+    val train = Seq((1L, "abab abab cd"), (2L, "abab cd cd")).toDF("doc_id", "text")
+    val model = UnigramLm.trainUnigram(train, "text", maxPieceLen = 4,
+      vocabSize = 20, iters = 2, byteLevel = true)
+    val counts = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the full 256-symbol byte alphabet is retained, count 0 allowed
+    ByteRemap.byteToChar.foreach(ch => assert(counts.contains(ch.toString),
+      s"byte single '$ch' missing from the byteLevel model"))
+    assert(counts.exists(_._2 == 0L), "unseen byte singles must survive at count 0")
+    val alien = Seq((5L, "ab café 日本 🙂")).toDF("doc_id", "text")
+    val enc = UnigramLm.encodeUnigram(alien, "doc_id", "text", model,
+      maxPieceLen = 4, byteLevel = true)
+      .orderBy(col("pos")).collect()
+    assert(enc.nonEmpty)
+    // LOSSLESS: unremapping the concatenated byte-symbol tokens reproduces
+    // the original text exactly — nothing dropped, astral plane included
+    val back = ByteRemap.unremapString(enc.map(_.getString(2)).mkString)
+    assert(back === "ab café 日本 🙂", s"lossless decode broke: got '$back'")
+    // the code-point (non-byteLevel) regime DOES drop the alien pre-tokens
+    // against a model lacking their characters — the exact failure byte
+    // fallback removes
+    val cpModel = UnigramLm.trainUnigram(train, "text", maxPieceLen = 4,
+      vocabSize = 20, iters = 2)
+    val cpEnc = UnigramLm.encodeUnigram(alien, "doc_id", "text", cpModel,
+      maxPieceLen = 4).collect()
+    assert(cpEnc.length < enc.length,
+      "without byte fallback the alien pre-tokens must have vanished")
+    // ids surface: every fallback piece prices through vocabIds (the model
+    // carries the full alphabet, so no id lookup can miss)
+    val ids = UnigramLm.encodeUnigramToIds(alien, "doc_id", "text", model,
+      maxPieceLen = 4, byteLevel = true)
+      .select(explode(col("token_ids"))).as[Int].collect()
+    assert(ids.length === enc.length, "id surface must price every fallback piece")
+  }
+
   test("loud contracts: bad geometry and empty model") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
