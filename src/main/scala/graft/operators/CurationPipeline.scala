@@ -40,6 +40,15 @@ object CurationPipeline {
                                     maxAvgBits: Double = 8.0,
                                     byteLevel: Boolean = false)
 
+  /** Kneser–Ney trigram perplexity gate config ([[NgramLm.knTrigramBits]]):
+    * keep documents whose average per-trigram integer bit-surprisal under
+    * the interpolated-KN model over the trained `trigrams` count table
+    * ([[NgramLm.trigramCounts]] over trusted text) is at most `maxAvgBits`
+    * — the closest oracle-exact analog of CCNet's smoothed-KenLM gate.
+    * Documents with no trigrams (<3 tokens) score 0 and pass — the length
+    * gates own degenerate docs. */
+  final case class KnFilter(trigrams: DataFrame, maxAvgBits: Double = 8.0)
+
   /** Diversity-stage config ([[Sampling.diversitySample]]): `embeddings`
     * carries ONE row per document keyed by the SAME id column the pipeline
     * uses, with the vector in `vecCol`; each Voronoi cell of `centroids`
@@ -61,6 +70,7 @@ object CurationPipeline {
              shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4,
              lmFilter: Option[LmFilter] = None,
              unigramFilter: Option[UnigramNllFilter] = None,
+             knFilter: Option[KnFilter] = None,
              repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
     val gated0 = docs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
@@ -77,11 +87,21 @@ object CurationPipeline {
     // unigram-NLL gate: one broadcast-model scan over the survivors (the
     // bitSurprisal frame is per-doc-sized, so the semi-join stays cheap) —
     // like the bigram gate, it shrinks the corpus BEFORE the LSH shuffles
-    val filtered = unigramFilter.fold(filtered0) { uf =>
+    val filtered1 = unigramFilter.fold(filtered0) { uf =>
       filtered0.join(
         UnigramLm.bitSurprisal(filtered0, idCol, textCol, uf.model,
             uf.maxPieceLen, uf.byteLevel)
           .filter(col("avg_bits") <= uf.maxAvgBits)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+    // Kneser–Ney gate: the count-table joins are vocabulary-sized (AQE
+    // broadcasts them), the score frame per-doc-sized — same stage shape
+    // and the same shrink-before-LSH ordering as the other LM gates
+    val filtered = knFilter.fold(filtered1) { kf =>
+      filtered1.join(
+        NgramLm.knTrigramBits(filtered1, idCol, textCol, kf.trigrams)
+          .filter(col("avg_bits") <= kf.maxAvgBits)
           .select(col(idCol)),
         Seq(idCol), "left_semi")
     }
@@ -145,6 +165,7 @@ object CurationPipeline {
                         htmlInput: Boolean = false,
                         lmFilter: Option[LmFilter] = None,
                         unigramFilter: Option[UnigramNllFilter] = None,
+                        knFilter: Option[KnFilter] = None,
                         diversity: Option[DiversitySpec] = None,
                         repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
     val passthrough = (zorderBy ++ passthroughCols).distinct
@@ -167,7 +188,7 @@ object CurationPipeline {
     val kept = Decontamination.decontaminate(
       curate(cleaned, idCol, textCol, minQuality = minQuality,
         lmFilter = lmFilter, unigramFilter = unigramFilter,
-        repetitionGate = repetitionGate),
+        knFilter = knFilter, repetitionGate = repetitionGate),
       evalDocs, idCol, textCol, decontaminationGrams)
     // optional diversity stage (SemDeDup's density-flattening complement):
     // scope the embedding frame to the survivors FIRST (semi-join — vectors

@@ -81,6 +81,165 @@ object NgramLm {
           .otherwise(col("n_oov").cast("double") / col("n_bigrams").cast("double")))
   }
 
+  /** Adjacent token triples (w1, w2, w3) over a staged token array — the
+    * [[bigramsOf]] discipline (staged column, never the raw text). */
+  private def trigramsOf(toks: Column): Column =
+    when(size(toks) < 3,
+        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + lit(1)).as("w2"),
+          element_at(toks, i + lit(2)).as("w3"))))
+
+  private def explodedTrigrams(df: DataFrame, keep: Seq[String],
+                               textCol: String): DataFrame =
+    df.select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("_toks"): _*)
+      .select(keep.map(col) :+ explode(trigramsOf(col("_toks"))).as("g"): _*)
+
+  /** Trained trigram table (w1, w2, w3, c) — one map-side-combined
+    * aggregate; every other Kneser-Ney count table derives from it
+    * (vocabulary-sized group-bys, nothing corpus-sized). */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    explodedTrigrams(docs, Nil, textCol)
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
+  /** Per-document INTEGER BIT-SURPRISAL under an interpolated KNESER-NEY
+    * trigram model (Kneser & Ney 1995; Chen & Goodman 1999) with absolute
+    * discount d = 1/2 — the oracle-exact upgrade of [[oovBigramRate]]'s
+    * novelty signal to a real smoothed-LM ranking (the CCNet gate is a
+    * 5-gram KenLM; this is the same family with every count integer).
+    *
+    * All tables derive from the trained `trigrams` count table
+    * ([[trigramCounts]], typically over trusted text) — the self-contained
+    * formulation, so the model normalizes exactly:
+    *
+    *   P3(w3|w1w2) = max(c3−d,0)/c12 + d·T12/c12 · P2(w3|w2)
+    *   P2(w3|w2)   = max(n2−d,0)/tot2 + d·T2/tot2 · P1(w3)
+    *   P1(w3)      = n1 / nAll
+    *
+    * with c12 = Σ_w3 c(w1w2w3), T12 = N1+(w1w2·), n2 = N1+(·w2w3) (distinct
+    * left contexts), tot2 = N1+(·w2·), T2 = distinct w3 after w2,
+    * n1 = distinct middles w2 with (w2,w3) seen, nAll = distinct (w2,w3)
+    * pairs. With d = 1/2 every level is one exact rational: num2/den2 =
+    * (max(2n2−1,0)·nAll + T2·n1) / (2·tot2·nAll) and num3/den3 =
+    * (max(2c3−1,0)·den2 + T12·num2) / (2·c12·den2). An unseen (w1,w2)
+    * context backs off to level 2, an unseen w2 to level 1 — the standard
+    * interpolated-KN recursion, never a zero denominator.
+    *
+    * Each scored trigram contributes `floor(log2(den/num))` bits — computed
+    * as `bitlen(den div num) − 1` (the [[UnigramLm.bitSurprisal]] integer
+    * identity), with a probability-ZERO trigram (w3 never seen as a
+    * continuation) scoring `bitlen(den)`, one more than the rarest positive
+    * event can. The only float arithmetic is one exactly-rounded IEEE
+    * division per document, so the scores hash-replay cell-for-cell in
+    * DuckDB. Output: (idCol, n_trigrams, sum_bits, avg_bits), one row per
+    * input document; <3-token docs score avg 0.0 (the length gates own
+    * degenerate docs). Lower = more in-domain.
+    *
+    * VALIDITY BOUND (documented, enforced): den3 = 4·c12·tot2·nAll must fit
+    * a signed 64-bit integer. That caps the TRAINING corpus near ~10^6
+    * tokens (4·(10^6)^3 ≈ 4·10^18 < 2^63) — the exact-rational surface is
+    * the validation/oracle twin, sized for trusted-LM training sets (CCNet
+    * trains its gate LM on a Wikipedia-sized sample, not the crawl);
+    * [[knTrigramNll]] is the same model in double arithmetic for unbounded
+    * corpora, and scoring throughput is corpus-scale on both (the count
+    * tables broadcast; the guard below collects three scalar maxima, never
+    * rows). */
+  def knTrigramBits(docs: DataFrame, idCol: String, textCol: String,
+                    trigrams: DataFrame): DataFrame =
+    knTrigramScored(docs, idCol, textCol, trigrams)
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_trigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("sum_bits").cast("double") /
+            col("n_trigrams").cast("double")).as("avg_bits"))
+
+  /** [[knTrigramBits]]'s model in plain double arithmetic: per-document
+    * average −ln P_KN per trigram — the unbounded-scale ranking surface
+    * (no integer-overflow bound; `ln` is libm-dependent, so this surface is
+    * property-spec'd like [[avgNegLogProb]], not oracle-hashed). Docs with
+    * no trigrams get NULL avg_nll. */
+  def knTrigramNll(docs: DataFrame, idCol: String, textCol: String,
+                   trigrams: DataFrame): DataFrame =
+    knTrigramScored(docs, idCol, textCol, trigrams, exact = false)
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("avg_nll"))
+
+  /** The shared KN scoring join/arithmetic: per-doc aggregates left-joined
+    * back onto one row per input document. `exact = true` adds the integer
+    * bit-surprisal columns (and enforces the i64 bound); both modes carry
+    * the double NLL. */
+  private def knTrigramScored(docs: DataFrame, idCol: String, textCol: String,
+                              trigrams: DataFrame,
+                              exact: Boolean = true): DataFrame = {
+    val tri = trigrams.select(col("w1"), col("w2"), col("w3"),
+      col("c").cast("long").as("_c3"))
+    val ctx12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("_c3")).as("_c12"), count(lit(1)).as("_t12"))
+    val mid = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("_n2"))
+    val ctx2 = mid.groupBy(col("w2"))
+      .agg(sum(col("_n2")).as("_tot2"), count(lit(1)).as("_t2"))
+    val uni = mid.groupBy(col("w3")).agg(count(lit(1)).as("_n1"))
+    // three scalars of bounded metadata (never rows): nAll for the lowest
+    // order, the two maxima for the overflow guard
+    val nAll = mid.agg(count(lit(1))).collect()(0).getLong(0)
+    require(nAll > 0L, "knTrigram: empty trigram table (corpus under 3 tokens?)")
+    val Array(maxC12, maxTot2) =
+      Seq(ctx12.agg(max(col("_c12"))), ctx2.agg(max(col("_tot2"))))
+        .map(_.collect()(0).getLong(0)).toArray
+    if (exact)
+      require(BigInt(4) * maxC12 * maxTot2 * nAll < BigInt(Long.MaxValue),
+        s"knTrigramBits: 4*max(c12)=$maxC12*max(tot2)=$maxTot2*nAll=$nAll " +
+          "overflows i64 — train the exact surface on a smaller trusted " +
+          "corpus, or rank with knTrigramNll (double) instead")
+    val exploded = explodedTrigrams(docs, Seq(idCol), textCol)
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val joined = exploded
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .select(col(idCol),
+        coalesce(col("_c3"), lit(0L)).as("c3"),
+        coalesce(col("_c12"), lit(0L)).as("c12"),
+        coalesce(col("_t12"), lit(0L)).as("t12"),
+        coalesce(col("_n2"), lit(0L)).as("n2"),
+        coalesce(col("_tot2"), lit(0L)).as("tot2"),
+        coalesce(col("_t2"), lit(0L)).as("t2"),
+        coalesce(col("_n1"), lit(0L)).as("n1"),
+        lit(nAll).as("na"))
+    val num2 = greatest(lit(2L) * col("n2") - 1L, lit(0L)) * col("na") +
+      col("t2") * col("n1")
+    val den2 = lit(2L) * col("tot2") * col("na")
+    val num3 = greatest(lit(2L) * col("c3") - 1L, lit(0L)) * den2 +
+      col("t12") * num2
+    val den3 = lit(2L) * col("c12") * den2
+    val num = when(col("c12") > 0, num3)
+      .when(col("tot2") > 0, num2).otherwise(col("n1"))
+    val den = when(col("c12") > 0, den3)
+      .when(col("tot2") > 0, den2).otherwise(col("na"))
+    val scored = joined.withColumn("_num", num).withColumn("_den", den)
+    val withBits =
+      if (!exact) scored.withColumn("_bits", lit(0L))
+      else scored.withColumn("_bits",
+        when(col("_num") === 0L, length(bin(col("_den"))))
+          .otherwise(length(bin(expr("_den DIV _num"))) - 1).cast("long"))
+    val perDoc = withBits.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(col("_bits")).as("sum_bits"),
+      // NLL of a zero-probability trigram: price it at its bit score's
+      // information content (num=0 only at the continuation floor)
+      avg(when(col("_num") === 0L,
+          log(lit(2.0)) * length(bin(col("_den"))).cast("double"))
+        .otherwise(-log(col("_num").cast("double") / col("_den").cast("double"))))
+        .as("avg_nll"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Per-document average negative log conditional bigram probability
     * (add-one smoothing over a vocabulary of size V):
     * NLL = −(1/n)·Σ ln((c(w1,w2)+1)/(c(w1)+V)). Lower = more in-domain.

@@ -800,8 +800,16 @@ object ProductQuantization {
                       m: Option[Int] = None, ksub: Option[Int] = None): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
+    // materialize the staged batch ONCE (localCheckpoint): the caller's
+    // frame typically carries the whole live encode chain (assignCells →
+    // encodeResidual → packCodes); left lazy it would recompute for the
+    // geometry-check aggregate AND the write — and the no-key count inlines
+    // the chain into one generated method that overflows janino's 64 KB
+    // limit under CODEGEN_ONLY (CodegenOnlySweepSpec catches the silent
+    // interpreted fallback). The batch is incremental-sized by contract.
     val proj = codes.select(col(idCol).as("vec_id"),
       col(packedCol).cast("long").as("packed"), col(cellCol).cast("int").as("cell"))
+      .localCheckpoint()
     // writer lease ([[GenCommit]]): held while the generation is in flight —
     // a racing vacuum cannot reclaim it as an orphan, a second appender
     // fails loudly instead of interleaving, and a JVM crash mid-append

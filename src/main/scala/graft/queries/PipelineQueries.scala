@@ -324,6 +324,14 @@ object PipelineQueries {
   private val UnigramIters = 2
   /** q174's shrink target (multi-char pieces kept between EM iterations). */
   private val UnigramPruneTo = 20
+  /** q177's perplexity-gate threshold (avg bits/token under the q170 model)
+    * — calibrated inside the sf0.01 corpus distribution (min 4.23, p70
+    * ≈ 4.457, max 4.72 over the quality/language survivors), so the gate
+    * drops a real ~30% slice instead of being vacuous. */
+  private val UnigramGateMaxAvgBits = 4.46
+  /** q179's KN-trigram gate threshold — same calibration discipline
+    * (sf0.01 survivors: min 2.55, p70 ≈ 3.881, max 4.17). */
+  private val KnGateMaxAvgBits = 3.88
 
   /** One Viterbi pass as CTEs (no WITH): `pr$tag` piece probabilities (ONE
     * IEEE division per piece over `vocabCte`'s counts), `dp$tag` the
@@ -534,6 +542,203 @@ object PipelineQueries {
     s"""WITH RECURSIVE $unigramEncodeCtes
        |SELECT doc_id, pos, token FROM sq ORDER BY doc_id, pos""".stripMargin
 
+  /** q177: the q149 curation chain with the LM stage swapped for the
+    * trained-unigram bit-surprisal gate — replay the q170 EM to the final
+    * model `vf`, Viterbi the quality/language survivors' distinct
+    * pre-tokens under it, price each piece `bitlen(total div cnt) − 1`
+    * bits, gate per-doc avg bits, then the verbatim q149
+    * LSH/components/decontamination tail.
+    *
+    * The scoring pass is a FUSED Viterbi (the [[unigramViterbiCtes]] α
+    * window carrying piece-count and bit-sum columns alongside, and the
+    * model rides the recursion as a per-row struct LIST built once in the
+    * base case) rather than the backtrace chain: DuckDB 1.0 inlines
+    * non-recursive CTEs per reference, so a `pru` that closes over the EM
+    * chain re-evaluates the whole training replay EVERY recursion step —
+    * measured 8.5 min for this oracle; the fused carried-model form plus a
+    * MATERIALIZED `filt` (legal here — materialization below a recursive
+    * CTE reference works; above one it evaluates against empty working
+    * tables) brings it to ~8 s, cell-identical. */
+  private def curationUnigramGateOracleSql: String = {
+    val maxLen = UnigramMaxPieceLen
+    def shiftOf(p: String) = (0 until maxLen - 1).map(i => s"d.$p$i").mkString(", ")
+    def armOf(sel: String, p: String) = s"(CASE $sel " +
+      (1 until maxLen).map(i => s"WHEN $i THEN d.$p${i - 1}").mkString(" ") +
+      s" ELSE d.$p${maxLen - 1} END)"
+    val aPrev = armOf("CAST(g.l AS INT)", "a")
+    val aBase = (s"CAST(1.0 AS DOUBLE) AS a0" +:
+      (1 until maxLen).map(i => s"CAST(NULL AS DOUBLE) AS a$i")).mkString(", ")
+    val nBase = (s"0 AS n0" +:
+      (1 until maxLen).map(i => s"CAST(NULL AS INT) AS n$i")).mkString(", ")
+    val bBase = (s"CAST(0 AS BIGINT) AS b0" +:
+      (1 until maxLen).map(i => s"CAST(NULL AS BIGINT) AS b$i")).mkString(", ")
+    s"""WITH RECURSIVE filt0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ($qualitySql) >= 0.5
+       |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+       |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+       |${unigramTrainCtes(UnigramIters)},
+       |vf AS (SELECT piece, cnt FROM c$UnigramIters WHERE cnt > 0),
+       |utl AS (SELECT doc_id, regexp_extract_all(text,
+       |  '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tl
+       |  FROM filt0),
+       |upt AS MATERIALIZED (SELECT doc_id, CAST(pi AS INT) AS pti,
+       |    tl[CAST(pi AS INT)] AS word
+       |  FROM utl, LATERAL unnest(generate_series(1, len(tl))) AS gp(pi)),
+       |uw AS (SELECT DISTINCT word FROM upt),
+       |prb AS (SELECT piece,
+       |    CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM vf) AS pp,
+       |    length(bin((SELECT CAST(sum(cnt) AS BIGINT) FROM vf) // cnt)) - 1 AS b
+       |  FROM vf),
+       |dpu AS (
+       |  SELECT word, 0 AS j, $aBase, $nBase, $bBase,
+       |    (SELECT list(struct_pack(piece := piece, pp := pp, b := b)) FROM prb) AS vl
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT d.word, d.j + 1, c.val, ${shiftOf("a")},
+       |    CASE WHEN c.lx IS NULL THEN NULL ELSE
+       |      ${armOf("c.lx", "n")} + 1 END, ${shiftOf("n")},
+       |    CASE WHEN c.lx IS NULL THEN NULL ELSE
+       |      ${armOf("c.lx", "b")} + c.pb END, ${shiftOf("b")},
+       |    d.vl
+       |  FROM dpu d LEFT JOIN LATERAL (
+       |    SELECT $aPrev * u.s.pp AS val, CAST(g.l AS INT) AS lx, u.s.b AS pb
+       |    FROM unnest(generate_series(1, least($maxLen, CAST(d.j AS BIGINT) + 1))) AS g(l),
+       |      LATERAL unnest(d.vl) AS u(s)
+       |    WHERE u.s.piece = substr(d.word, d.j + 2 - CAST(g.l AS INT), CAST(g.l AS INT))
+       |      AND $aPrev IS NOT NULL
+       |    ORDER BY val DESC, lx DESC LIMIT 1
+       |  ) c ON true
+       |  WHERE d.j < length(d.word)
+       |),
+       |wb AS (SELECT word, CAST(n0 AS BIGINT) AS np, b0 AS wbits
+       |  FROM dpu WHERE j = length(word) AND a0 IS NOT NULL),
+       |per AS (SELECT u.doc_id, CAST(sum(wb.np) AS BIGINT) AS n,
+       |    CAST(sum(wb.wbits) AS BIGINT) AS sb
+       |  FROM upt u JOIN wb ON u.word = wb.word GROUP BY 1),
+       |filt AS MATERIALIZED (SELECT f.doc_id, f.text
+       |  FROM filt0 f LEFT JOIN per p ON f.doc_id = p.doc_id
+       |  WHERE coalesce(p.n, 0) = 0
+       |     OR CAST(p.sb AS DOUBLE) / CAST(p.n AS DOUBLE) <= $UnigramGateMaxAvgBits),
+       |${minhashPairsCtes("filt")},
+       |$componentsCtes,
+       |cur AS (SELECT f.doc_id, f.text FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+       |        WHERE comp.id IS NULL OR comp.component = f.doc_id),
+       |evsh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM evsh),
+       |csh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM cur)),
+       |hit AS (SELECT DISTINCT c.doc_id
+       |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram))
+       |SELECT doc_id FROM cur
+       |WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Interpolated-KN count tables trained on the full corpus (no WITH):
+    * `tgk` corpus trigram explode, then `tri`/`c12t`/`mid`/`c2t`/`unit` —
+    * every table derives from the trigram table (the
+    * [[graft.operators.NgramLm.knTrigramBits]] self-contained formulation,
+    * exact normalization). */
+  private def knCountCtes: String =
+    s"""kt0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |tgk AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+       |    t[CAST(i AS INT) + 1] AS w2, t[CAST(i AS INT) + 2] AS w3
+       |  FROM kt0, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |  WHERE len(t) >= 3),
+       |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       |  FROM tgk GROUP BY 1, 2, 3),
+       |c12t AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+       |    CAST(count(*) AS BIGINT) AS t12 FROM tri GROUP BY 1, 2),
+       |mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n2
+       |  FROM tri GROUP BY 1, 2),
+       |c2t AS (SELECT w2, CAST(sum(n2) AS BIGINT) AS tot2,
+       |    CAST(count(*) AS BIGINT) AS t2 FROM mid GROUP BY 1),
+       |unit AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1 FROM mid GROUP BY 1)""".stripMargin
+
+  /** Per-document KN bit scoring of `src(doc_id, text)` under the
+    * [[knCountCtes]] tables (no WITH): the two interpolation levels
+    * collapse to exact rationals with d = 1/2, each trigram prices
+    * `bitlen(den // num) − 1` bits (num = 0 → `bitlen(den)`); ends in
+    * `knper(doc_id, n, sb)` — rows only for docs with ≥1 trigram. */
+  private def knScoreCtes(src: String): String =
+    s"""st0 AS (SELECT doc_id, $tokensSql AS t FROM $src),
+       |sg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+       |    t[CAST(i AS INT) + 1] AS w2, t[CAST(i AS INT) + 2] AS w3
+       |  FROM st0, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |  WHERE len(t) >= 3),
+       |sc AS (SELECT g.doc_id,
+       |    coalesce(r.c3, 0) AS c3, coalesce(x.c12, 0) AS c12,
+       |    coalesce(x.t12, 0) AS t12, coalesce(m.n2, 0) AS n2,
+       |    coalesce(y.tot2, 0) AS tot2, coalesce(y.t2, 0) AS t2,
+       |    coalesce(u.n1, 0) AS n1,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM mid) AS na
+       |  FROM sg g
+       |  LEFT JOIN tri r ON g.w1 = r.w1 AND g.w2 = r.w2 AND g.w3 = r.w3
+       |  LEFT JOIN c12t x ON g.w1 = x.w1 AND g.w2 = x.w2
+       |  LEFT JOIN mid m ON g.w2 = m.w2 AND g.w3 = m.w3
+       |  LEFT JOIN c2t y ON g.w2 = y.w2
+       |  LEFT JOIN unit u ON g.w3 = u.w3),
+       |lv AS (SELECT doc_id, c3, c12, t12, tot2, n1, na,
+       |    greatest(2 * n2 - 1, 0) * na + t2 * n1 AS num2,
+       |    2 * tot2 * na AS den2
+       |  FROM sc),
+       |fin AS (SELECT doc_id,
+       |    CASE WHEN c12 > 0 THEN greatest(2 * c3 - 1, 0) * den2 + t12 * num2
+       |         WHEN tot2 > 0 THEN num2 ELSE n1 END AS num,
+       |    CASE WHEN c12 > 0 THEN 2 * c12 * den2
+       |         WHEN tot2 > 0 THEN den2 ELSE na END AS den
+       |  FROM lv),
+       |btk AS (SELECT doc_id, CASE WHEN num = 0 THEN length(bin(den))
+       |    ELSE length(bin(den // num)) - 1 END AS b FROM fin),
+       |knper AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(b) AS BIGINT) AS sb FROM btk GROUP BY 1)""".stripMargin
+
+  /** q178: KN bit-surprisal of every corpus document under the corpus-trained
+    * model. */
+  private def knTrigramOracleSql: String =
+    s"""WITH $knCountCtes,
+       |${knScoreCtes("documents")}
+       |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(coalesce(p.sb, 0) AS BIGINT) AS sum_bits,
+       |  CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+       |       ELSE CAST(p.sb AS DOUBLE) / CAST(p.n AS DOUBLE) END AS avg_bits
+       |FROM documents d LEFT JOIN knper p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q179: the q149 curation chain with the LM stage swapped for the KN
+    * trigram bit gate — q178's scoring restricted to the quality/language
+    * survivors, gated at avg bits ≤ threshold, then the verbatim q149
+    * LSH/components/decontamination tail (`filt` MATERIALIZED — the scoring
+    * joins would otherwise re-evaluate once per tail reference). */
+  private def curationKnGateOracleSql: String =
+    s"""WITH RECURSIVE filt0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ($qualitySql) >= 0.5
+       |    AND CAST(array_length($tokensSql) AS DOUBLE) > 0
+       |    AND CAST(len(regexp_extract_all(lower(text), '$stopRe')) AS DOUBLE)
+       |        / CAST(array_length($tokensSql) AS DOUBLE) >= 0.05),
+       |$knCountCtes,
+       |${knScoreCtes("filt0")},
+       |filt AS MATERIALIZED (SELECT f.doc_id, f.text
+       |  FROM filt0 f LEFT JOIN knper p ON f.doc_id = p.doc_id
+       |  WHERE coalesce(p.n, 0) = 0
+       |     OR CAST(p.sb AS DOUBLE) / CAST(p.n AS DOUBLE) <= $KnGateMaxAvgBits),
+       |${minhashPairsCtes("filt")},
+       |$componentsCtes,
+       |cur AS (SELECT f.doc_id, f.text FROM filt f LEFT JOIN comp ON f.doc_id = comp.id
+       |        WHERE comp.id IS NULL OR comp.component = f.doc_id),
+       |evsh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM documents WHERE doc_id % 101 = 0)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM evsh),
+       |csh AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM cur)),
+       |hit AS (SELECT DISTINCT c.doc_id
+       |        FROM (SELECT doc_id, unnest(sh) AS gram FROM csh) c JOIN ev USING (gram))
+       |SELECT doc_id FROM cur
+       |WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id""".stripMargin
+
   /** q173: the id surface — ids 0..|model|−1 in ascending binary piece
     * order (the [[graft.operators.UnigramLm.vocabIds]] convention). */
   private def unigramEncodeIdsOracleSql: String =
@@ -675,12 +880,12 @@ object PipelineQueries {
   private def minhashBandsCtes(src: String): String =
     s"""sh0 AS (SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, $tokensSql AS t FROM $src)),
-       |e AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
-       |w AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
-       |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM e),
+       |mhe AS (SELECT doc_id, md5(unnest(sh)) AS d FROM sh0),
+       |mhw AS (SELECT doc_id, ('0x' || substr(d, 1, 8))::BIGINT AS wa,
+       |  ('0x' || substr(d, 9, 8))::BIGINT AS wb FROM mhe),
        |sig AS (SELECT doc_id, ${(0 until 8).map(i =>
            s"min((wa + $i * wb) % 4294967296) AS h$i").mkString(", ")}
-       |  FROM w GROUP BY doc_id),
+       |  FROM mhw GROUP BY doc_id),
        |bands AS (SELECT doc_id,
        |  unnest([${(0 until 4).map(b => s"md5(h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR)").mkString(", ")}]) AS band_key,
        |  unnest([0,1,2,3]) AS band_idx FROM sig)""".stripMargin
@@ -2307,6 +2512,68 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // q177: the UNIGRAM-NLL curation gate — q149's chain with the trained
+    // unigram tokenizer's per-document bit-surprisal (UnigramLm.bitSurprisal,
+    // the oracle-exact CCNet perplexity stand-in) spliced between the
+    // scan-side predicates and the LSH dedup shuffles: quality → language →
+    // avg-bits ≤ threshold under the q170-geometry model trained on the full
+    // corpus → near-dup canonicals → decontamination. The threshold sits
+    // inside the corpus distribution (docs above it drop), so the gate is
+    // discriminative, not vacuous. The oracle replays the q170 EM to the
+    // trained model, a final-model Viterbi pass over the survivors' distinct
+    // pre-tokens, the integer floor-log2 pricing, and then q149's
+    // LSH/components/decontamination tail.
+    "q177_curation_unigram_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.trainUnigram(docs, "text",
+        UnigramMaxPieceLen, UnigramVocabSize, UnigramIters)
+      graft.operators.Decontamination.decontaminate(
+        graft.operators.CurationPipeline.curate(docs,
+          unigramFilter = Some(graft.operators.CurationPipeline.UnigramNllFilter(
+            model, maxPieceLen = UnigramMaxPieceLen,
+            maxAvgBits = UnigramGateMaxAvgBits))),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q179: the KN-TRIGRAM curation gate — q149's chain with the
+    // interpolated Kneser–Ney trigram bit-surprisal (q178's scorer) as the
+    // LM stage: quality → language → KN avg-bits ≤ threshold under the
+    // corpus-trained trigram tables → near-dup canonicals →
+    // decontamination. Completes the LM-gate ladder (bigram OOV q149 →
+    // unigram tokenizer NLL q177 → smoothed KN trigram here); threshold
+    // calibrated inside the survivor distribution so ~30% drop.
+    "q179_curation_kn_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tri = graft.operators.NgramLm.trigramCounts(docs, "text")
+      graft.operators.Decontamination.decontaminate(
+        graft.operators.CurationPipeline.curate(docs,
+          knFilter = Some(graft.operators.CurationPipeline.KnFilter(
+            tri, maxAvgBits = KnGateMaxAvgBits))),
+        docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q178: KNESER-NEY trigram LM scoring — the CCNet-style perplexity gate
+    // upgraded from the q142 bigram-OOV novelty to a real smoothed trigram
+    // model (interpolated KN, absolute discount d=1/2), kept ORACLE-EXACT by
+    // the bit-surprisal discipline: every probability is one rational
+    // num/den over integer count tables (all derived from the corpus
+    // trigram table), each trigram prices floor(log2(den/num)) bits via the
+    // integer identity bitlen(den div num) − 1, and the only float op is
+    // the final per-doc IEEE division. The oracle replays the count tables,
+    // the two-level interpolation numerators, and the bin()-length pricing.
+    "q178_kn_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tri = graft.operators.NgramLm.trigramCounts(docs, "text")
+      graft.operators.NgramLm.knTrigramBits(docs, "doc_id", "text", tri)
+        .orderBy(col("doc_id"))
+    }),
+
     // q162: THE FULL MODERN CURATION CHAIN, oracle-gated end to end —
     // curateForTraining with BOTH optional stages engaged: the Gopher
     // repetition gate (maxTopGramCharFrac tightened to 0.10, which drops
@@ -3884,6 +4151,9 @@ object PipelineQueries {
     "q173_unigram_encode_ids" -> unigramEncodeIdsOracleSql,
     "q174_unigram_train_pruned" -> unigramPrunedTrainOracleSql,
     "q176_unigram_byte_encode" -> unigramByteEncodeOracleSql,
+    "q177_curation_unigram_gate" -> curationUnigramGateOracleSql,
+    "q178_kn_trigram" -> knTrigramOracleSql,
+    "q179_curation_kn_gate" -> curationKnGateOracleSql,
     "q161_audio_neardup_index" -> q161OracleSql,
     "q163_video_neardup_index" -> q163OracleSql,
     "q164_image_neardup_index" -> q164OracleSql,

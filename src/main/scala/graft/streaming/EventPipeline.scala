@@ -345,7 +345,8 @@ object EventPipeline {
   def streamingAudioIngestDedup(media: DataFrame, indexPath: String,
                                 tsCol: String, watermark: String = "1 hour",
                                 windowLen: String = "10 minutes",
-                                maxHamming: Int = 3): DataFrame = {
+                                maxHamming: Int = 3,
+                                maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     import graft.operators.{MediaIndex, Multimodal}
     val spark = media.sparkSession
     import spark.implicits._
@@ -357,7 +358,7 @@ object EventPipeline {
       .mapPartitions(_.map { case (id, ts, payload) =>
         (id, ts, Multimodal.audioFingerprintOf(id, payload))
       }).toDF("media_id", "_ts", "fp")
-    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming)
+    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming, maxBucket)
   }
 
   /** Streaming IMAGE ingest dedup — [[streamingAudioIngestDedup]]'s shape
@@ -372,7 +373,8 @@ object EventPipeline {
   def streamingImageIngestDedup(media: DataFrame, indexPath: String,
                                 tsCol: String, watermark: String = "1 hour",
                                 windowLen: String = "10 minutes",
-                                maxHamming: Int = 3): DataFrame = {
+                                maxHamming: Int = 3,
+                                maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     import graft.operators.{MediaIndex, Multimodal}
     val spark = media.sparkSession
     import spark.implicits._
@@ -391,7 +393,51 @@ object EventPipeline {
           (id, ts, Multimodal.imageFingerprintOf(id, payload, hashKind))
         }
       }.toDF("media_id", "_ts", "fp")
-    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming)
+    scalarFpIngestDedup(hashed, idx.fingerprints, watermark, windowLen, maxHamming, maxBucket)
+  }
+
+  /** Per-row candidate cap for the streaming twins' static band-bucket
+    * tables: a bucket whose (deduped) candidate list tops this splits into
+    * salt sub-buckets, so one degenerate band key — a fingerprint shared by
+    * a large catalog slice — can never balloon a single row's array past
+    * executor comfort. 4096 64-bit payloads ≈ 32 KB per row. */
+  val DefaultMaxBandBucket: Int = 4096
+
+  /** Salt-split band buckets to a hard per-row bound: `exploded` carries one
+    * row per (band `_bidx`, key `_bkey`, candidate `_pay`); output groups
+    * them into (`_bidx`, `_bkey`, `_salt`, `_cands` array) rows of at most
+    * `maxBucket` candidates each, with `nSalt` = how many sub-buckets the
+    * HOTTEST bucket needed (1 = healthy catalog, zero plan change). Salting
+    * is LOSSLESS — every candidate lands in exactly one sub-bucket
+    * (row_number round-robin, deterministic `_pay` order), the probe side
+    * simply joins all `nSalt` slots — and LOUD: hot buckets are counted and
+    * reported on stderr, not silently truncated. The sizing pass and the
+    * window sort run ONCE on the static (batch) index side at query start. */
+  private def saltedBandBuckets(exploded: DataFrame, maxBucket: Int,
+                                what: String): (Int, DataFrame) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val sizes = exploded.groupBy(col("_bidx"), col("_bkey"))
+      .agg(count(lit(1)).as("_n"))
+    val maxSize = sizes.agg(max(col("_n"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val nSalt = math.max(1L, (maxSize + maxBucket - 1) / maxBucket).toInt
+    if (nSalt > 1) {
+      val hot = sizes.filter(col("_n") > maxBucket).count()
+      System.err.println(s"[graft] $what band index: $hot hot bucket(s) over " +
+        s"maxBucket=$maxBucket (largest $maxSize) — salting into $nSalt " +
+        "sub-buckets per key; lossless, arrays stay bounded")
+    }
+    val salted =
+      if (nSalt == 1) exploded.withColumn("_salt", lit(0))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_bidx"), col("_bkey")).orderBy(col("_pay"))
+        exploded.withColumn("_salt", pmod(row_number().over(w) - 1, lit(nSalt)))
+      }
+    (nSalt, salted.groupBy(col("_bidx"), col("_bkey"), col("_salt"))
+      .agg(collect_list(col("_pay")).as("_cands")))
   }
 
   /** The shared scalar-fingerprint ingest-dedup chain behind the audio and
@@ -405,7 +451,8 @@ object EventPipeline {
     * regardless of arrival time. State: one id per live band bucket. */
   private def scalarFpIngestDedup(hashed: DataFrame, idxFps: DataFrame,
                                   watermark: String, windowLen: String,
-                                  maxHamming: Int): DataFrame = {
+                                  maxHamming: Int,
+                                  maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
     val seg = 64 / bands
@@ -414,24 +461,34 @@ object EventPipeline {
     val segMask = if (seg == 64) -1L else (1L << seg) - 1
     def segOf(fp: Column, b: Int): Column =
       shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
-    // static per-band bucket table, one row per (band, key) with its indexed
-    // fingerprints — materialized once, not re-derived per micro-batch
-    val idxBands = idxFps
-      .select(col("fp"), posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*)))
-      .groupBy(col("pos").as("_bidx"), col("col").as("_bkey"))
-      .agg(collect_list(col("fp")).as("_fps"))
-      .localCheckpoint()
-    // one stateless stream-static lookup per band; a probe drops iff ANY of
-    // its buckets holds an indexed fingerprint within maxHamming
-    val joined = (0 until bands).foldLeft(hashed) { (acc, b) =>
+    // static per-band bucket table, one row per (band, key, salt) with its
+    // indexed fingerprints — materialized once, not re-derived per
+    // micro-batch. The fingerprints DEDUP first (a degenerate catalog slice
+    // sharing one fingerprint — all-black frames, silence — is one set
+    // entry as far as the within-maxHamming verdict cares), and what
+    // remains is salt-split so no bucket row's array exceeds `maxBucket`.
+    val exploded = idxFps.select(col("fp")).distinct()
+      .select(col("fp").as("_pay"),
+        posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*))
+          .as(Seq("_bidx", "_bkey")))
+    val (nSalt, idxBands0) = saltedBandBuckets(exploded, maxBucket, "scalar-fp")
+    val idxBands = idxBands0.localCheckpoint()
+    // one stateless stream-static lookup per (band, salt) sub-bucket — each
+    // join is 1:1 on the unique (band, key, salt) key, so the probe stays
+    // ONE ROW (no stateful re-aggregation needed) with every candidate
+    // array bounded; a probe drops iff ANY of its sub-buckets holds an
+    // indexed fingerprint within maxHamming. nSalt is 1 for healthy
+    // catalogs — the plan is then exactly the unsalted one.
+    val slots = for { b <- 0 until bands; s <- 0 until nSalt } yield (b, s)
+    val joined = slots.foldLeft(hashed) { case (acc, (b, s)) =>
       acc.join(
-        idxBands.filter(col("_bidx") === b)
-          .select(col("_bkey").as(s"_k$b"), col("_fps").as(s"_fps$b")),
-        segOf(col("fp"), b) === col(s"_k$b"), "left_outer")
+        idxBands.filter(col("_bidx") === b && col("_salt") === s)
+          .select(col("_bkey").as(s"_k${b}_$s"), col("_cands").as(s"_fps${b}_$s")),
+        segOf(col("fp"), b) === col(s"_k${b}_$s"), "left_outer")
     }
-    val idxHit = (0 until bands).map(b =>
-      coalesce(exists(col(s"_fps$b"), f =>
-        bit_count(f.bitwiseXOR(col("fp"))) <= maxHamming), lit(false)))
+    val idxHit = slots.map { case (b, s) =>
+      coalesce(exists(col(s"_fps${b}_$s"), f =>
+        bit_count(f.bitwiseXOR(col("fp"))) <= maxHamming), lit(false)) }
       .reduce(_ || _)
     val clean = joined.filter(!idxHit).select(col("media_id"), col("_ts"), col("fp"))
     // in-window banding: the streamingNearDupDedup two-stage min-id election
@@ -475,7 +532,8 @@ object EventPipeline {
                                 tsCol: String, watermark: String = "1 hour",
                                 windowLen: String = "10 minutes",
                                 every: Int = 1, maxHamming: Int = 3,
-                                minOverlap: Double = 0.5): DataFrame = {
+                                minOverlap: Double = 0.5,
+                                maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     import graft.operators.{MediaIndex, Multimodal}
     require(minOverlap > 0.0 && minOverlap <= 1.0, s"bad minOverlap=$minOverlap")
     val spark = media.sparkSession
@@ -490,13 +548,15 @@ object EventPipeline {
     def segOf(fp: Column, b: Int): Column =
       shiftrightunsigned(fp, (bands - 1 - b) * seg).bitwiseAND(lit(segMask))
     // static side 1: per-band FRAME buckets carrying (id_b, fp) — the
-    // candidate generator (materialized once, not re-derived per batch)
-    val idxBands = idx.fingerprints
-      .select(col("media_id").as("id_b"), col("fp"),
-        posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*)))
-      .groupBy(col("pos").as("_bidx"), col("col").as("_bkey"))
-      .agg(collect_list(struct(col("id_b"), col("fp"))).as("_cands"))
-      .localCheckpoint()
+    // candidate generator (materialized once, not re-derived per batch),
+    // salt-split so a degenerate frame hash shared by a large catalog slice
+    // (all-black frames) cannot balloon one bucket row past `maxBucket`
+    val bandExploded = idx.fingerprints
+      .select(struct(col("media_id").as("id_b"), col("fp")).as("_pay"),
+        posexplode(array((0 until bands).map(segOf(col("fp"), _)): _*))
+          .as(Seq("_bidx", "_bkey")))
+    val (nSalt, idxBands0) = saltedBandBuckets(bandExploded, maxBucket, "video-frame")
+    val idxBands = idxBands0.localCheckpoint()
     // static side 2: per-clip distinct frame arrays — the verify side
     val idxClips = idx.fingerprints
       .groupBy(col("media_id").as("id_b"))
@@ -514,17 +574,18 @@ object EventPipeline {
     // so the verify below is a per-row HOF, not another aggregation
     val frames = hashed.select(col("media_id"), col("_ts"), col("fps"),
       explode(col("fps")).as("fp"))
-    val withCands = (0 until bands).foldLeft(frames) { (acc, b) =>
-      acc.join(idxBands.filter(col("_bidx") === b)
-        .select(col("_bkey").as(s"_k$b"), col("_cands").as(s"_c$b")),
-        segOf(col("fp"), b) === col(s"_k$b"), "left_outer")
+    val slots = for { b <- 0 until bands; s <- 0 until nSalt } yield (b, s)
+    val withCands = slots.foldLeft(frames) { case (acc, (b, s)) =>
+      acc.join(idxBands.filter(col("_bidx") === b && col("_salt") === s)
+        .select(col("_bkey").as(s"_k${b}_$s"), col("_cands").as(s"_c${b}_$s")),
+        segOf(col("fp"), b) === col(s"_k${b}_$s"), "left_outer")
     }
     // candidate catalog clips for THIS frame: ids whose bucketed frame is
     // within maxHamming (null band joins drop out of the flatten)
-    val perBand = (0 until bands).map(b =>
-      transform(filter(col(s"_c$b"), s =>
-        bit_count(s.getField("fp").bitwiseXOR(col("fp"))) <= maxHamming),
-        s => s.getField("id_b")))
+    val perBand = slots.map { case (b, s) =>
+      transform(filter(col(s"_c${b}_$s"), st =>
+        bit_count(st.getField("fp").bitwiseXOR(col("fp"))) <= maxHamming),
+        st => st.getField("id_b")) }
     val candIds = array_distinct(flatten(
       filter(array(perBand: _*), a => a.isNotNull)))
     // pair-level dedup FIRST (the batch twin's cand.distinct() discipline):

@@ -70,4 +70,57 @@ class NgramLmSpec extends SparkSpec {
     // smoothing sanity: every NLL is positive and finite
     out.values.flatten.foreach(nll => assert(nll > 0.0 && !nll.isInfinite))
   }
+
+  test("knTrigramBits: hand-computed interpolated-KN rationals on a minimal corpus") {
+    // corpus trigrams: (a,b,c) ×2, (a,b,d) ×1 — every KN table is
+    // hand-checkable: c12(a,b)=3 t12=2; n2(b,c)=n2(b,d)=1; tot2(b)=2
+    // t2(b)=2; n1(c)=n1(d)=1; nAll=2
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val tri = NgramLm.trigramCounts(tiny, "text")
+    assert(tri.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      === Map(("a", "b", "c") -> 2L, ("a", "b", "d") -> 1L))
+    val probe = Seq(
+      (10L, "a b c"), // P3 = (3·8+2·4)/48 = 2/3 → floor(log2(48 div 32)) = 0 bits
+      (11L, "a b d"), // P3 = (1·8+2·4)/48 = 1/3 → floor(log2(3)) = 1 bit
+      (12L, "x y z"), // unseen middle → P1 = 0/2 → num=0 → bitlen(nAll)=2
+      (13L, "a b x"), // seen context, unseen continuation → num3=0 → bitlen(48)=6
+      (14L, "a b"),   // no trigrams → 0.0 by convention
+      (15L, "")).toDF("doc_id", "text")
+    val out = NgramLm.knTrigramBits(probe, "doc_id", "text", tri)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) === ((1L, 0L, 0.0)))
+    assert(out(11L) === ((1L, 1L, 1.0)))
+    assert(out(12L) === ((1L, 2L, 2.0)))
+    assert(out(13L) === ((1L, 6L, 6.0)))
+    assert(out(14L) === ((0L, 0L, 0.0)))
+    assert(out(15L) === ((0L, 0L, 0.0)))
+    assert(out.keySet === Set(10L, 11L, 12L, 13L, 14L, 15L),
+      "one row per input doc")
+    // a corpus with no trigram at all is a loud error, not a silent zero
+    intercept[IllegalArgumentException](NgramLm.knTrigramBits(
+      probe, "doc_id", "text",
+      NgramLm.trigramCounts(Seq((1L, "a b")).toDF("doc_id", "text"), "text")))
+  }
+
+  test("knTrigramBits/knTrigramNll: in-domain ranks below scrambled and out-of-domain") {
+    val tri = NgramLm.trigramCounts(corpus, "text")
+    val probe = Seq(
+      (20L, "the cat sat on the mat"),   // in-domain
+      (21L, "mat the on sat cat the"),   // same words, scrambled
+      (22L, "zebras quantize gradients fast today"), // out-of-domain
+      (23L, "two words")).toDF("doc_id", "text")
+    val bits = NgramLm.knTrigramBits(probe, "doc_id", "text", tri)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bits(20L) < bits(21L), "in-domain must price below scrambled")
+    assert(bits(20L) < bits(22L), "in-domain must price below out-of-domain")
+    val nll = NgramLm.knTrigramNll(probe, "doc_id", "text", tri)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(nll(20L).get < nll(21L).get && nll(20L).get < nll(22L).get)
+    assert(nll(23L).isEmpty, "no-trigram doc carries NULL avg_nll")
+    nll.values.flatten.foreach(v => assert(v > 0.0 && !v.isInfinite))
+  }
 }

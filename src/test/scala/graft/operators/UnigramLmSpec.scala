@@ -152,4 +152,30 @@ class UnigramLmSpec extends SparkSpec {
       UnigramLm.encodeUnigram(docs, "doc_id", "text",
         Seq.empty[(String, Long)].toDF("piece", "cnt")))
   }
+
+  test("bitSurprisal: hand-computed floor-log2 pricing, count-0 fallback, degenerate docs") {
+    // model (ab:6, a:1, b:1), total 8 → bits: ab = bitlen(8 div 6)−1 = 0,
+    // a = b = bitlen(8 div 1)−1 = 3
+    val model = Seq(("ab", 6L), ("a", 1L), ("b", 1L)).toDF("piece", "cnt")
+    val docs = Seq(
+      (1L, "ab"),   // one piece [ab] → (1, 0, 0.0)
+      (2L, "aab"),  // Viterbi [a, ab] (0.125·0.75 beats a·a·b) → (2, 3, 1.5)
+      (3L, "")      // no pre-tokens → (0, 0, 0.0) by convention
+    ).toDF("doc_id", "text")
+    val out = UnigramLm.bitSurprisal(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1L, 0L, 0.0)))
+    assert(out(2L) === ((2L, 3L, 1.5)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    // a count-0 piece (the byte-fallback convention) prices bitlen(total) —
+    // one more than the rarest positive piece can reach
+    val zm = Seq(("a", 1L), ("b", 0L)).toDF("piece", "cnt")
+    val z = UnigramLm.bitSurprisal(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text", zm).collect()(0)
+    assert((z.getLong(1), z.getLong(2), z.getDouble(3)) === ((2L, 1L, 0.5)))
+    intercept[IllegalArgumentException](
+      UnigramLm.bitSurprisal(docs, "doc_id", "text",
+        Seq.empty[(String, Long)].toDF("piece", "cnt")))
+  }
 }

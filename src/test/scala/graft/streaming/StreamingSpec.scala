@@ -759,4 +759,88 @@ class StreamingSpec extends SparkSpec {
         s"both distinct fresh clips must survive exact-dup mode, got $got")
     } finally q.stop()
   }
+
+  test("hot-band salting: degenerate image catalog keeps bucket arrays bounded, verdicts unchanged") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    // six catalog images sharing their 16 HIGH aHash bits (half-split base,
+    // one distinct last-row pixel each) — pairwise-DISTINCT fingerprints
+    // that all land in ONE top-band bucket, the exact hot-band shape a
+    // degenerate catalog slice produces
+    def grid(flip: Int): Array[Int] =
+      Array.tabulate(64)(p => if (p < 32) 200 else if (p == flip) 200 else 10)
+    def png(g: Array[Int]) = mm.encodePngGray(8, 8, g)
+    val idxPath = tempDir().resolve("hot_imgidx").toString
+    mm.saveImageIndex(mm.asMediaFrame(
+        (0 until 6).map(i => ((i + 1).toLong, png(grid(56 + i))))
+          .toDF("media_id", "payload"),
+        "media_id", "payload", "image"), idxPath)
+    val freshA = Array.tabulate(64)(p => if (p % 2 == 0) 200 else 10)
+    val driver = Array.tabulate(64)(p => if (p % 8 == 0) 200 else 10)
+    def run(name: String, maxBucket: Int): Set[Long] = {
+      val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+      val q = EventPipeline.streamingImageIngestDedup(
+          input.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+          watermark = "30 minutes", windowLen = "10 minutes",
+          maxBucket = maxBucket)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((102L, png(grid(56)), ts(0)), (106L, png(freshA), ts(1)))
+        q.processAllAvailable()
+        input.addData((999L, png(driver), ts(120))) // closes window 0
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    // maxBucket=2 forces the 6-entry hot bucket into 3 salt sub-buckets;
+    // the unbounded run is the reference verdict
+    val salted = run("hotimg_s", 2)
+    val plain = run("hotimg_p", Int.MaxValue)
+    assert(salted === plain, "salting must not change verdicts")
+    assert(salted === Set(106L),
+      s"catalog re-encode 102 must drop via a salted sub-bucket, got $salted")
+  }
+
+  test("hot-band salting: degenerate video catalog (shared frame) bounded, verdicts unchanged") {
+    implicit val sc = spark.sqlContext
+    val mm = graft.operators.Multimodal
+    // six catalog clips ALL containing the same constant frame (fp 0 — the
+    // all-black-frame degeneracy) plus one distinct frame each: the
+    // constant frame's band buckets hold six (id, fp) candidates
+    val const = Array.fill(64)(128)
+    def uniq(seed: Int): Array[Int] =
+      Array.tabulate(64)(p => (37 + 91 * p + p * p + 17 * seed) % 256)
+    def gif(fs: Seq[Array[Int]]) = mm.encodeGifGray(fs, 8, 8)
+    val idxPath = tempDir().resolve("hot_vididx").toString
+    mm.saveVideoIndex(mm.asMediaFrame(
+        (0 until 6).map(i => ((i + 1).toLong, gif(Seq(const, uniq(i)))))
+          .toDF("media_id", "payload"),
+        "media_id", "payload", "video"), idxPath)
+    def run(name: String, maxBucket: Int): Set[Long] = {
+      val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+      val q = EventPipeline.streamingVideoIngestDedup(
+          input.toDF().toDF("media_id", "payload", "ts"), idxPath, "ts",
+          watermark = "30 minutes", windowLen = "10 minutes",
+          maxBucket = maxBucket)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // 102: re-encode of catalog clip 3 (containment 1.0 → index drop);
+        // 106: fresh clip, both frames far from the catalog → survives
+        input.addData(
+          (102L, gif(Seq(const, uniq(2))), ts(0)),
+          (106L, gif(Seq(uniq(131), uniq(67))), ts(1)))
+        q.processAllAvailable()
+        input.addData((999L, gif(Seq(uniq(211))), ts(120))) // closes window 0
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(1)).toSet
+      } finally q.stop()
+    }
+    val salted = run("hotvid_s", 2)
+    val plain = run("hotvid_p", Int.MaxValue)
+    assert(salted === plain, "salting must not change verdicts")
+    assert(salted === Set(106L),
+      s"catalog re-encode 102 must drop via a salted sub-bucket, got $salted")
+  }
 }
