@@ -37,7 +37,8 @@ object BpeTrainer {
     * merge iterations. */
   def preTokenFrequencies(docs: DataFrame, textCol: String,
                           byteLevel: Boolean = false): DataFrame =
-    docs.select(explode(preTokens(textCol, byteLevel)).as("pre_token"))
+    Spread.widen(docs.select(col(textCol)))
+      .select(explode(preTokens(textCol, byteLevel)).as("pre_token"))
       .groupBy(col("pre_token")).agg(count(lit(1)).as("freq"))
 
   /** Top-k adjacent character pairs by corpus frequency: (pair, cnt), ordered
@@ -88,9 +89,13 @@ object BpeTrainer {
     val spark = docs.sparkSession
     val toSyms = transform(sequence(lit(1), length(col("pre_token"))),
       i => col("pre_token").substr(i, lit(1)))
+    // explicit repartition before the checkpoint: AQE coalesces the tiny
+    // frequency-aggregation exchange to one partition, which would serialize
+    // every per-round pair-count + fuse sweep below on a single core
     var table = preTokenFrequencies(docs, textCol, byteLevel)
       .filter(length(col("pre_token")) >= 2)
       .select(toSyms.as("syms"), col("freq"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     val merges = Seq.newBuilder[Row]
     var round = 1
@@ -185,7 +190,7 @@ object BpeTrainer {
     * (symbols are byte-level; the remap is a bijection). */
   def encode(docs: DataFrame, textCol: String, merges: DataFrame,
              outCol: String = "bpe_tokens", byteLevel: Boolean = false): DataFrame =
-    docs.withColumn(outCol, graft.expressions.BpeApply.symbols(
+    Spread.widen(docs).withColumn(outCol, graft.expressions.BpeApply.symbols(
       preTokens(textCol, byteLevel), collectMerges(merges)))
 
   /** Append `outCol`: BPE token IDS of `textCol` under (merges, vocab) — the
@@ -203,7 +208,7 @@ object BpeTrainer {
                   oovId: Option[Int] = None, byteLevel: Boolean = false): DataFrame = {
     val v = vocabDf.orderBy(col("id")).select(col("sym"), col("id").cast("int"))
       .collect()
-    docs.withColumn(outCol, graft.expressions.BpeApply.ids(
+    Spread.widen(docs).withColumn(outCol, graft.expressions.BpeApply.ids(
       preTokens(textCol, byteLevel), collectMerges(merges),
       v.map(_.getString(0)), v.map(_.getInt(1)), oovId))
   }

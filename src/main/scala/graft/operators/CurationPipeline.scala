@@ -72,7 +72,11 @@ object CurationPipeline {
              unigramFilter: Option[UnigramNllFilter] = None,
              knFilter: Option[KnFilter] = None,
              repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
-    val gated0 = docs.filter(
+    // widen the corpus ONCE at the head: every downstream stage (scan-side
+    // gates, LM scoring, LSH signatures, canonicals) does heavy per-row work,
+    // and a single-row-group corpus file plans as a 1-task scan ([[Spread]])
+    val spreadDocs = Spread.widen(docs)
+    val gated0 = spreadDocs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langIdEn(col(textCol)) === "en")
     val gated = repetitionGate.fold(gated0)(th =>
@@ -98,13 +102,29 @@ object CurationPipeline {
     // Kneser–Ney gate: the count-table joins are vocabulary-sized (AQE
     // broadcasts them), the score frame per-doc-sized — same stage shape
     // and the same shrink-before-LSH ordering as the other LM gates
-    val filtered = knFilter.fold(filtered1) { kf =>
+    val filteredLazy = knFilter.fold(filtered1) { kf =>
       filtered1.join(
         NgramLm.knTrigramBits(filtered1, idCol, textCol, kf.trigrams)
           .filter(col("avg_bits") <= kf.maxAvgBits)
           .select(col(idCol)),
         Seq(idCol), "left_semi")
     }
+    // The survivor frame feeds BOTH dedup subtrees (LSH pairs + canonicals):
+    // left lazy, each reference re-runs every LM scoring pass above. With any
+    // LM gate engaged, materialize the surviving ID SET once (ids only —
+    // 8 bytes/doc, never the corpus) and rebuild the survivors as the
+    // scan-side-gated corpus semi-joined to it: the scoring join tree runs
+    // exactly once, downstream passes pay one cheap id semi-join instead.
+    // Exact-equivalence argument: every LM gate is already an id-keyed
+    // semi-join (scores aggregate per id), so gated ⋉ ids ≡ the gate chain
+    // row-for-row — including duplicate-id inputs, which pool per id in both
+    // shapes.
+    val filtered =
+      if (lmFilter.isEmpty && unigramFilter.isEmpty && knFilter.isEmpty) filteredLazy
+      else {
+        val keptIds = filteredLazy.select(col(idCol)).localCheckpoint(true)
+        gated.join(keptIds, Seq(idCol), "left_semi")
+      }
     val pairs = DedupSuite
       .minHashLshPairs(filtered, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("id_a"), col("id_b"))

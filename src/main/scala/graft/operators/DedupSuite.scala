@@ -85,7 +85,9 @@ object DedupSuite {
                       shingleSize: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes not divisible by bands $bands")
     val rows = numHashes / bands
-    val sh = df
+    // widen first: tokenize + shingle + per-shingle md5 is the heavy per-row
+    // leg, and a single-row-group corpus file plans as a 1-task scan
+    val sh = Spread.widen(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(TextFunctions.wordShinglesOf(col("toks"), shingleSize)).as("s"))
       .select(col("id"), md5(col("s")).as("d"))
@@ -228,7 +230,7 @@ object DedupSuite {
     require(bits % LanesPerWord == 0 && bits <= 64, s"bits must be <=64, multiple of 4: $bits")
     val nWords = (bits + 31) / 32
     val nLanes = bits / LanesPerWord
-    val tok = df
+    val tok = Spread.widen(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("t"))
       .select(col("id"), md5(col("t")).as("d"))
       .select(col("id") +: (0 until nWords).map(j => md5Word(col("d"), j).as(s"w$j")): _*)
@@ -624,7 +626,8 @@ object DedupSuite {
     * [[maybeMaterializeGrams]]; extracting the builder keeps that policy in
     * ONE place so a change cannot half-land across the two callers. */
   private def gramIndex(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int): DataFrame = df
+                        blockCol: String, n: Int): DataFrame =
+    Spread.widen(df.select(col(idCol), col(blockCol), col(textCol)))
     .select(col(idCol).as("id"), col(blockCol).as("block"),
       TextFunctions.tokens(col(textCol)).as("toks"))
     .select(col("id"), col("block"),

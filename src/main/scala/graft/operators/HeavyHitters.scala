@@ -40,7 +40,7 @@ object HeavyHitters {
     require(fanin > 0, s"fanin must be positive: $fanin")
     // Stage tokens into a column BEFORE shingling: an inlined tokens(text)
     // inside the shingle lambda is re-evaluated per element (O(tokens²)).
-    val grams = df
+    val grams = Spread.widen(df.select(col(textCol)))
       .select(TextFunctions.tokens(col(textCol)).as("toks"))
       .select(explode(
         if (n == 1) col("toks")

@@ -40,15 +40,20 @@ object NgramLm {
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + lit(1)).as("w2"))))
 
-  /** (extra columns…, exploded bigram struct `b`) with tokens staged. */
+  /** (extra columns…, exploded bigram struct `b`) with tokens staged. The
+    * input is widened first ([[Spread.widen]]): tokenize + explode is the
+    * heavy per-row leg, and a single-row-group corpus file would otherwise
+    * run it on one core. */
   private def explodedBigrams(df: DataFrame, keep: Seq[String],
                               textCol: String): DataFrame =
-    df.select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("_toks"): _*)
+    Spread.widen(df.select((keep :+ textCol).map(col): _*))
+      .select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("_toks"): _*)
       .select(keep.map(col) :+ explode(bigramsOf(col("_toks"))).as("b"): _*)
 
   /** Trained unigram table (w, c) — one map-side-combined aggregate. */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    Spread.widen(docs.select(col(textCol)))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
   /** Trained bigram table (w1, w2, c) — one map-side-combined aggregate. */
@@ -93,7 +98,8 @@ object NgramLm {
 
   private def explodedTrigrams(df: DataFrame, keep: Seq[String],
                                textCol: String): DataFrame =
-    df.select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("_toks"): _*)
+    Spread.widen(df.select((keep :+ textCol).map(col): _*))
+      .select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("_toks"): _*)
       .select(keep.map(col) :+ explode(trigramsOf(col("_toks"))).as("g"): _*)
 
   /** Trained trigram table (w1, w2, w3, c) — one map-side-combined
@@ -174,8 +180,13 @@ object NgramLm {
   private def knTrigramScored(docs: DataFrame, idCol: String, textCol: String,
                               trigrams: DataFrame,
                               exact: Boolean = true): DataFrame = {
+    // Materialize the trained count table ONCE: it is vocabulary-sized by
+    // construction, but the frame handed in is usually the LAZY
+    // [[trigramCounts]] plan — referenced below by three scalar collects and
+    // all five per-level join sides, each reference would re-run the full
+    // corpus tokenize + explode + shuffle (8 corpus passes for 1 model).
     val tri = trigrams.select(col("w1"), col("w2"), col("w3"),
-      col("c").cast("long").as("_c3"))
+      col("c").cast("long").as("_c3")).localCheckpoint(true)
     val ctx12 = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("_c3")).as("_c12"), count(lit(1)).as("_t12"))
     val mid = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("_n2"))

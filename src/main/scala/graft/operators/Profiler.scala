@@ -32,7 +32,12 @@ object Profiler {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // project to the profiled columns, then widen: the multi-distinct Expand
+    // multiplies rows 4× before the exchange, and a single-row-group input
+    // would push all of it through one task ([[Spread]]); count/distinct/
+    // min/max are exact under any partitioning
+    val wide = Spread.widen(df.select(targets.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val stackExpr =
       s"stack(${targets.size}, " +
         targets.map(c => s"'$c', `${c}__n`, `${c}__d`, `${c}__min`, `${c}__max`")
@@ -56,7 +61,10 @@ object Profiler {
   def corpusReport(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val q = TextFunctions.qualityScore(text)
-    docs.select(col(sourceCol).as("source"),
+    // widen: tokenize + quality scoring is heavy per-row work off what may
+    // be a 1-task scan; every aggregate here is integer-exact by design
+    Spread.widen(docs.select(col(sourceCol), col(textCol)))
+      .select(col(sourceCol).as("source"),
       TextFunctions.tokenCount(text).as("_nt"),
       TextFunctions.bpeTokenCount(text).as("_nb"),
       when(TextFunctions.langIdEn(text) === "en", 1L).otherwise(0L).as("_en"),

@@ -111,8 +111,13 @@ object UnigramLm {
     pruneTo.foreach(k => require(k >= 1, s"pruneTo must be >= 1, got $k"))
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-wide pass; everything after is vocabulary-sized
+    // the one corpus-wide pass; everything after is vocabulary-sized. The
+    // explicit repartition keeps the checkpointed word table at full
+    // parallelism: AQE coalesces the tiny aggregation exchange to one
+    // partition, which would serialize every Viterbi EM sweep below on a
+    // single core ([[Spread]] rationale).
     val freqs = BpeTrainer.preTokenFrequencies(docs, textCol, byteLevel)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     // active piece set + running counts, model-sized by construction
     var counts: Array[(String, Long)] =
@@ -256,8 +261,9 @@ object UnigramLm {
     val probs = new java.util.HashMap[String, java.lang.Double](counts.length * 2)
     counts.foreach { case (p, c) => probs.put(p, c.toDouble / total.toDouble) }
     val bc = spark.sparkContext.broadcast(probs)
-    val pts = docs.select(col(idCol).cast("long").as("doc_id"),
-      preTokensOf(textCol, byteLevel).as("_pts"))
+    val pts = Spread.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        preTokensOf(textCol, byteLevel).as("_pts"))
     pts.as[(Long, Seq[String])].mapPartitions { it =>
       val m = bc.value
       // Zipf memo (the BpeCodec discipline): distinct pre-tokens are tiny
@@ -319,7 +325,8 @@ object UnigramLm {
     }
     val bcP = spark.sparkContext.broadcast(probs)
     val bcB = spark.sparkContext.broadcast(bits)
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    Spread.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
         preTokensOf(textCol, byteLevel).as("_pts"))
       .as[(Long, Seq[String])].mapPartitions { it =>
         val m = bcP.value
@@ -384,7 +391,8 @@ object UnigramLm {
       .foreach { case (p, i) => ids.put(p, i) }
     val bcP = spark.sparkContext.broadcast(probs)
     val bcI = spark.sparkContext.broadcast(ids)
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    Spread.widen(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
         preTokensOf(textCol, byteLevel).as("_pts"))
       .as[(Long, Seq[String])].mapPartitions { it =>
         val m = bcP.value

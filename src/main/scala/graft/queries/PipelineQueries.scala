@@ -107,7 +107,9 @@ object PipelineQueries {
   private def imageFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // widen the id scan first: payload synthesis + codec encode is the heavy
+    // per-row leg, and the single-row-group corpus file plans as ONE task
+    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
       (id, graft.operators.Multimodal.encodePngGray(8, 8,
         Array.tabulate(64)(p => grayFor(id, p))))
     }.toDF("media_id", "payload")
@@ -131,7 +133,9 @@ object PipelineQueries {
   private def videoFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // widen the id scan first: payload synthesis + codec encode is the heavy
+    // per-row leg, and the single-row-group corpus file plans as ONE task
+    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
       val frames: Seq[Array[Int]] = (id % 7) match {
         case 1 => (0 until 6).map(f => Array.tabulate(64)(p => vidGray(id - 1, f, p)))
         case 2 => (1 to 4).map(f => Array.tabulate(64)(p => vidGray(id - 2, f, p)))
@@ -163,7 +167,9 @@ object PipelineQueries {
   private def audioFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // widen the id scan first: payload synthesis + codec encode is the heavy
+    // per-row leg, and the single-row-group corpus file plans as ONE task
+    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
       (id, graft.operators.Multimodal.encodeWav(
         Array.tabulate(2048)(t => audioSample(id, t).toShort), 8000))
     }.toDF("media_id", "payload")
@@ -355,23 +361,36 @@ object PipelineQueries {
     val aBase = (s"CAST(1.0 AS DOUBLE) AS a0" +:
       (1 until maxLen).map(i => s"CAST(NULL AS DOUBLE) AS a$i")).mkString(", ")
     val aShift = (0 until maxLen - 1).map(i => s"d.a$i").mkString(", ")
+    // FUSED carried-model DP (the q177 form): the vocabulary rides the
+    // recursion as a per-row struct LIST built once in the BASE case, and
+    // the recursive step unnests d.vl instead of referencing pr$tag. Two
+    // reasons, both measured: (1) DuckDB 1.0 inlines a non-recursive CTE
+    // referenced from a recursive step PER RECURSION STEP — with pr$tag's
+    // chain bottoming out at the corpus frequency pass that was the whole
+    // oracle's cost; (2) a MATERIALIZED CTE referenced from inside a
+    // recursive step RACES under DuckDB 1.0's parallel pipelines and
+    // intermittently returns wrong rows (the q176 flake: 390-row results in
+    // ~2/8 contended runs, engine side correct). Base-case scalar subqueries
+    // evaluate exactly once, so the carried list is both race-free and pays
+    // the vocab chain once.
     s"""pr$tag AS (SELECT piece,
        |    CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM $vocabCte) AS pp
        |  FROM $vocabCte),
        |dp$tag AS (
        |  SELECT word, freq, 0 AS j,
        |    $aBase,
-       |    CAST([] AS INT[]) AS bls
+       |    CAST([] AS INT[]) AS bls,
+       |    (SELECT list(struct_pack(piece := piece, pp := pp)) FROM pr$tag) AS vl
        |  FROM $wordsCte
        |  UNION ALL
        |  SELECT d.word, d.freq, d.j + 1, c.val, $aShift,
-       |    list_append(d.bls, c.lx)
+       |    list_append(d.bls, c.lx), d.vl
        |  FROM dp$tag d LEFT JOIN LATERAL (
-       |    SELECT $aPrev * v.pp AS val, CAST(g.l AS INT) AS lx
-       |    FROM unnest(generate_series(1, least($maxLen, CAST(d.j AS BIGINT) + 1))) AS g(l)
-       |    JOIN pr$tag v
-       |      ON v.piece = substr(d.word, d.j + 2 - CAST(g.l AS INT), CAST(g.l AS INT))
-       |    WHERE $aPrev IS NOT NULL
+       |    SELECT $aPrev * u.s.pp AS val, CAST(g.l AS INT) AS lx
+       |    FROM unnest(generate_series(1, least($maxLen, CAST(d.j AS BIGINT) + 1))) AS g(l),
+       |      LATERAL unnest(d.vl) AS u(s)
+       |    WHERE u.s.piece = substr(d.word, d.j + 2 - CAST(g.l AS INT), CAST(g.l AS INT))
+       |      AND $aPrev IS NOT NULL
        |    ORDER BY val DESC, lx DESC LIMIT 1
        |  ) c ON true
        |  WHERE d.j < length(d.word)
@@ -414,7 +433,7 @@ object PipelineQueries {
            | FROM documents),
            |fw AS (SELECT orig, count(*) AS freq FROM pt GROUP BY 1),
            |fh AS (SELECT orig, freq, hex(encode(orig)) AS hx FROM fw),
-           |fr AS MATERIALIZED (SELECT fh.orig, fh.freq,
+           |fr AS (SELECT fh.orig, fh.freq,
            |    string_agg(r.ch, '' ORDER BY g.i) AS p
            |  FROM fh, LATERAL unnest(generate_series(1, length(fh.hx) // 2)) AS g(i)
            |  JOIN rm r ON r.hx = substr(fh.hx, CAST(2 * g.i - 1 AS INT), 2)
@@ -1919,7 +1938,8 @@ object PipelineQueries {
     // covered by unpacking in q135; here codes are flattened per dim.
     "q134_sq8_encode" -> ((s, dir) => {
       val sq = graft.operators.ScalarQuantization
-      val emb = t(s, dir, "embeddings")
+      // widen: encode+pack is heavy per-row work off a 1-task scan
+      val emb = graft.operators.Spread.widen(t(s, dir, "embeddings"))
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
       emb.select(col("vec_id"),
           posexplode(sq.sqEncode(col("embedding"), mins, maxs))
@@ -1936,7 +1956,10 @@ object PipelineQueries {
     // distance term stays 2-array/1-op.
     "q135_sq8_topk" -> ((s, dir) => {
       val sq = graft.operators.ScalarQuantization
-      val emb = t(s, dir, "embeddings")
+      // widen: the encode+pack+write leg is heavy per-row work that a
+      // single-row-group scan would serialize on one core (measured 7.9 s
+      // of the 6.9 s-median query inside ONE write task)
+      val emb = graft.operators.Spread.widen(t(s, dir, "embeddings"))
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
       // MATERIALIZE the code frame before searching: composing encode+pack
       // and search in one plan inlines the whole pack chain into each of
