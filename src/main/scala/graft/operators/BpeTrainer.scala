@@ -89,13 +89,16 @@ object BpeTrainer {
     val spark = docs.sparkSession
     val toSyms = transform(sequence(lit(1), length(col("pre_token"))),
       i => col("pre_token").substr(i, lit(1)))
-    // explicit repartition before the checkpoint: AQE coalesces the tiny
-    // frequency-aggregation exchange to one partition, which would serialize
-    // every per-round pair-count + fuse sweep below on a single core
+    // No explicit repartition before the checkpoint: AQE sizes the frequency
+    // aggregation's exchange to the data (advisory partition bytes), which is
+    // the scale-adaptive answer — a vocabulary-sized table coalesces small
+    // and each per-round sweep stays cheap, a 100 TB corpus's word table
+    // keeps its parallelism. Forcing defaultParallelism here made every
+    // per-round job pay 32 tasks of overhead on a tiny table (q113 1.82x
+    // slower, measured r16).
     var table = preTokenFrequencies(docs, textCol, byteLevel)
       .filter(length(col("pre_token")) >= 2)
       .select(toSyms.as("syms"), col("freq"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     val merges = Seq.newBuilder[Row]
     var round = 1

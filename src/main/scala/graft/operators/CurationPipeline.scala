@@ -72,11 +72,13 @@ object CurationPipeline {
              unigramFilter: Option[UnigramNllFilter] = None,
              knFilter: Option[KnFilter] = None,
              repetitionGate: Option[RepetitionStats.RepetitionThresholds] = None): DataFrame = {
-    // widen the corpus ONCE at the head: every downstream stage (scan-side
-    // gates, LM scoring, LSH signatures, canonicals) does heavy per-row work,
-    // and a single-row-group corpus file plans as a 1-task scan ([[Spread]])
-    val spreadDocs = Spread.widen(docs)
-    val gated0 = spreadDocs.filter(
+    // NO widen at the head: the quality/langid gates are scan-side column
+    // predicates that shrink the corpus BEFORE any shuffle (filter-first is
+    // the point of the stage order) — a head repartition would round-robin
+    // the FULL text payload ahead of the filters (measured a 1.3-1.8x
+    // pessimization in r16). The heavy per-row legs downstream widen their
+    // own narrow projections, byte-gated, inside the operators they live in.
+    val gated0 = docs.filter(
       TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langIdEn(col(textCol)) === "en")
     val gated = repetitionGate.fold(gated0)(th =>
@@ -119,6 +121,10 @@ object CurationPipeline {
     // semi-join (scores aggregate per id), so gated ⋉ ids ≡ the gate chain
     // row-for-row — including duplicate-id inputs, which pool per id in both
     // shapes.
+    // Scale note: the id set is survivor-count-sized (8 bytes/doc, unbounded
+    // by doc COUNT) — localCheckpoint blocks are MEMORY_AND_DISK, so at 10⁹+
+    // survivors the executors spill it to local disk rather than OOM; ~8 GB
+    // of block-store per 10⁹ docs is the audit number.
     val filtered =
       if (lmFilter.isEmpty && unigramFilter.isEmpty && knFilter.isEmpty) filteredLazy
       else {

@@ -5,22 +5,38 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Scan-parallelism repair for heavy per-row operators.
   *
-  * A small corpus lands in single-row-group parquet files, and a row group
-  * is unsplittable — the scan plans as ONE task no matter how many cores the
+  * A corpus can land in one huge unsplittable input (a single row group, a
+  * gzip member): the scan plans as ONE task no matter how many cores the
   * session has, so compute-heavy per-row work (tokenization, Viterbi,
   * media decode, n-gram explodes) serializes on one core while the rest of
   * the machine idles. That is the "huge unsplittable input file" case of the
   * skew playbook, and the fix is the playbook's: repartition immediately
   * after the read.
   *
-  * [[widen]] does that ADAPTIVELY: it adds a round-robin repartition to the
-  * session's default parallelism only when the frame is an exchange-free
-  * (scan-shaped) plan with fewer partitions than that. At production scale a
-  * corpus scan already has thousands of input splits, so widen is the
-  * identity — it never adds a corpus-wide shuffle where parallelism already
-  * exists. The rows it does move at small scale are the narrow projections
-  * the callers hand it (ids + text / ids only), bytes that are trivially
-  * cheaper than the per-row compute they unlock.
+  * The repartition is a real shuffle of whatever the caller projects, so it
+  * must only fire when the moved bytes are small against the compute they
+  * unlock. Two entry points encode that decision:
+  *
+  *   - [[widen]] — BYTE-GATED: repartitions an exchange-free (scan-shaped)
+  *     plan to `min(defaultParallelism, ceil(estimatedBytes / targetBytes))`
+  *     partitions, identity when the input already has at least that many.
+  *     A small input (estimate under one target-sized partition) is left
+  *     alone: shuffling it costs more than the single-core serialization it
+  *     would remove — measured at bench scale, where a blanket widen made
+  *     text/vector-payload paths 1.5–2.5x slower. A genuinely under-split
+  *     large input (one 10 GB gzip) still fans out to size-appropriate
+  *     parallelism. `targetBytes` is `spark.graft.widen.targetPartitionBytes`
+  *     (default 128 MiB, the input-split convention) so production can tune
+  *     it without code changes.
+  *   - [[widenForCompute]] — UNCONDITIONAL (up to defaultParallelism): for
+  *     call sites whose per-row compute is declared heavy by the caller and
+  *     whose projected row is narrow (ids/codes, a few bytes). There the
+  *     moved bytes are trivial at any scale and the compute dominates even
+  *     for small inputs (media codec synthesis per id).
+  *
+  * At production scale a corpus scan already has thousands of input splits,
+  * so BOTH forms are the identity — neither ever adds a corpus-wide shuffle
+  * where parallelism already exists.
   *
   * Results are partitioning-independent for every caller by contract:
   * integer-count aggregations, per-row projections, equi-joins, min/max.
@@ -28,10 +44,38 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 object Spread {
 
-  /** `df` repartitioned to the session's default parallelism iff it is an
-    * exchange-free plan with fewer partitions than that; identity otherwise.
-    *
-    * The exchange check is load-bearing: probing partition counts through an
+  /** Production knob: bytes each repartitioned slice should carry. */
+  val TargetBytesKey = "spark.graft.widen.targetPartitionBytes"
+  private val DefaultTargetBytes = 128L * 1024 * 1024
+
+  /** `df` repartitioned to `min(defaultParallelism, ceil(bytes/targetBytes))`
+    * iff it is an exchange-free plan with fewer partitions than that;
+    * identity otherwise (and always for streaming frames and inputs small
+    * enough that one target-sized partition holds them). */
+  def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val tb = df.sparkSession.conf
+      .get(TargetBytesKey, DefaultTargetBytes.toString).toLong
+    require(tb > 0L, s"$TargetBytesKey must be positive: $tb")
+    // Optimizer size estimate of the projection the caller hands in — file
+    // bytes for scans, width-scaled for projections. The gate only needs the
+    // order of magnitude: under one target partition => leave it alone.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (est + tb - 1) / tb
+    val target = byBytes.min(BigInt(p)).max(BigInt(1)).toInt
+    widenTo(df, target)
+  }
+
+  /** The caller declares the per-row compute heavy and the projected row
+    * narrow: repartition an exchange-free plan straight to the session's
+    * default parallelism (identity when splits already reach it). */
+  def widenForCompute(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    widenTo(df, df.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** The exchange check is load-bearing: probing partition counts through an
     * ADAPTIVE plan would eagerly materialize its shuffle stages (AQE executes
     * query stages to re-plan), running upstream work once at probe time and
     * again at query time. A plan that already contains an exchange gets its
@@ -39,16 +83,13 @@ object Spread {
     * right answer there. For exchange-free plans (scans, projections,
     * checkpoints, local relations) the partition probe builds the RDD without
     * running any job. */
-  def widen(df: DataFrame): DataFrame = {
-    // streaming frames cannot be probed (or batch-repartitioned) — the
-    // micro-batch engine already owns their partitioning; the shared
-    // operators' streaming twins pass through unchanged
-    if (df.isStreaming) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
+  private def widenTo(df: DataFrame, target: Int): DataFrame = {
+    if (target <= 1) return df
     df.queryExecution.executedPlan match {
       case _: AdaptiveSparkPlanExec => df
       case plan =>
-        if (plan.execute().getNumPartitions >= p) df else df.repartition(p)
+        if (plan.execute().getNumPartitions >= target) df
+        else df.repartition(target)
     }
   }
 }

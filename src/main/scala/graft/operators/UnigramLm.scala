@@ -111,13 +111,13 @@ object UnigramLm {
     pruneTo.foreach(k => require(k >= 1, s"pruneTo must be >= 1, got $k"))
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-wide pass; everything after is vocabulary-sized. The
-    // explicit repartition keeps the checkpointed word table at full
-    // parallelism: AQE coalesces the tiny aggregation exchange to one
-    // partition, which would serialize every Viterbi EM sweep below on a
-    // single core ([[Spread]] rationale).
+    // the one corpus-wide pass; everything after is vocabulary-sized. No
+    // explicit repartition before the checkpoint: AQE sizes the aggregation
+    // exchange to the data, so a vocabulary-sized word table coalesces small
+    // (cheap EM sweeps) while a corpus-scale table keeps its parallelism —
+    // forcing defaultParallelism made every Viterbi sweep pay 32 tasks of
+    // overhead on a tiny table (q170 2.52x slower, measured r16).
     val freqs = BpeTrainer.preTokenFrequencies(docs, textCol, byteLevel)
-      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     // active piece set + running counts, model-sized by construction
     var counts: Array[(String, Long)] =

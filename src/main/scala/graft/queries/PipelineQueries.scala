@@ -107,9 +107,11 @@ object PipelineQueries {
   private def imageFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // widen the id scan first: payload synthesis + codec encode is the heavy
-    // per-row leg, and the single-row-group corpus file plans as ONE task
-    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
+    // widen the id scan first (unconditionally — the caller declares the
+    // compute heavy): payload synthesis + codec encode is the heavy per-row
+    // leg over 8-byte rows, and a single-row-group corpus file plans as ONE
+    // task
+    graft.operators.Spread.widenForCompute(docs.select(col("doc_id"))).as[Long].map { id =>
       (id, graft.operators.Multimodal.encodePngGray(8, 8,
         Array.tabulate(64)(p => grayFor(id, p))))
     }.toDF("media_id", "payload")
@@ -133,9 +135,11 @@ object PipelineQueries {
   private def videoFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // widen the id scan first: payload synthesis + codec encode is the heavy
-    // per-row leg, and the single-row-group corpus file plans as ONE task
-    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
+    // widen the id scan first (unconditionally — the caller declares the
+    // compute heavy): payload synthesis + codec encode is the heavy per-row
+    // leg over 8-byte rows, and a single-row-group corpus file plans as ONE
+    // task
+    graft.operators.Spread.widenForCompute(docs.select(col("doc_id"))).as[Long].map { id =>
       val frames: Seq[Array[Int]] = (id % 7) match {
         case 1 => (0 until 6).map(f => Array.tabulate(64)(p => vidGray(id - 1, f, p)))
         case 2 => (1 to 4).map(f => Array.tabulate(64)(p => vidGray(id - 2, f, p)))
@@ -167,9 +171,13 @@ object PipelineQueries {
   private def audioFixture(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // widen the id scan first: payload synthesis + codec encode is the heavy
-    // per-row leg, and the single-row-group corpus file plans as ONE task
-    graft.operators.Spread.widen(docs.select(col("doc_id"))).as[Long].map { id =>
+    // NO widen here, unlike the image/video fixtures: WAV synthesis is a
+    // headerless sample dump (no zlib/LZW compression leg), so the per-row
+    // compute never pays for the repartition — and a widened fixture makes
+    // every index save/append write 32 tiny files per generation instead of
+    // one, which the banding probes then re-read (measured: q153 1.38→2.33 s,
+    // q161 3.50→7.98 s, q165 3.83→8.42 s when r16 widened this fixture).
+    docs.select(col("doc_id")).as[Long].map { id =>
       (id, graft.operators.Multimodal.encodeWav(
         Array.tabulate(2048)(t => audioSample(id, t).toShort), 8000))
     }.toDF("media_id", "payload")
@@ -1938,7 +1946,9 @@ object PipelineQueries {
     // covered by unpacking in q135; here codes are flattened per dim.
     "q134_sq8_encode" -> ((s, dir) => {
       val sq = graft.operators.ScalarQuantization
-      // widen: encode+pack is heavy per-row work off a 1-task scan
+      // byte-gated widen: repairs an under-split LARGE vector scan only —
+      // small inputs stay put (shuffling the vector payload costs more than
+      // the single-core encode it would parallelize; measured r16)
       val emb = graft.operators.Spread.widen(t(s, dir, "embeddings"))
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
       emb.select(col("vec_id"),
@@ -1956,10 +1966,11 @@ object PipelineQueries {
     // distance term stays 2-array/1-op.
     "q135_sq8_topk" -> ((s, dir) => {
       val sq = graft.operators.ScalarQuantization
-      // widen: the encode+pack+write leg is heavy per-row work that a
-      // single-row-group scan would serialize on one core (measured 7.9 s
-      // of the 6.9 s-median query inside ONE write task)
-      val emb = graft.operators.Spread.widen(t(s, dir, "embeddings"))
+      // unconditional widen (caller-declared heavy): the encode+pack+WRITE
+      // leg below otherwise runs inside ONE write task off the single-split
+      // scan (measured 7.9 s of the 6.9 s-median query; widened: 2.8 s).
+      // The moved embedding bytes are a few MB — trivial against that leg.
+      val emb = graft.operators.Spread.widenForCompute(t(s, dir, "embeddings"))
       val (mins, maxs) = sq.sqTrain(emb, "embedding")
       // MATERIALIZE the code frame before searching: composing encode+pack
       // and search in one plan inlines the whole pack chain into each of
@@ -2099,9 +2110,14 @@ object PipelineQueries {
       val assigned = SimilaritySearch.assignCells(emb, "embedding", coarse, "cell")
       val cb = pq.seedCodebooksResidual(assigned, "embedding", "vec_id", "cell",
         coarse, m = PqM, ksub = PqKsub)
+      // MATERIALIZE the packed-code frame once (the q135 discipline): it is
+      // NARROW (vec_id, packed long, cell int) and feeds BOTH the save and
+      // the append below — left lazy, each reference re-runs the whole
+      // assign+residual-encode chain over the vectors.
       val encoded = pq.encodeResidual(assigned, "embedding", "cell", coarse, cb)
         .select(col("vec_id"), pq.packCodes(col("pq_codes"), PqM, PqKsub).as("packed"),
           col("cell"))
+        .localCheckpoint()
       val idxPath = "/tmp/graft_fixtures/q175_index"
       pq.savePqIndex(encoded.filter(pmod(col("vec_id"), lit(3)) =!= 0),
         "vec_id", "packed", "cell", coarse, cb, residual = true, idxPath)
