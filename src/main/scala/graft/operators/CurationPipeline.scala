@@ -83,8 +83,21 @@ object CurationPipeline {
         TextFunctions.langIdEn(col(textCol)) === "en")
     val gated = repetitionGate.fold(gated0)(th =>
       RepetitionStats.repetitionFilter(gated0, textCol, th))
+    // Gate via the FAILING-id complement (anti-join) when the threshold is
+    // non-negative: a doc with no bigrams scores rate 0.0 and can never
+    // fail, so the failing set needs no 0/1-token restore join — one full
+    // pass over the gated corpus fewer per curate call, and the anti-join's
+    // build side is the (small) failure set instead of the survivor set.
+    // Exact row complement of the keep-side filter (same IEEE division,
+    // same per-id pooling); a (nonsensical) negative threshold keeps the
+    // original keep-side shape so behavior is unchanged for EVERY input.
     val filtered0 = lmFilter.fold(gated) { lf =>
-      gated.join(
+      if (lf.maxOovRate >= 0.0)
+        gated.join(
+          NgramLm.oovFailingIds(gated, idCol, textCol, lf.bigrams,
+            lf.minCount, lf.maxOovRate),
+          Seq(idCol), "left_anti")
+      else gated.join(
         NgramLm.oovBigramRate(gated, idCol, textCol, lf.bigrams, lf.minCount)
           .filter(col("oov_rate") <= lf.maxOovRate)
           .select(col(idCol)),
@@ -103,9 +116,17 @@ object CurationPipeline {
     }
     // Kneser–Ney gate: the count-table joins are vocabulary-sized (AQE
     // broadcasts them), the score frame per-doc-sized — same stage shape
-    // and the same shrink-before-LSH ordering as the other LM gates
+    // and the same shrink-before-LSH ordering as the other LM gates.
+    // Same failing-id anti-join shape as the bigram gate above: <3-token
+    // docs score avg 0.0 and never fail a non-negative threshold, so the
+    // restore join (a full corpus pass) drops out of the gate.
     val filteredLazy = knFilter.fold(filtered1) { kf =>
-      filtered1.join(
+      if (kf.maxAvgBits >= 0.0)
+        filtered1.join(
+          NgramLm.knTrigramFailingIds(filtered1, idCol, textCol, kf.trigrams,
+            kf.maxAvgBits),
+          Seq(idCol), "left_anti")
+      else filtered1.join(
         NgramLm.knTrigramBits(filtered1, idCol, textCol, kf.trigrams)
           .filter(col("avg_bits") <= kf.maxAvgBits)
           .select(col(idCol)),

@@ -70,12 +70,7 @@ object NgramLm {
   def oovBigramRate(docs: DataFrame, idCol: String, textCol: String,
                     bigrams: DataFrame, minCount: Long = 1L): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1: $minCount")
-    val exploded = explodedBigrams(docs, Seq(idCol), textCol)
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val joined = exploded.join(bigrams, Seq("w1", "w2"), "left")
-    val perDoc = joined.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_bigrams"),
-      sum(when(col("c").isNull || col("c") < minCount, 1L).otherwise(0L)).as("n_oov"))
+    val perDoc = oovPerDoc(docs, idCol, textCol, bigrams, minCount)
     // 0/1-token docs vanish in the explode — restore them with zero bigrams
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -84,6 +79,39 @@ object NgramLm {
       .withColumn("oov_rate",
         when(col("n_bigrams") === 0, lit(0.0))
           .otherwise(col("n_oov").cast("double") / col("n_bigrams").cast("double")))
+  }
+
+  /** Per-doc (n_bigrams, n_oov) over docs WITH at least one bigram — the
+    * pre-restore aggregate [[oovBigramRate]] and [[oovFailingIds]] share. */
+  private def oovPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                        bigrams: DataFrame, minCount: Long): DataFrame =
+    explodedBigrams(docs, Seq(idCol), textCol)
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c").isNull || col("c") < minCount, 1L).otherwise(0L)).as("n_oov"))
+
+  /** Ids whose pooled OOV-bigram rate EXCEEDS `maxOovRate` — the complement
+    * surface the curation gate anti-joins on. A doc with no bigrams scores
+    * rate 0.0 and so can never fail a non-negative threshold, which is what
+    * makes this surface skippable of [[oovBigramRate]]'s 0/1-token restore
+    * join — one full extra pass over the gated corpus. The rate is the SAME
+    * single IEEE division as oovBigramRate's, so `> maxOovRate` here is the
+    * exact row complement of `<= maxOovRate` there (per id; duplicate-id
+    * inputs pool identically through the shared aggregate). Callers must
+    * check `maxOovRate >= 0` and use the full-rate surface otherwise. */
+  private[operators] def oovFailingIds(docs: DataFrame, idCol: String,
+                                       textCol: String, bigrams: DataFrame,
+                                       minCount: Long,
+                                       maxOovRate: Double): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    require(maxOovRate >= 0.0,
+      s"oovFailingIds is only the gate complement for maxOovRate >= 0: $maxOovRate")
+    oovPerDoc(docs, idCol, textCol, bigrams, minCount)
+      .filter(col("n_oov").cast("double") / col("n_bigrams").cast("double")
+        > maxOovRate)
+      .select(col(idCol))
   }
 
   /** Adjacent token triples (w1, w2, w3) over a staged token array — the
@@ -179,7 +207,40 @@ object NgramLm {
     * the double NLL. */
   private def knTrigramScored(docs: DataFrame, idCol: String, textCol: String,
                               trigrams: DataFrame,
-                              exact: Boolean = true): DataFrame = {
+                              exact: Boolean = true): DataFrame =
+    // <3-token docs vanish in the trigram explode — restore them (NULL
+    // aggregates; the public surfaces coalesce) so the output is one row
+    // per input document, as documented
+    docs.select(col(idCol))
+      .join(knTrigramPerDoc(docs, idCol, textCol, trigrams, exact), Seq(idCol), "left")
+
+  /** Ids whose average per-trigram bit-surprisal EXCEEDS `maxAvgBits` — the
+    * complement surface the curation KN gate anti-joins on. A doc with no
+    * trigrams scores avg 0.0 and can never fail a non-negative threshold,
+    * so this skips [[knTrigramScored]]'s <3-token restore join — one full
+    * extra pass over the gated corpus. The average is the SAME single IEEE
+    * division as [[knTrigramBits]]'s (pre-restore rows always have
+    * n_trigrams >= 1), so `> maxAvgBits` is the exact row complement of
+    * `<= maxAvgBits` there. Callers must check `maxAvgBits >= 0` and use
+    * the full-score surface otherwise. */
+  private[operators] def knTrigramFailingIds(docs: DataFrame, idCol: String,
+                                             textCol: String,
+                                             trigrams: DataFrame,
+                                             maxAvgBits: Double): DataFrame = {
+    require(maxAvgBits >= 0.0,
+      s"knTrigramFailingIds is only the gate complement for maxAvgBits >= 0: $maxAvgBits")
+    knTrigramPerDoc(docs, idCol, textCol, trigrams, exact = true)
+      .filter(col("sum_bits").cast("double") / col("n_trigrams").cast("double")
+        > maxAvgBits)
+      .select(col(idCol))
+  }
+
+  /** Per-doc (n_trigrams, sum_bits, avg_nll) over docs WITH at least one
+    * trigram — the pre-restore aggregate [[knTrigramScored]] and
+    * [[knTrigramFailingIds]] share. */
+  private def knTrigramPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                              trigrams: DataFrame,
+                              exact: Boolean): DataFrame = {
     // Materialize the trained count table ONCE: it is vocabulary-sized by
     // construction, but the frame handed in is usually the LAZY
     // [[trigramCounts]] plan — referenced below by three scalar collects and
@@ -248,7 +309,7 @@ object NgramLm {
           log(lit(2.0)) * length(bin(col("_den"))).cast("double"))
         .otherwise(-log(col("_num").cast("double") / col("_den").cast("double"))))
         .as("avg_nll"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    perDoc
   }
 
   /** Per-document average negative log conditional bigram probability

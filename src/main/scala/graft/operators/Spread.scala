@@ -58,10 +58,13 @@ object Spread {
     val tb = df.sparkSession.conf
       .get(TargetBytesKey, DefaultTargetBytes.toString).toLong
     require(tb > 0L, s"$TargetBytesKey must be positive: $tb")
-    // Optimizer size estimate of the projection the caller hands in — file
-    // bytes for scans, width-scaled for projections. The gate only needs the
-    // order of magnitude: under one target partition => leave it alone.
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Size estimate of the projection the caller hands in — file bytes for
+    // scans, width-scaled for projections. The gate only needs the order of
+    // magnitude: under one target partition => leave it alone. Read off the
+    // ANALYZED plan (Datasets analyze eagerly, so this runs only the cheap
+    // stats visitor) rather than `optimizedPlan`, which would run the full
+    // optimizer once per widen call purely for the estimate.
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
     val byBytes = (est + tb - 1) / tb
     val target = byBytes.min(BigInt(p)).max(BigInt(1)).toInt
     widenTo(df, target)

@@ -44,6 +44,51 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.oovBigramRate(probe, "doc_id", "text", lm, minCount = 0L))
   }
 
+  test("oovFailingIds: exact complement of the oovBigramRate keep-set, no-bigram docs never fail") {
+    val lm = NgramLm.bigramCounts(corpus, "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),       // 0 OOV at minCount 2
+      (11L, "purple elephants sing loudly"), // all OOV -> rate 1.0
+      (12L, "word"),                         // no bigrams -> rate 0.0, never fails
+      (13L, ""),
+      (14L, "the cat sang strangely")).toDF("doc_id", "text") // mixed rate
+    for (maxRate <- Seq(0.0, 0.3, 0.5, 1.0)) {
+      val kept = NgramLm.oovBigramRate(probe, "doc_id", "text", lm, minCount = 2L)
+        .filter(col("oov_rate") <= maxRate)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val failing = NgramLm.oovFailingIds(probe, "doc_id", "text", lm,
+        minCount = 2L, maxOovRate = maxRate).as[Long].collect().toSet
+      val all = probe.select(col("doc_id")).as[Long].collect().toSet
+      assert(failing === (all -- kept), s"complement mismatch at maxRate=$maxRate")
+      assert(!failing.contains(12L) && !failing.contains(13L),
+        "no-bigram docs can never fail a non-negative threshold")
+    }
+    intercept[IllegalArgumentException](
+      NgramLm.oovFailingIds(probe, "doc_id", "text", lm, 2L, -0.1))
+  }
+
+  test("knTrigramFailingIds: exact complement of the knTrigramBits keep-set") {
+    val tri = NgramLm.trigramCounts(corpus, "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "purple elephants sing loudly today"),
+      (12L, "two words"), // <3 tokens -> avg 0.0, never fails
+      (13L, "the dog sat on the rug")).toDF("doc_id", "text")
+    for (maxBits <- Seq(0.0, 2.0, 4.0, 8.0)) {
+      val kept = NgramLm.knTrigramBits(probe, "doc_id", "text", tri)
+        .filter(col("avg_bits") <= maxBits)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val failing = NgramLm.knTrigramFailingIds(probe, "doc_id", "text", tri,
+        maxBits).as[Long].collect().toSet
+      val all = probe.select(col("doc_id")).as[Long].collect().toSet
+      assert(failing === (all -- kept), s"complement mismatch at maxBits=$maxBits")
+      assert(!failing.contains(12L),
+        "short docs can never fail a non-negative threshold")
+    }
+    intercept[IllegalArgumentException](
+      NgramLm.knTrigramFailingIds(probe, "doc_id", "text", tri, -1.0))
+  }
+
   test("avgNegLogProb: in-domain text scores lower NLL than novel text; no-bigram docs are NULL") {
     val ug = NgramLm.unigramCounts(corpus, "text")
     val bg = NgramLm.bigramCounts(corpus, "text")
